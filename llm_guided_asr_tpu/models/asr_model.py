@@ -1,0 +1,204 @@
+"""Hybrid CTC/attention ASR model (flax.linen).
+
+Rebuild of espnet2/asr/espnet_model.py:37 (ESPnetASRModel): frontend ->
+specaug -> normalize -> encoder -> {CTC head, attention decoder};
+loss = ctc_weight * ctc + (1 - ctc_weight) * label-smoothed attention CE.
+
+Contract mirrors espnet2/train/abs_espnet_model.py: ``__call__`` returns
+``(loss, stats, weight)`` where stats is a dict of f32 scalars and weight is
+the batch size (for distributed weighted averaging).
+
+Conventions inherited from the reference:
+- blank_id = 0, sos = eos = vocab_size - 1 (espnet_model.py), ignore_id = -1;
+- the frozen config travels with the checkpoint (config.yaml analog).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Any, Dict, Optional, Tuple
+
+import flax.linen as nn
+import jax
+import jax.numpy as jnp
+
+from llm_guided_asr_tpu.models.conformer import (
+    ConformerConfig,
+    ConformerEncoder,
+    TransformerEncoder,
+)
+from llm_guided_asr_tpu.models.transformer_decoder import (
+    TransformerDecoder,
+    TransformerDecoderConfig,
+)
+from llm_guided_asr_tpu.ops.frontend import FrontendConfig, default_frontend, global_mvn, utterance_mvn
+from llm_guided_asr_tpu.ops.losses import (
+    accuracy,
+    add_sos_eos,
+    ctc_loss,
+    label_smoothing_loss,
+)
+from llm_guided_asr_tpu.ops.specaug import SpecAugConfig, specaug
+
+Dtype = Any
+
+
+@dataclasses.dataclass(frozen=True)
+class ASRModelConfig:
+    vocab_size: int
+    frontend: Optional[FrontendConfig] = FrontendConfig()
+    specaug: Optional[SpecAugConfig] = None
+    normalize: str = "global_mvn"  # global_mvn | utterance_mvn | none
+    encoder_type: str = "conformer"  # conformer | transformer
+    encoder: ConformerConfig = ConformerConfig()
+    decoder: TransformerDecoderConfig = TransformerDecoderConfig()
+    ctc_weight: float = 0.5
+    interctc_weight: float = 0.0
+    lsm_weight: float = 0.0
+    length_normalized_loss: bool = False
+    ignore_id: int = -1
+    blank_id: int = 0
+    sos: Optional[int] = None  # default vocab_size - 1
+    eos: Optional[int] = None
+
+    @property
+    def sos_id(self) -> int:
+        return self.vocab_size - 1 if self.sos is None else self.sos
+
+    @property
+    def eos_id(self) -> int:
+        return self.vocab_size - 1 if self.eos is None else self.eos
+
+
+class ASRModel(nn.Module):
+    cfg: ASRModelConfig
+    dtype: Dtype = jnp.float32
+
+    def setup(self):
+        cfg = self.cfg
+        enc_cls = ConformerEncoder if cfg.encoder_type == "conformer" else TransformerEncoder
+        self.encoder = enc_cls(cfg.encoder, dtype=self.dtype, name="encoder")
+        if cfg.ctc_weight < 1.0:
+            self.decoder = TransformerDecoder(
+                cfg.vocab_size, cfg.decoder, dtype=self.dtype, name="decoder"
+            )
+        if cfg.ctc_weight > 0.0:
+            self.ctc_head = nn.Dense(cfg.vocab_size, dtype=self.dtype, name="ctc_head")
+        n_feat = cfg.frontend.n_mels if cfg.frontend is not None else None
+        if cfg.normalize == "global_mvn":
+            # populated from collect-stats feats_stats.npz (global_mvn.py:26)
+            dim = n_feat if n_feat is not None else 1
+            self.mvn_mean = self.variable(
+                "mvn", "mean", lambda: jnp.zeros((dim,), jnp.float32)
+            )
+            self.mvn_inv_std = self.variable(
+                "mvn", "inv_std", lambda: jnp.ones((dim,), jnp.float32)
+            )
+
+    # ------------------------------------------------------------------
+    # feature path
+    # ------------------------------------------------------------------
+    def _extract_feats(
+        self, speech: jnp.ndarray, speech_lengths: jnp.ndarray
+    ) -> Tuple[jnp.ndarray, jnp.ndarray]:
+        cfg = self.cfg
+        if cfg.frontend is not None and speech.ndim == 2:
+            f = cfg.frontend
+            return default_frontend(
+                speech, speech_lengths,
+                fs=f.fs, n_fft=f.n_fft, win_length=f.win_length,
+                hop_length=f.hop_length, n_mels=f.n_mels, fmin=f.fmin,
+                fmax=f.fmax, htk=f.htk, center=f.center, window=f.window,
+            )
+        return speech, speech_lengths
+
+    def collect_feats(
+        self, speech: jnp.ndarray, speech_lengths: jnp.ndarray
+    ) -> Dict[str, jnp.ndarray]:
+        feats, feats_lengths = self._extract_feats(speech, speech_lengths)
+        return {"feats": feats, "feats_lengths": feats_lengths}
+
+    def encode(
+        self,
+        speech: jnp.ndarray,
+        speech_lengths: jnp.ndarray,
+        deterministic: bool = True,
+    ) -> Tuple[jnp.ndarray, jnp.ndarray]:
+        """Frontend + augmentation + normalization + encoder (espnet_model.py encode)."""
+        cfg = self.cfg
+        feats, feats_lengths = self._extract_feats(speech, speech_lengths)
+        if cfg.specaug is not None and not deterministic:
+            feats = specaug(self.make_rng("specaug"), feats, feats_lengths, cfg.specaug)
+        if cfg.normalize == "global_mvn":
+            feats = global_mvn(
+                feats, self.mvn_mean.value, self.mvn_inv_std.value, feats_lengths
+            )
+        elif cfg.normalize == "utterance_mvn":
+            feats = utterance_mvn(feats, feats_lengths)
+        feats = feats.astype(self.dtype)
+        return self.encoder(feats, feats_lengths, deterministic)
+
+    def ctc_logits(self, encoder_out: jnp.ndarray) -> jnp.ndarray:
+        return self.ctc_head(encoder_out)
+
+    def ctc_log_softmax(self, encoder_out: jnp.ndarray) -> jnp.ndarray:
+        return jax.nn.log_softmax(self.ctc_head(encoder_out).astype(jnp.float32), axis=-1)
+
+    def decoder_logits(
+        self,
+        encoder_out: jnp.ndarray,
+        encoder_out_lengths: jnp.ndarray,
+        ys_in: jnp.ndarray,
+        ys_in_lengths: jnp.ndarray,
+        deterministic: bool = True,
+    ) -> jnp.ndarray:
+        return self.decoder(
+            encoder_out, encoder_out_lengths, ys_in, ys_in_lengths, deterministic
+        )
+
+    # ------------------------------------------------------------------
+    # training forward
+    # ------------------------------------------------------------------
+    def __call__(
+        self,
+        speech: jnp.ndarray,
+        speech_lengths: jnp.ndarray,
+        text: jnp.ndarray,  # [B, L] padded with ignore_id (-1)
+        text_lengths: jnp.ndarray,
+        deterministic: bool = True,
+    ) -> Tuple[jnp.ndarray, Dict[str, jnp.ndarray], jnp.ndarray]:
+        cfg = self.cfg
+        batch_size = speech.shape[0]
+        enc_out, enc_lens = self.encode(speech, speech_lengths, deterministic)
+
+        stats: Dict[str, jnp.ndarray] = {}
+        loss_ctc = jnp.asarray(0.0, jnp.float32)
+        if cfg.ctc_weight > 0.0:
+            loss_ctc = ctc_loss(
+                self.ctc_logits(enc_out), enc_lens, text, text_lengths, cfg.blank_id
+            )
+            stats["loss_ctc"] = loss_ctc
+
+        loss_att = jnp.asarray(0.0, jnp.float32)
+        if cfg.ctc_weight < 1.0:
+            ys_in, ys_out = add_sos_eos(
+                text, text_lengths, cfg.sos_id, cfg.eos_id, cfg.ignore_id
+            )
+            dec_logits = self.decoder_logits(
+                enc_out, enc_lens, ys_in, text_lengths + 1, deterministic
+            )
+            loss_att = label_smoothing_loss(
+                dec_logits, ys_out, cfg.lsm_weight, cfg.ignore_id, cfg.length_normalized_loss
+            )
+            stats["loss_att"] = loss_att
+            stats["acc"] = accuracy(dec_logits, ys_out, cfg.ignore_id)
+
+        if cfg.ctc_weight == 0.0:
+            loss = loss_att
+        elif cfg.ctc_weight == 1.0:
+            loss = loss_ctc
+        else:
+            loss = cfg.ctc_weight * loss_ctc + (1.0 - cfg.ctc_weight) * loss_att
+        stats["loss"] = loss
+        weight = jnp.asarray(batch_size, jnp.float32)
+        return loss, stats, weight

@@ -1,0 +1,296 @@
+"""Conformer encoder (flax.linen), rebuild of espnet2/asr/encoder/conformer_encoder.py:52.
+
+Architecture (reference defaults, the fork's headline config
+egs2/esun/work/conf/tuning/train_asr+llama3_conformer.yaml):
+conv2d x4 subsampling -> rel-pos encoding -> N blocks of
+[0.5*FFN -> rel-pos MHSA -> conv module (k=31, swish) -> 0.5*FFN -> LN].
+
+TPU-first notes:
+- static shapes throughout; per-utterance validity carried as a length vector;
+- the depthwise conv module masks padded frames *before* convolving so pad
+  garbage cannot leak into valid frames (the reference convolves pads too —
+  harmless there only because pads are sliced away downstream);
+- blocks are plain Python loop (unrolled under jit); a scan-over-layers
+  variant can be enabled for compile-time at large depth.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Any, Optional, Tuple
+
+import flax.linen as nn
+import jax
+import jax.numpy as jnp
+
+from llm_guided_asr_tpu.models.transformer import (
+    Conv2dSubsampling,
+    MultiHeadedAttention,
+    PositionalEncoding,
+    PositionwiseFeedForward,
+    RelPositionalEncoding,
+    RelPositionMultiHeadedAttention,
+    TransformerEncoderLayer,
+    sub4_lengths,
+)
+from llm_guided_asr_tpu.utils.masks import make_valid_mask
+
+Dtype = Any
+
+
+@dataclasses.dataclass(frozen=True)
+class ConformerConfig:
+    output_size: int = 256
+    attention_heads: int = 4
+    linear_units: int = 2048
+    num_blocks: int = 6
+    dropout_rate: float = 0.1
+    positional_dropout_rate: float = 0.1
+    attention_dropout_rate: float = 0.0
+    input_layer: str = "conv2d"  # conv2d | linear | none
+    normalize_before: bool = True
+    macaron_style: bool = False
+    rel_pos_type: str = "latest"
+    pos_enc_layer_type: str = "rel_pos"  # rel_pos | abs_pos
+    selfattention_layer_type: str = "rel_selfattn"  # rel_selfattn | selfattn
+    activation_type: str = "swish"
+    use_cnn_module: bool = True
+    cnn_module_kernel: int = 31
+    cnn_module_norm: str = "batch_norm"  # batch_norm | layer_norm
+
+    @classmethod
+    def from_dict(cls, d: dict) -> "ConformerConfig":
+        known = {f.name for f in dataclasses.fields(cls)}
+        return cls(**{k: v for k, v in d.items() if k in known})
+
+
+def _activation(name: str):
+    return {
+        "swish": jax.nn.silu,
+        "relu": jax.nn.relu,
+        "gelu": jax.nn.gelu,
+        "hardtanh": jax.nn.hard_tanh,
+    }[name]
+
+
+class MaskedBatchNorm(nn.Module):
+    """BatchNorm1d over (batch, time) with padding-aware statistics.
+
+    Running stats live in the ``batch_stats`` collection (momentum 0.9,
+    matching torch BatchNorm1d's 0.1 update rate).
+    """
+
+    momentum: float = 0.9
+    eps: float = 1e-5
+    dtype: Dtype = jnp.float32
+
+    @nn.compact
+    def __call__(
+        self, x: jnp.ndarray, valid: jnp.ndarray, use_running_average: bool = True
+    ) -> jnp.ndarray:
+        d = x.shape[-1]
+        ra_mean = self.variable("batch_stats", "mean", lambda: jnp.zeros((d,), jnp.float32))
+        ra_var = self.variable("batch_stats", "var", lambda: jnp.ones((d,), jnp.float32))
+        scale = self.param("scale", nn.initializers.ones, (d,))
+        bias = self.param("bias", nn.initializers.zeros, (d,))
+
+        if use_running_average:
+            mean, var = ra_mean.value, ra_var.value
+        else:
+            m = valid[..., None].astype(jnp.float32)
+            n = jnp.maximum(jnp.sum(m), 1.0)
+            xf = x.astype(jnp.float32)
+            mean = jnp.sum(xf * m, axis=(0, 1)) / n
+            var = jnp.sum(((xf - mean) ** 2) * m, axis=(0, 1)) / n
+            if not self.is_initializing():
+                ra_mean.value = self.momentum * ra_mean.value + (1 - self.momentum) * mean
+                ra_var.value = self.momentum * ra_var.value + (1 - self.momentum) * var
+        inv = jax.lax.rsqrt(var + self.eps)
+        y = (x.astype(jnp.float32) - mean) * inv * scale + bias
+        return y.astype(self.dtype)
+
+
+class ConvolutionModule(nn.Module):
+    """Conformer conv module (espnet conformer/convolution.py): pw-conv -> GLU ->
+    depthwise conv -> norm -> swish -> pw-conv."""
+
+    kernel_size: int = 31
+    norm_type: str = "batch_norm"
+    activation: Any = jax.nn.silu
+    dtype: Dtype = jnp.float32
+
+    @nn.compact
+    def __call__(
+        self, x: jnp.ndarray, valid: jnp.ndarray, deterministic: bool = True
+    ) -> jnp.ndarray:
+        d = x.shape[-1]
+        h = nn.Dense(2 * d, dtype=self.dtype, name="pointwise_conv1")(x)
+        h = nn.glu(h, axis=-1)
+        # mask pads so the depthwise conv cannot smear garbage inward
+        h = jnp.where(valid[..., None], h, 0.0)
+        h = nn.Conv(
+            d,
+            (self.kernel_size,),
+            padding="SAME",
+            feature_group_count=d,
+            dtype=self.dtype,
+            name="depthwise_conv",
+        )(h)
+        if self.norm_type == "batch_norm":
+            h = MaskedBatchNorm(dtype=self.dtype, name="norm")(
+                h, valid, use_running_average=deterministic
+            )
+        else:
+            h = nn.LayerNorm(dtype=self.dtype, name="norm")(h)
+        h = self.activation(h)
+        return nn.Dense(d, dtype=self.dtype, name="pointwise_conv2")(h)
+
+
+class ConformerBlock(nn.Module):
+    cfg: ConformerConfig
+    dtype: Dtype = jnp.float32
+
+    @nn.compact
+    def __call__(
+        self,
+        x: jnp.ndarray,
+        pos_emb: Optional[jnp.ndarray],
+        valid: jnp.ndarray,  # [B, T] bool
+        deterministic: bool = True,
+    ) -> jnp.ndarray:
+        cfg = self.cfg
+        act = _activation(cfg.activation_type)
+        drop = nn.Dropout(cfg.dropout_rate)
+        attn_mask = valid[:, None, :]  # [B, 1, T]
+
+        if cfg.macaron_style:
+            h = nn.LayerNorm(dtype=self.dtype, name="norm_ff_macaron")(x)
+            h = PositionwiseFeedForward(
+                cfg.linear_units, cfg.dropout_rate, activation=act, dtype=self.dtype,
+                name="feed_forward_macaron",
+            )(h, deterministic)
+            x = x + 0.5 * drop(h, deterministic=deterministic)
+
+        h = nn.LayerNorm(dtype=self.dtype, name="norm_mha")(x)
+        if cfg.selfattention_layer_type == "rel_selfattn":
+            h = RelPositionMultiHeadedAttention(
+                cfg.attention_heads, cfg.attention_dropout_rate, dtype=self.dtype,
+                name="self_attn",
+            )(h, pos_emb, attn_mask, deterministic)
+        else:
+            h = MultiHeadedAttention(
+                cfg.attention_heads, cfg.attention_dropout_rate, dtype=self.dtype,
+                name="self_attn",
+            )(h, h, h, attn_mask, deterministic)
+        x = x + drop(h, deterministic=deterministic)
+
+        if cfg.use_cnn_module:
+            h = nn.LayerNorm(dtype=self.dtype, name="norm_conv")(x)
+            h = ConvolutionModule(
+                cfg.cnn_module_kernel, cfg.cnn_module_norm, act, dtype=self.dtype,
+                name="conv_module",
+            )(h, valid, deterministic)
+            x = x + drop(h, deterministic=deterministic)
+
+        h = nn.LayerNorm(dtype=self.dtype, name="norm_ff")(x)
+        h = PositionwiseFeedForward(
+            cfg.linear_units, cfg.dropout_rate, activation=act, dtype=self.dtype,
+            name="feed_forward",
+        )(h, deterministic)
+        x = x + 0.5 * drop(h, deterministic=deterministic) if cfg.macaron_style else x + drop(
+            h, deterministic=deterministic
+        )
+
+        if cfg.use_cnn_module:
+            x = nn.LayerNorm(dtype=self.dtype, name="norm_final")(x)
+        return x
+
+
+class ConformerEncoder(nn.Module):
+    """[B, T, F] features -> [B, T', D] encoded; returns (out, out_lengths)."""
+
+    cfg: ConformerConfig
+    dtype: Dtype = jnp.float32
+
+    @nn.compact
+    def __call__(
+        self,
+        feats: jnp.ndarray,
+        feats_lengths: jnp.ndarray,
+        deterministic: bool = True,
+    ) -> Tuple[jnp.ndarray, jnp.ndarray]:
+        cfg = self.cfg
+        if cfg.input_layer == "conv2d":
+            x = Conv2dSubsampling(cfg.output_size, dtype=self.dtype, name="embed")(feats)
+            out_lengths = sub4_lengths(feats_lengths)
+        elif cfg.input_layer == "linear":
+            x = nn.Dense(cfg.output_size, dtype=self.dtype, name="embed")(feats)
+            out_lengths = feats_lengths
+        elif cfg.input_layer == "none":
+            x = feats
+            out_lengths = feats_lengths
+        else:
+            raise ValueError(cfg.input_layer)
+
+        if cfg.pos_enc_layer_type == "rel_pos":
+            x, pos_emb = RelPositionalEncoding(
+                cfg.positional_dropout_rate, dtype=self.dtype, name="pos_enc"
+            )(x, deterministic)
+        else:
+            x = PositionalEncoding(
+                cfg.positional_dropout_rate, dtype=self.dtype, name="pos_enc"
+            )(x, deterministic)
+            pos_emb = None
+
+        valid = make_valid_mask(out_lengths, x.shape[1])
+        for i in range(cfg.num_blocks):
+            x = ConformerBlock(cfg, dtype=self.dtype, name=f"block_{i}")(
+                x, pos_emb, valid, deterministic
+            )
+        if cfg.normalize_before:
+            x = nn.LayerNorm(dtype=self.dtype, name="after_norm")(x)
+        x = jnp.where(valid[..., None], x, 0.0)
+        return x, out_lengths
+
+
+class TransformerEncoder(nn.Module):
+    """Plain transformer encoder (espnet2/asr/encoder/transformer_encoder.py)."""
+
+    cfg: ConformerConfig  # reuses the same config surface (abs-pos/selfattn subset)
+    dtype: Dtype = jnp.float32
+
+    @nn.compact
+    def __call__(
+        self,
+        feats: jnp.ndarray,
+        feats_lengths: jnp.ndarray,
+        deterministic: bool = True,
+    ) -> Tuple[jnp.ndarray, jnp.ndarray]:
+        cfg = self.cfg
+        if cfg.input_layer == "conv2d":
+            x = Conv2dSubsampling(cfg.output_size, dtype=self.dtype, name="embed")(feats)
+            out_lengths = sub4_lengths(feats_lengths)
+        elif cfg.input_layer == "linear":
+            x = nn.Dense(cfg.output_size, dtype=self.dtype, name="embed")(feats)
+            out_lengths = feats_lengths
+        else:
+            x = feats
+            out_lengths = feats_lengths
+        x = PositionalEncoding(cfg.positional_dropout_rate, dtype=self.dtype, name="pos_enc")(
+            x, deterministic
+        )
+        valid = make_valid_mask(out_lengths, x.shape[1])
+        mask = valid[:, None, :]
+        for i in range(cfg.num_blocks):
+            x = TransformerEncoderLayer(
+                cfg.attention_heads,
+                cfg.linear_units,
+                cfg.dropout_rate,
+                cfg.attention_dropout_rate,
+                dtype=self.dtype,
+                name=f"block_{i}",
+            )(x, mask, deterministic)
+        if cfg.normalize_before:
+            x = nn.LayerNorm(dtype=self.dtype, name="after_norm")(x)
+        x = jnp.where(valid[..., None], x, 0.0)
+        return x, out_lengths

@@ -1,0 +1,320 @@
+"""Transformer building blocks (flax.linen), TPU-first.
+
+Functional rebuild of the blocks under
+espnet/nets/pytorch_backend/transformer/ (attention.py, embedding.py,
+positionwise_feed_forward.py, subsampling.py, decoder_layer.py) used by the
+espnet2 encoders/decoders.  All attention is computed in one batched einsum
+per projection so it tiles onto the MXU; masks are additive -inf biases.
+
+Conventions:
+- masks are boolean with True = attend (the *valid* convention);
+- every module takes ``deterministic`` to gate dropout;
+- params are f32; activations follow ``dtype`` (bf16 for large-scale runs).
+"""
+
+from __future__ import annotations
+
+import math
+from typing import Any, Callable, Optional, Tuple
+
+import flax.linen as nn
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+Dtype = Any
+
+NEG_INF = -1.0e9  # large-negative attention bias; avoids bf16 inf-nan traps
+
+
+def sinusoidal_pos_enc(length: int, d_model: int, dtype=jnp.float32) -> np.ndarray:
+    """Classic sinusoidal table [length, d_model] (embedding.py PositionalEncoding)."""
+    position = np.arange(length, dtype=np.float64)[:, None]
+    div_term = np.exp(
+        np.arange(0, d_model, 2, dtype=np.float64) * -(math.log(10000.0) / d_model)
+    )
+    pe = np.zeros((length, d_model), dtype=np.float64)
+    pe[:, 0::2] = np.sin(position * div_term)
+    pe[:, 1::2] = np.cos(position * div_term)
+    return pe.astype(dtype)
+
+
+def rel_pos_enc(length: int, d_model: int, dtype=jnp.float32) -> np.ndarray:
+    """Transformer-XL style table for positions [length-1 .. -(length-1)].
+
+    Matches espnet RelPositionalEncoding ('latest' rel_pos_type,
+    embedding.py:RelPositionalEncoding): row i encodes relative position
+    (length-1-i), shape [2*length-1, d_model].
+    """
+    pos = np.arange(length - 1, -length, -1, dtype=np.float64)[:, None]
+    div_term = np.exp(
+        np.arange(0, d_model, 2, dtype=np.float64) * -(math.log(10000.0) / d_model)
+    )
+    pe = np.zeros((2 * length - 1, d_model), dtype=np.float64)
+    pe[:, 0::2] = np.sin(pos * div_term)
+    pe[:, 1::2] = np.cos(pos * div_term)
+    return pe.astype(dtype)
+
+
+class PositionwiseFeedForward(nn.Module):
+    hidden_units: int
+    dropout_rate: float = 0.1
+    activation: Callable = jax.nn.relu
+    dtype: Dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x: jnp.ndarray, deterministic: bool = True) -> jnp.ndarray:
+        d_model = x.shape[-1]
+        h = nn.Dense(self.hidden_units, dtype=self.dtype, name="w_1")(x)
+        h = self.activation(h)
+        h = nn.Dropout(self.dropout_rate)(h, deterministic=deterministic)
+        return nn.Dense(d_model, dtype=self.dtype, name="w_2")(h)
+
+
+class MultiHeadedAttention(nn.Module):
+    """Standard MHA (attention.py MultiHeadedAttention): q/k/v/out dense + softmax."""
+
+    num_heads: int
+    dropout_rate: float = 0.0
+    dtype: Dtype = jnp.float32
+
+    @nn.compact
+    def __call__(
+        self,
+        query: jnp.ndarray,  # [B, Tq, D]
+        key: jnp.ndarray,  # [B, Tk, D]
+        value: jnp.ndarray,  # [B, Tk, D]
+        mask: Optional[jnp.ndarray] = None,  # [B, Tq, Tk] or [B, 1, Tk]; True=attend
+        deterministic: bool = True,
+    ) -> jnp.ndarray:
+        d_model = query.shape[-1]
+        h, d_k = self.num_heads, d_model // self.num_heads
+
+        def proj(x, name):
+            y = nn.Dense(d_model, dtype=self.dtype, name=name)(x)
+            return y.reshape(*y.shape[:-1], h, d_k)
+
+        q = proj(query, "linear_q")  # [B, Tq, H, dk]
+        k = proj(key, "linear_k")
+        v = proj(value, "linear_v")
+
+        scores = jnp.einsum("bqhd,bkhd->bhqk", q, k) / math.sqrt(d_k)
+        attn = _masked_softmax(scores, mask)
+        attn = nn.Dropout(self.dropout_rate)(attn, deterministic=deterministic)
+        out = jnp.einsum("bhqk,bkhd->bqhd", attn, v)
+        out = out.reshape(*out.shape[:-2], d_model)
+        return nn.Dense(d_model, dtype=self.dtype, name="linear_out")(out)
+
+
+def _masked_softmax(scores: jnp.ndarray, mask: Optional[jnp.ndarray]) -> jnp.ndarray:
+    """Softmax with valid-mask and all-masked-row zeroing (attention.py:forward_attention)."""
+    if mask is not None:
+        if mask.ndim == 3:
+            mask = mask[:, None, :, :]  # [B, 1, Tq, Tk]
+        scores = jnp.where(mask, scores, NEG_INF)
+        attn = jax.nn.softmax(scores.astype(jnp.float32), axis=-1).astype(scores.dtype)
+        attn = jnp.where(mask, attn, 0.0)
+    else:
+        attn = jax.nn.softmax(scores.astype(jnp.float32), axis=-1).astype(scores.dtype)
+    return attn
+
+
+class RelPositionMultiHeadedAttention(nn.Module):
+    """Transformer-XL relative-position MHA (attention.py RelPositionMultiHeadedAttention).
+
+    score = ((q + u) k^T + rel_shift((q + v) p^T)) / sqrt(d_k)
+    where p is the projected relative positional embedding of length 2T-1.
+    """
+
+    num_heads: int
+    dropout_rate: float = 0.0
+    dtype: Dtype = jnp.float32
+
+    @nn.compact
+    def __call__(
+        self,
+        x: jnp.ndarray,  # [B, T, D]
+        pos_emb: jnp.ndarray,  # [1 or B, 2T-1, D]
+        mask: Optional[jnp.ndarray] = None,  # [B, T, T] or [B, 1, T]
+        deterministic: bool = True,
+    ) -> jnp.ndarray:
+        d_model = x.shape[-1]
+        h, d_k = self.num_heads, d_model // self.num_heads
+        t = x.shape[1]
+
+        def proj(y, name, use_bias=True):
+            z = nn.Dense(d_model, dtype=self.dtype, use_bias=use_bias, name=name)(y)
+            return z.reshape(*z.shape[:-1], h, d_k)
+
+        q = proj(x, "linear_q")
+        k = proj(x, "linear_k")
+        v = proj(x, "linear_v")
+        p = proj(pos_emb, "linear_pos", use_bias=False)  # [1, 2T-1, H, dk]
+
+        u = self.param("pos_bias_u", nn.initializers.xavier_uniform(), (h, d_k))
+        vb = self.param("pos_bias_v", nn.initializers.xavier_uniform(), (h, d_k))
+        u = u.astype(self.dtype)
+        vb = vb.astype(self.dtype)
+
+        # content score
+        ac = jnp.einsum("bqhd,bkhd->bhqk", q + u, k)
+        # position score: [B, H, T, 2T-1] -> rel-shift -> [B, H, T, T]
+        bd = jnp.einsum("bqhd,bphd->bhqp", q + vb, p)
+        bd = _rel_shift(bd, t)
+        scores = (ac + bd) / math.sqrt(d_k)
+        attn = _masked_softmax(scores, mask)
+        attn = nn.Dropout(self.dropout_rate)(attn, deterministic=deterministic)
+        out = jnp.einsum("bhqk,bkhd->bqhd", attn, v)
+        out = out.reshape(*out.shape[:-2], d_model)
+        return nn.Dense(d_model, dtype=self.dtype, name="linear_out")(out)
+
+
+def _rel_shift(x: jnp.ndarray, t: int) -> jnp.ndarray:
+    """[B, H, T, 2T-1] -> [B, H, T, T] rel-shift (attention.py:rel_shift, zero_triu=False).
+
+    Row i of the output selects columns (T-1-i) .. (2T-2-i) of the input,
+    i.e. relative positions (i-j) mapped onto the 2T-1 table.
+    """
+    b, h, _, p = x.shape
+    # standard pad-reshape trick
+    x = jnp.pad(x, ((0, 0), (0, 0), (0, 0), (1, 0)))
+    x = x.reshape(b, h, p + 1, t)
+    x = x[:, :, 1:, :]
+    x = x.reshape(b, h, t, p)
+    return x[:, :, :, :t]
+
+
+class PositionalEncoding(nn.Module):
+    """x * sqrt(d) + sinusoidal PE, with dropout (embedding.py PositionalEncoding)."""
+
+    dropout_rate: float = 0.1
+    max_len: int = 5000
+    dtype: Dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x: jnp.ndarray, deterministic: bool = True, offset: int = 0) -> jnp.ndarray:
+        d_model = x.shape[-1]
+        t = x.shape[1]
+        pe = jnp.asarray(sinusoidal_pos_enc(max(self.max_len, offset + t), d_model))
+        x = x * math.sqrt(d_model) + pe[None, offset : offset + t].astype(self.dtype)
+        return nn.Dropout(self.dropout_rate)(x, deterministic=deterministic)
+
+
+class RelPositionalEncoding(nn.Module):
+    """Scale input and emit the 2T-1 relative PE table (embedding.py RelPositionalEncoding)."""
+
+    dropout_rate: float = 0.1
+    dtype: Dtype = jnp.float32
+
+    @nn.compact
+    def __call__(
+        self, x: jnp.ndarray, deterministic: bool = True
+    ) -> Tuple[jnp.ndarray, jnp.ndarray]:
+        d_model = x.shape[-1]
+        t = x.shape[1]
+        x = x * math.sqrt(d_model)
+        pos = jnp.asarray(rel_pos_enc(t, d_model))[None].astype(self.dtype)
+        drop = nn.Dropout(self.dropout_rate)
+        return (
+            drop(x, deterministic=deterministic),
+            drop(pos, deterministic=deterministic),
+        )
+
+
+class Conv2dSubsampling(nn.Module):
+    """x4 time subsampling via two stride-2 3x3 convs (subsampling.py Conv2dSubsampling).
+
+    [B, T, F] -> [B, T//4(ish), odim]; output length per utterance is
+    (((L - 1) // 2 - 1) // 2) computed by :func:`sub4_lengths`.
+    """
+
+    odim: int
+    dtype: Dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
+        b, t, f = x.shape
+        h = x[..., None]  # NHWC: [B, T, F, 1]
+        h = nn.Conv(self.odim, (3, 3), strides=(2, 2), padding="VALID", dtype=self.dtype, name="conv_0")(h)
+        h = jax.nn.relu(h)
+        h = nn.Conv(self.odim, (3, 3), strides=(2, 2), padding="VALID", dtype=self.dtype, name="conv_1")(h)
+        h = jax.nn.relu(h)
+        b2, t2, f2, c = h.shape
+        h = h.reshape(b2, t2, f2 * c)
+        return nn.Dense(self.odim, dtype=self.dtype, name="out")(h)
+
+
+def sub4_lengths(lengths: jnp.ndarray) -> jnp.ndarray:
+    """Sequence lengths after Conv2dSubsampling (two valid stride-2 k=3 convs)."""
+    l1 = (lengths - 1) // 2
+    return (l1 - 1) // 2
+
+
+def sub4_frames(t: int) -> int:
+    return ((t - 1) // 2 - 1) // 2
+
+
+class TransformerEncoderLayer(nn.Module):
+    """Pre-norm transformer encoder layer (espnet encoder_layer.py, normalize_before)."""
+
+    num_heads: int
+    linear_units: int
+    dropout_rate: float = 0.1
+    attention_dropout_rate: float = 0.0
+    dtype: Dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x, mask, deterministic: bool = True):
+        drop = nn.Dropout(self.dropout_rate)
+        h = nn.LayerNorm(dtype=self.dtype, name="norm1")(x)
+        h = MultiHeadedAttention(
+            self.num_heads, self.attention_dropout_rate, dtype=self.dtype, name="self_attn"
+        )(h, h, h, mask, deterministic)
+        x = x + drop(h, deterministic=deterministic)
+        h = nn.LayerNorm(dtype=self.dtype, name="norm2")(x)
+        h = PositionwiseFeedForward(
+            self.linear_units, self.dropout_rate, dtype=self.dtype, name="feed_forward"
+        )(h, deterministic)
+        x = x + drop(h, deterministic=deterministic)
+        return x
+
+
+class DecoderLayer(nn.Module):
+    """Pre-norm transformer decoder layer (decoder_layer.py): self-attn, src-attn, FFN."""
+
+    num_heads: int
+    linear_units: int
+    dropout_rate: float = 0.1
+    self_attention_dropout_rate: float = 0.0
+    src_attention_dropout_rate: float = 0.0
+    dtype: Dtype = jnp.float32
+
+    @nn.compact
+    def __call__(
+        self,
+        tgt: jnp.ndarray,  # [B, Lq, D]
+        tgt_mask: Optional[jnp.ndarray],  # [B, Lq, Lk_self] True=attend
+        memory: jnp.ndarray,  # [B, T, D]
+        memory_mask: Optional[jnp.ndarray],  # [B, 1 or Lq, T]
+        deterministic: bool = True,
+        self_kv: Optional[jnp.ndarray] = None,  # [B, Lk_self, D] full key/value stream
+    ) -> jnp.ndarray:
+        drop = nn.Dropout(self.dropout_rate)
+        norm1 = nn.LayerNorm(dtype=self.dtype, name="norm1")
+        h = norm1(tgt)
+        hk = norm1(self_kv) if self_kv is not None else h
+        h = MultiHeadedAttention(
+            self.num_heads, self.self_attention_dropout_rate, dtype=self.dtype, name="self_attn"
+        )(h, hk, hk, tgt_mask, deterministic)
+        x = tgt + drop(h, deterministic=deterministic)
+        h = nn.LayerNorm(dtype=self.dtype, name="norm2")(x)
+        h = MultiHeadedAttention(
+            self.num_heads, self.src_attention_dropout_rate, dtype=self.dtype, name="src_attn"
+        )(h, memory, memory, memory_mask, deterministic)
+        x = x + drop(h, deterministic=deterministic)
+        h = nn.LayerNorm(dtype=self.dtype, name="norm3")(x)
+        h = PositionwiseFeedForward(
+            self.linear_units, self.dropout_rate, dtype=self.dtype, name="feed_forward"
+        )(h, deterministic)
+        x = x + drop(h, deterministic=deterministic)
+        return x

@@ -1,0 +1,263 @@
+"""Fused speech frontend: STFT -> power -> log-mel -> global MVN.
+
+TPU-native rebuild of the reference frontend stack
+(espnet2/asr/frontend/default.py:17, espnet2/layers/stft.py:17,
+espnet2/layers/log_mel.py:9, espnet2/layers/global_mvn.py:13,
+espnet2/layers/utterance_mvn.py:10).
+
+Numerics parity notes:
+- STFT matches ``torch.stft(center=True, window=hann(periodic))`` /
+  librosa.stft: reflect-pad n_fft//2 on each side, frame stride hop,
+  one-sided rFFT.  Frame count = (nsamples + 2*(n_fft//2) - n_fft)//hop + 1.
+- The mel filterbank matches ``librosa.filters.mel`` (Slaney mel scale,
+  slaney area normalization) — the reference embeds librosa's matrix as a
+  buffer (log_mel.py:50); we compute the same matrix from the formula.
+- log-mel clamps power at 1e-10 then takes the natural log (log_mel.py:64-67).
+
+The whole pipeline is a single jitted function of static-shape [B, S] audio;
+XLA fuses window/power/log elementwise work into the surrounding matmuls.
+The mel projection is a [F, M] matmul that lands on the MXU.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import functools
+from typing import Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from llm_guided_asr_tpu.utils.masks import make_valid_mask, mask_fill
+
+
+@dataclasses.dataclass(frozen=True)
+class FrontendConfig:
+    """Config mirror of DefaultFrontend kwargs (default.py:24-40)."""
+
+    fs: int = 16000
+    n_fft: int = 512
+    win_length: Optional[int] = None
+    hop_length: int = 128
+    n_mels: int = 80
+    fmin: float = 0.0
+    fmax: Optional[float] = None
+    htk: bool = False
+    center: bool = True
+    window: Optional[str] = "hann"
+
+    @classmethod
+    def from_dict(cls, d: dict) -> "FrontendConfig":
+        known = {f.name for f in dataclasses.fields(cls)}
+        d = {k: v for k, v in d.items() if k in known}
+        if d.get("fmin") is None:
+            d["fmin"] = 0.0
+        return cls(**d)
+
+
+# ---------------------------------------------------------------------------
+# Mel filterbank (librosa-compatible, computed host-side once)
+# ---------------------------------------------------------------------------
+
+def _hz_to_mel(freqs: np.ndarray, htk: bool = False) -> np.ndarray:
+    freqs = np.asarray(freqs, dtype=np.float64)
+    if htk:
+        return 2595.0 * np.log10(1.0 + freqs / 700.0)
+    # Slaney: linear below 1 kHz, log above.
+    f_min, f_sp = 0.0, 200.0 / 3
+    mels = (freqs - f_min) / f_sp
+    min_log_hz = 1000.0
+    min_log_mel = (min_log_hz - f_min) / f_sp
+    logstep = np.log(6.4) / 27.0
+    above = freqs >= min_log_hz
+    mels = np.where(
+        above, min_log_mel + np.log(np.maximum(freqs, 1e-10) / min_log_hz) / logstep, mels
+    )
+    return mels
+
+
+def _mel_to_hz(mels: np.ndarray, htk: bool = False) -> np.ndarray:
+    mels = np.asarray(mels, dtype=np.float64)
+    if htk:
+        return 700.0 * (10.0 ** (mels / 2595.0) - 1.0)
+    f_min, f_sp = 0.0, 200.0 / 3
+    freqs = f_min + f_sp * mels
+    min_log_hz = 1000.0
+    min_log_mel = (min_log_hz - f_min) / f_sp
+    logstep = np.log(6.4) / 27.0
+    above = mels >= min_log_mel
+    freqs = np.where(above, min_log_hz * np.exp(logstep * (mels - min_log_mel)), freqs)
+    return freqs
+
+
+@functools.lru_cache(maxsize=None)
+def mel_filterbank(
+    fs: int = 16000,
+    n_fft: int = 512,
+    n_mels: int = 80,
+    fmin: float = 0.0,
+    fmax: Optional[float] = None,
+    htk: bool = False,
+) -> np.ndarray:
+    """[n_fft//2+1, n_mels] triangular mel filterbank, Slaney-normalized."""
+    if fmax is None:
+        fmax = fs / 2.0
+    fftfreqs = np.linspace(0.0, fs / 2.0, 1 + n_fft // 2)
+    mel_pts = np.linspace(_hz_to_mel(fmin, htk), _hz_to_mel(fmax, htk), n_mels + 2)
+    hz_pts = _mel_to_hz(mel_pts, htk)
+
+    fdiff = np.diff(hz_pts)
+    ramps = hz_pts[:, None] - fftfreqs[None, :]
+    lower = -ramps[:-2] / fdiff[:-1, None]
+    upper = ramps[2:] / fdiff[1:, None]
+    weights = np.maximum(0.0, np.minimum(lower, upper))
+    # Slaney area normalization
+    enorm = 2.0 / (hz_pts[2 : n_mels + 2] - hz_pts[:n_mels])
+    weights = weights * enorm[:, None]
+    return weights.T.astype(np.float32)  # [F, M]
+
+
+# ---------------------------------------------------------------------------
+# STFT
+# ---------------------------------------------------------------------------
+
+@functools.lru_cache(maxsize=None)
+def _hann_window(win_length: int) -> np.ndarray:
+    # Periodic Hann, matching torch.hann_window(periodic=True).
+    n = np.arange(win_length, dtype=np.float64)
+    return (0.5 - 0.5 * np.cos(2.0 * np.pi * n / win_length)).astype(np.float32)
+
+
+def stft_frames(nsamples: int, n_fft: int = 512, hop_length: int = 128, center: bool = True) -> int:
+    """Static frame count for a given sample count."""
+    if center:
+        nsamples = nsamples + 2 * (n_fft // 2)
+    return (nsamples - n_fft) // hop_length + 1
+
+
+def stft_out_lengths(ilens: jnp.ndarray, n_fft: int = 512, hop_length: int = 128, center: bool = True) -> jnp.ndarray:
+    """Per-utterance valid frame counts (stft.py:163-171)."""
+    if center:
+        ilens = ilens + 2 * (n_fft // 2)
+    return (ilens - n_fft) // hop_length + 1
+
+
+def stft(
+    speech: jnp.ndarray,
+    n_fft: int = 512,
+    win_length: Optional[int] = None,
+    hop_length: int = 128,
+    center: bool = True,
+    window: Optional[str] = "hann",
+) -> jnp.ndarray:
+    """[B, S] -> complex [B, T, F] one-sided STFT (librosa/torch compatible)."""
+    if win_length is None:
+        win_length = n_fft
+    if center:
+        pad = n_fft // 2
+        speech = jnp.pad(speech, ((0, 0), (pad, pad)), mode="reflect")
+    n_frames = (speech.shape[1] - n_fft) // hop_length + 1
+    idx = jnp.arange(n_frames)[:, None] * hop_length + jnp.arange(n_fft)[None, :]
+    frames = speech[:, idx]  # [B, T, n_fft]
+    if window is not None:
+        if window != "hann":
+            raise ValueError(f"unsupported window: {window}")
+        w = _hann_window(win_length)
+        if win_length < n_fft:  # center-pad window to n_fft like torch.stft
+            left = (n_fft - win_length) // 2
+            w = np.pad(w, (left, n_fft - win_length - left))
+        frames = frames * jnp.asarray(w)
+    return jnp.fft.rfft(frames, axis=-1)
+
+
+# ---------------------------------------------------------------------------
+# Log-mel + MVN
+# ---------------------------------------------------------------------------
+
+def logmel_from_power(
+    power: jnp.ndarray,
+    fs: int = 16000,
+    n_fft: int = 512,
+    n_mels: int = 80,
+    fmin: float = 0.0,
+    fmax: Optional[float] = None,
+    htk: bool = False,
+) -> jnp.ndarray:
+    """[B, T, F] power spectrum -> [B, T, M] natural-log mel (log_mel.py:57-73)."""
+    melmat = jnp.asarray(mel_filterbank(fs, n_fft, n_mels, fmin, fmax, htk))
+    mel = jnp.maximum(power @ melmat, 1e-10)
+    return jnp.log(mel)
+
+
+def global_mvn(
+    feats: jnp.ndarray,
+    mean: jnp.ndarray,
+    inv_std: jnp.ndarray,
+    lengths: Optional[jnp.ndarray] = None,
+    norm_means: bool = True,
+    norm_vars: bool = True,
+) -> jnp.ndarray:
+    """Global CMVN from collect-stats artifacts (global_mvn.py:13)."""
+    if norm_means:
+        feats = feats - mean
+    if norm_vars:
+        feats = feats * inv_std
+    if lengths is not None:
+        feats = mask_fill(feats, make_valid_mask(lengths, feats.shape[1]))
+    return feats
+
+
+def utterance_mvn(
+    feats: jnp.ndarray,
+    lengths: jnp.ndarray,
+    norm_means: bool = True,
+    norm_vars: bool = False,
+    eps: float = 1.0e-20,
+) -> jnp.ndarray:
+    """Per-utterance MVN (utterance_mvn.py:10)."""
+    valid = make_valid_mask(lengths, feats.shape[1])[..., None]
+    denom = jnp.maximum(lengths[:, None, None].astype(feats.dtype), 1.0)
+    mean = jnp.sum(jnp.where(valid, feats, 0.0), axis=1, keepdims=True) / denom
+    if norm_means:
+        feats = jnp.where(valid, feats - mean, 0.0)
+        if norm_vars:
+            var = jnp.sum(jnp.where(valid, feats**2, 0.0), axis=1, keepdims=True) / denom
+            feats = feats * jax.lax.rsqrt(jnp.maximum(var, eps))
+            feats = jnp.where(valid, feats, 0.0)
+    else:
+        if norm_vars:
+            sq = jnp.sum(jnp.where(valid, (feats - mean) ** 2, 0.0), axis=1, keepdims=True) / denom
+            feats = feats * jax.lax.rsqrt(jnp.maximum(sq, eps))
+            feats = jnp.where(valid, feats, 0.0)
+    return feats
+
+
+def default_frontend(
+    speech: jnp.ndarray,
+    speech_lengths: jnp.ndarray,
+    fs: int = 16000,
+    n_fft: int = 512,
+    win_length: Optional[int] = None,
+    hop_length: int = 128,
+    n_mels: int = 80,
+    fmin: float = 0.0,
+    fmax: Optional[float] = None,
+    htk: bool = False,
+    center: bool = True,
+    window: Optional[str] = "hann",
+) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """[B, S] audio -> ([B, T, n_mels] log-mel, [B] frame lengths).
+
+    The full DefaultFrontend path (default.py:82-117) in one jitted graph:
+    STFT -> power -> mel matmul -> clamp/log -> zero padding frames.
+    """
+    spec = stft(speech.astype(jnp.float32), n_fft, win_length, hop_length, center, window)
+    power = jnp.real(spec) ** 2 + jnp.imag(spec) ** 2
+    feats = logmel_from_power(power, fs, n_fft, n_mels, fmin, fmax, htk)
+    olens = stft_out_lengths(speech_lengths, n_fft, hop_length, center)
+    # clamp: a caller-provided length beyond the sample axis must not yield
+    # olens > T (masking downstream assumes olens indexes into the frame axis)
+    olens = jnp.clip(olens, 0, feats.shape[1])
+    feats = mask_fill(feats, make_valid_mask(olens, feats.shape[1]))
+    return feats, olens

@@ -1,0 +1,120 @@
+"""ASRModel forward smoke + loss semantics (tiny random model, CPU)."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from llm_guided_asr_tpu.models.asr_model import ASRModel, ASRModelConfig
+from llm_guided_asr_tpu.models.conformer import ConformerConfig
+from llm_guided_asr_tpu.models.transformer_decoder import TransformerDecoderConfig
+from llm_guided_asr_tpu.ops.frontend import FrontendConfig
+from llm_guided_asr_tpu.ops.specaug import SpecAugConfig
+
+VOCAB = 12
+
+
+def tiny_cfg(**kw):
+    base = dict(
+        vocab_size=VOCAB,
+        frontend=FrontendConfig(n_fft=128, hop_length=64, n_mels=20),
+        specaug=None,
+        normalize="utterance_mvn",
+        encoder_type="conformer",
+        encoder=ConformerConfig(
+            output_size=16, attention_heads=2, linear_units=24, num_blocks=2,
+            macaron_style=True, use_cnn_module=True, cnn_module_kernel=7,
+        ),
+        decoder=TransformerDecoderConfig(
+            attention_heads=2, linear_units=24, num_blocks=2
+        ),
+        ctc_weight=0.3,
+    )
+    base.update(kw)
+    return ASRModelConfig(**base)
+
+
+def make_batch(rng, b=2, s=1600, l=5):
+    speech = jnp.asarray(rng.standard_normal((b, s)), jnp.float32)
+    speech_lengths = jnp.asarray([s, s // 2])
+    text = jnp.asarray(rng.integers(1, VOCAB - 1, (b, l)), jnp.int32)
+    text_lengths = jnp.asarray([l, l - 2])
+    text = jnp.where(jnp.arange(l)[None, :] < text_lengths[:, None], text, -1)
+    return speech, speech_lengths, text, text_lengths
+
+
+def init_and_forward(cfg, deterministic=True):
+    rng = np.random.default_rng(0)
+    model = ASRModel(cfg)
+    batch = make_batch(rng)
+    rngs = {"params": jax.random.PRNGKey(0), "dropout": jax.random.PRNGKey(1),
+            "specaug": jax.random.PRNGKey(2)}
+    variables = model.init(rngs, *batch, deterministic=True)
+    out, _ = model.apply(
+        variables, *batch, deterministic=deterministic,
+        rngs={"dropout": jax.random.PRNGKey(3), "specaug": jax.random.PRNGKey(4)},
+        mutable=["batch_stats"],
+    )
+    return model, variables, out
+
+
+def test_forward_hybrid_loss():
+    _, _, (loss, stats, weight) = init_and_forward(tiny_cfg())
+    assert np.isfinite(float(loss))
+    assert np.isfinite(float(stats["loss_ctc"]))
+    assert np.isfinite(float(stats["loss_att"]))
+    np.testing.assert_allclose(
+        float(loss),
+        0.3 * float(stats["loss_ctc"]) + 0.7 * float(stats["loss_att"]),
+        rtol=1e-5,
+    )
+    assert float(weight) == 2.0
+
+
+def test_forward_ctc_only():
+    _, _, (loss, stats, _) = init_and_forward(tiny_cfg(ctc_weight=1.0))
+    assert "loss_att" not in stats
+    np.testing.assert_allclose(float(loss), float(stats["loss_ctc"]), rtol=1e-6)
+
+
+def test_forward_att_only():
+    _, _, (loss, stats, _) = init_and_forward(tiny_cfg(ctc_weight=0.0))
+    assert "loss_ctc" not in stats
+    np.testing.assert_allclose(float(loss), float(stats["loss_att"]), rtol=1e-6)
+
+
+def test_training_mode_with_specaug_runs():
+    cfg = tiny_cfg(
+        specaug=SpecAugConfig(
+            apply_time_warp=True, time_warp_window=2,
+            freq_mask_width_range=(0, 4), num_freq_mask=2,
+            time_mask_width_ratio_range=(0.0, 0.05), num_time_mask=2,
+            time_mask_width_range=None,
+        )
+    )
+    _, _, (loss, stats, _) = init_and_forward(cfg, deterministic=False)
+    assert np.isfinite(float(loss))
+
+
+def test_grads_flow():
+    cfg = tiny_cfg()
+    rng = np.random.default_rng(0)
+    model = ASRModel(cfg)
+    batch = make_batch(rng)
+    variables = model.init(
+        {"params": jax.random.PRNGKey(0), "dropout": jax.random.PRNGKey(1)},
+        *batch, deterministic=True,
+    )
+
+    def loss_fn(params):
+        (loss, _, _), _ = model.apply(
+            {**variables, "params": params}, *batch, deterministic=True,
+            mutable=["batch_stats"],
+        )
+        return loss
+
+    grads = jax.grad(loss_fn)(variables["params"])
+    leaves = jax.tree_util.tree_leaves(grads)
+    assert all(np.all(np.isfinite(np.asarray(g))) for g in leaves)
+    total = sum(float(jnp.sum(jnp.abs(g))) for g in leaves)
+    assert total > 0.0
