@@ -1,0 +1,197 @@
+#!/usr/bin/env python3
+"""Speech2Text inference API + CLI.
+
+Rebuild of espnet2/bin/asr_inference.py (Speech2Text:89, inference():710):
+rebuilds the model from the config.yaml artifact + checkpoint, encodes each
+utterance, decodes (greedy CTC or on-device vectorized beam search), and
+writes Kaldi-style output files via DatadirWriter (text/token/score).
+
+TPU-first: encode + search are jitted; audio is padded to bucket multiples so
+repeated calls hit the compile cache.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import logging
+from pathlib import Path
+from typing import Any, Dict, List, Optional, Sequence, Tuple, Union
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from llm_guided_asr_tpu.data.dataset import round_up
+from llm_guided_asr_tpu.data.fileio import DatadirWriter, SoundScpReader
+from llm_guided_asr_tpu.search.greedy import ctc_greedy_decode
+from llm_guided_asr_tpu.tasks.asr import ASRTask
+from llm_guided_asr_tpu.text.tokenizers import TokenIDConverter, build_tokenizer
+from llm_guided_asr_tpu.utils.config import read_token_list
+
+logger = logging.getLogger(__name__)
+
+
+@dataclasses.dataclass
+class Hypothesis:
+    """Mirror of espnet/nets/beam_search.py:15 Hypothesis."""
+
+    yseq: List[int]
+    score: float
+    scores: Dict[str, float] = dataclasses.field(default_factory=dict)
+
+
+class Speech2Text:
+    """callable: speech waveform -> list of (text, tokens, token_ids, Hypothesis)."""
+
+    def __init__(
+        self,
+        asr_train_config: Union[str, Path],
+        asr_model_file: Optional[Union[str, Path]] = None,
+        token_type: Optional[str] = None,
+        bpemodel: Optional[str] = None,
+        ctc_weight: float = 0.5,
+        beam_size: int = 10,
+        penalty: float = 0.0,
+        maxlenratio: float = 0.0,
+        minlenratio: float = 0.0,
+        nbest: int = 1,
+        speech_pad_multiple: int = 1600,
+        dtype=jnp.float32,
+    ):
+        model, variables, config = ASRTask.build_model_from_file(
+            asr_train_config, asr_model_file, dtype=dtype
+        )
+        self.model = model
+        self.variables = variables
+        self.config = config
+        self.ctc_weight = ctc_weight
+        self.beam_size = beam_size
+        self.penalty = penalty
+        self.maxlenratio = maxlenratio
+        self.minlenratio = minlenratio
+        self.nbest = nbest
+        self.speech_pad_multiple = speech_pad_multiple
+
+        token_type = token_type or config.get("token_type", "char")
+        self.tokenizer = build_tokenizer(
+            token_type, bpemodel=bpemodel or config.get("bpemodel")
+        )
+        self.converter = TokenIDConverter(read_token_list(config["token_list"]))
+
+        self._encode = jax.jit(
+            lambda speech, lengths: model.apply(
+                variables, speech, lengths, method=model.encode
+            )
+        )
+        self._ctc_logp = jax.jit(
+            lambda enc: model.apply(variables, enc, method=model.ctc_log_softmax)
+        )
+        self._beam = None
+        if self.beam_size > 1 or self.ctc_weight < 1.0:
+            from llm_guided_asr_tpu.search.beam_search import BatchBeamSearch
+
+            self._beam = BatchBeamSearch(
+                model,
+                variables,
+                vocab_size=model.cfg.vocab_size,
+                sos=model.cfg.sos_id,
+                eos=model.cfg.eos_id,
+                beam_size=max(self.beam_size, 1),
+                ctc_weight=self.ctc_weight,
+                penalty=self.penalty,
+            )
+
+    def __call__(
+        self, speech: np.ndarray
+    ) -> List[Tuple[str, List[str], List[int], Hypothesis]]:
+        """Decode one utterance (asr_inference.py Speech2Text.__call__:491)."""
+        speech = np.asarray(speech, np.float32)
+        n = speech.shape[0]
+        padded = np.zeros((round_up(max(n, 1), self.speech_pad_multiple),), np.float32)
+        padded[:n] = speech
+        enc, enc_lens = self._encode(jnp.asarray(padded[None]), jnp.asarray([n]))
+
+        if self._beam is not None:
+            nb = self._beam(enc, enc_lens, maxlenratio=self.maxlenratio,
+                            minlenratio=self.minlenratio, nbest=self.nbest)
+        else:
+            logp = self._ctc_logp(enc)
+            tokens, ntok = ctc_greedy_decode(logp, enc_lens, blank_id=self.model.cfg.blank_id)
+            ids = [int(t) for t in np.asarray(tokens)[0, : int(ntok[0])]]
+            nb = [Hypothesis(yseq=ids, score=0.0)]
+
+        results = []
+        for hyp in nb[: self.nbest]:
+            ids = [i for i in hyp.yseq if i not in (self.model.cfg.sos_id, self.model.cfg.eos_id)]
+            tokens = self.converter.ids2tokens(ids)
+            text = self.tokenizer.tokens2text(tokens)
+            results.append((text, tokens, ids, hyp))
+        return results
+
+
+def inference(
+    output_dir: str,
+    data_path_and_name_and_type: Sequence[Tuple[str, str, str]],
+    asr_train_config: str,
+    asr_model_file: Optional[str] = None,
+    **kwargs,
+):
+    """Batch decode a wav.scp into <output_dir>/1best_recog/{text,token,score}
+    (asr_inference.py inference():710)."""
+    s2t = Speech2Text(asr_train_config, asr_model_file, **kwargs)
+    wav_path = None
+    for path, name, typ in data_path_and_name_and_type:
+        if name == "speech":
+            wav_path = path
+    if wav_path is None:
+        raise ValueError("need a ('<wav.scp>', 'speech', 'sound') triple")
+    reader = SoundScpReader(wav_path)
+    with DatadirWriter(Path(output_dir) / "1best_recog") as writer:
+        for uid in reader.keys():
+            rate, wav = reader[uid]
+            results = s2t(wav)
+            text, tokens, ids, hyp = results[0]
+            writer["text"][uid] = text
+            writer["token"][uid] = " ".join(tokens)
+            writer["score"][uid] = str(float(hyp.score))
+    logger.info(f"decoded {len(reader)} utterances -> {output_dir}")
+
+
+def main(cmd=None):
+    import sys
+
+    from llm_guided_asr_tpu.utils.config import build_config
+
+    config = build_config(cmd if cmd is not None else sys.argv[1:], {
+        "output_dir": "decode",
+        "data_path_and_name_and_type": [],
+        "asr_train_config": None,
+        "asr_model_file": None,
+        "ctc_weight": 0.5,
+        "beam_size": 10,
+        "penalty": 0.0,
+        "maxlenratio": 0.0,
+        "minlenratio": 0.0,
+        "nbest": 1,
+        "device": None,
+    })
+    logging.basicConfig(level=logging.INFO)
+    from llm_guided_asr_tpu.utils.devices import resolve_device
+
+    resolve_device(config.get("device"))
+    inference(
+        config["output_dir"],
+        [tuple(t) for t in config["data_path_and_name_and_type"]],
+        config["asr_train_config"],
+        config.get("asr_model_file"),
+        ctc_weight=float(config.get("ctc_weight", 0.5)),
+        beam_size=int(config.get("beam_size", 10)),
+        penalty=float(config.get("penalty", 0.0)),
+        maxlenratio=float(config.get("maxlenratio", 0.0)),
+        minlenratio=float(config.get("minlenratio", 0.0)),
+        nbest=int(config.get("nbest", 1)),
+    )
+
+
+if __name__ == "__main__":
+    main()

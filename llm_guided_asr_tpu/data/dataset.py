@@ -1,0 +1,181 @@
+"""Dataset, preprocessor, and padded-bucket collate for TPU static shapes.
+
+Rebuild of espnet2/train/dataset.py:437 (ESPnetDataset + DATA_TYPES),
+espnet2/train/preprocessor.py:137 (CommonPreprocessor) and
+espnet2/train/collate_fn.py:11 (CommonCollateFn: float pad 0.0, int pad -1).
+
+TPU twist: ragged batches are poison for XLA (every new max-length is a
+recompile), so the collate pads the batch maxima up to configurable
+*bucket multiples* (speech samples, feature frames, token counts).  With
+sorted-length batching this yields a small closed set of compiled shapes.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from pathlib import Path
+from typing import Callable, Dict, List, Optional, Sequence, Tuple, Union
+
+import numpy as np
+
+from llm_guided_asr_tpu.data.fileio import (
+    NpyScpReader,
+    SoundScpReader,
+    load_num_sequence_text,
+    read_2columns_text,
+)
+from llm_guided_asr_tpu.text.tokenizers import AbsTokenizer, TokenIDConverter
+
+
+class _SoundAdapter:
+    def __init__(self, path):
+        self.reader = SoundScpReader(path)
+
+    def __getitem__(self, key):
+        rate, wav = self.reader[key]
+        return wav
+
+    def keys(self):
+        return self.reader.keys()
+
+    def __len__(self):
+        return len(self.reader)
+
+
+class _TextAdapter:
+    def __init__(self, path):
+        self.data = read_2columns_text(path)
+
+    def __getitem__(self, key):
+        return self.data[key]
+
+    def keys(self):
+        return self.data.keys()
+
+    def __len__(self):
+        return len(self.data)
+
+
+class _IntSeqAdapter:
+    def __init__(self, path, loader_type="text_int"):
+        self.data = load_num_sequence_text(path, loader_type)
+
+    def __getitem__(self, key):
+        return self.data[key]
+
+    def keys(self):
+        return self.data.keys()
+
+    def __len__(self):
+        return len(self.data)
+
+
+DATA_TYPES: Dict[str, Callable] = {
+    "sound": _SoundAdapter,
+    "npy": NpyScpReader,
+    "text": _TextAdapter,
+    "text_int": lambda p: _IntSeqAdapter(p, "text_int"),
+    "csv_int": lambda p: _IntSeqAdapter(p, "csv_int"),
+    "text_float": lambda p: _IntSeqAdapter(p, "text_float"),
+}
+
+
+class ESPnetDataset:
+    """uid -> {name: array-or-str}; built from (path, name, type) triples
+    (dataset.py:437)."""
+
+    def __init__(
+        self,
+        path_name_type_list: Sequence[Tuple[str, str, str]],
+        preprocess: Optional[Callable[[str, Dict], Dict]] = None,
+    ):
+        self.loaders = {}
+        for path, name, typ in path_name_type_list:
+            if typ not in DATA_TYPES:
+                raise ValueError(f"unknown data type {typ!r}; known: {sorted(DATA_TYPES)}")
+            self.loaders[name] = DATA_TYPES[typ](path)
+        self.preprocess = preprocess
+        keys = None
+        for name, loader in self.loaders.items():
+            ks = set(loader.keys())
+            keys = ks if keys is None else keys & ks
+        self.keys: List[str] = sorted(keys or [])
+        if not self.keys:
+            raise RuntimeError("dataset has no common utterance ids")
+
+    def __len__(self):
+        return len(self.keys)
+
+    def __getitem__(self, uid: str) -> Dict[str, np.ndarray]:
+        data = {name: loader[uid] for name, loader in self.loaders.items()}
+        if self.preprocess is not None:
+            data = self.preprocess(uid, data)
+        return data
+
+
+class CommonPreprocessor:
+    """Tokenize 'text' to int ids (preprocessor.py:137, minus wav aug)."""
+
+    def __init__(
+        self,
+        tokenizer: Optional[AbsTokenizer] = None,
+        token_id_converter: Optional[TokenIDConverter] = None,
+        text_name: str = "text",
+    ):
+        self.tokenizer = tokenizer
+        self.converter = token_id_converter
+        self.text_name = text_name
+
+    def __call__(self, uid: str, data: Dict) -> Dict:
+        if self.text_name in data and isinstance(data[self.text_name], str):
+            if self.tokenizer is None or self.converter is None:
+                raise RuntimeError("text present but no tokenizer configured")
+            tokens = self.tokenizer.text2tokens(data[self.text_name])
+            ids = np.array(self.converter.tokens2ids(tokens), dtype=np.int64)
+            data = {**data, self.text_name: ids}
+        return data
+
+
+def round_up(x: int, multiple: int) -> int:
+    return ((x + multiple - 1) // multiple) * multiple
+
+
+@dataclasses.dataclass
+class CommonCollateFn:
+    """Pad a list of {name: array} into a static-shape batch dict.
+
+    float arrays pad with ``float_pad_value`` (0.0), int arrays with
+    ``int_pad_value`` (-1) (collate_fn.py:11); per-name ``<name>_lengths``
+    vectors are added.  ``pad_multiples`` maps name -> bucket multiple.
+    """
+
+    float_pad_value: float = 0.0
+    int_pad_value: int = -1
+    pad_multiples: Optional[Dict[str, int]] = None
+    batch_size_multiple: int = 1
+
+    def __call__(self, items: Sequence[Tuple[str, Dict[str, np.ndarray]]]) -> Dict:
+        uids = [u for u, _ in items]
+        names = list(items[0][1].keys())
+        batch: Dict[str, np.ndarray] = {}
+        b = len(items)
+        b_pad = round_up(b, self.batch_size_multiple)
+        for name in names:
+            arrays = [np.asarray(d[name]) for _, d in items]
+            lengths = np.array([a.shape[0] for a in arrays], dtype=np.int32)
+            maxlen = int(lengths.max())
+            mult = (self.pad_multiples or {}).get(name, 1)
+            maxlen = round_up(max(maxlen, 1), mult)
+            is_int = np.issubdtype(arrays[0].dtype, np.integer)
+            pad_val = self.int_pad_value if is_int else self.float_pad_value
+            dtype = np.int32 if is_int else np.float32
+            out = np.full((b_pad, maxlen) + arrays[0].shape[1:], pad_val, dtype=dtype)
+            for i, a in enumerate(arrays):
+                out[i, : a.shape[0]] = a
+            full_lengths = np.zeros((b_pad,), np.int32)
+            full_lengths[:b] = lengths
+            batch[name] = out
+            batch[f"{name}_lengths"] = full_lengths
+        batch["_uids"] = uids
+        batch["_nvalid"] = b
+        return batch

@@ -1,0 +1,173 @@
+"""Kaldi-style file IO: scp files, wav reading, shape files, datadir writer.
+
+Rebuild of espnet2/fileio/ (read_text.py, sound_scp.py, npy_scp.py,
+datadir_writer.py).  Audio loading uses scipy.io.wavfile (wav/pcm); flac and
+pipe-commands are not supported in this image — the recipe layer converts to
+wav first (the reference's format_wav_scp stage does the same normalization,
+asr.sh:614).
+"""
+
+from __future__ import annotations
+
+import warnings
+from pathlib import Path
+from typing import Dict, Iterator, List, Optional, Tuple, Union
+
+import numpy as np
+
+
+def read_2columns_text(path: Union[Path, str]) -> Dict[str, str]:
+    """'uttid value...' lines -> {uttid: value} (fileio/read_text.py)."""
+    data = {}
+    with open(path, encoding="utf-8") as f:
+        for ln, line in enumerate(f, 1):
+            line = line.rstrip("\n")
+            if not line:
+                continue
+            sps = line.split(maxsplit=1)
+            if len(sps) == 1:
+                k, v = sps[0], ""
+            else:
+                k, v = sps
+            if k in data:
+                raise RuntimeError(f"duplicate key {k!r} at {path}:{ln}")
+            data[k] = v
+    return data
+
+
+def load_num_sequence_text(path: Union[Path, str], loader_type: str = "text_int") -> Dict[str, np.ndarray]:
+    """'uttid 1 2 3' -> {uttid: int array} (fileio/read_text.py load_num_sequence_text)."""
+    d = read_2columns_text(path)
+    if loader_type == "text_int":
+        conv = lambda s: np.array([int(x) for x in s.split()], dtype=np.int64)
+    elif loader_type == "text_float":
+        conv = lambda s: np.array([float(x) for x in s.split()], dtype=np.float32)
+    elif loader_type == "csv_int":
+        conv = lambda s: np.array([int(x) for x in s.split(",")], dtype=np.int64)
+    else:
+        raise ValueError(loader_type)
+    return {k: conv(v) for k, v in d.items()}
+
+
+def read_wav(path: Union[Path, str]) -> Tuple[int, np.ndarray]:
+    """wav -> (rate, float32 array in [-1, 1])."""
+    from scipy.io import wavfile
+
+    with warnings.catch_warnings():
+        warnings.simplefilter("ignore")  # WavFileWarning on non-data chunks
+        rate, data = wavfile.read(str(path))
+    if data.dtype == np.int16:
+        data = data.astype(np.float32) / 32768.0
+    elif data.dtype == np.int32:
+        data = data.astype(np.float32) / 2147483648.0
+    elif data.dtype == np.uint8:
+        data = (data.astype(np.float32) - 128.0) / 128.0
+    else:
+        data = data.astype(np.float32)
+    return rate, data
+
+
+def write_wav(path: Union[Path, str], rate: int, data: np.ndarray):
+    from scipy.io import wavfile
+
+    data = np.clip(data, -1.0, 1.0)
+    wavfile.write(str(path), rate, (data * 32767.0).astype(np.int16))
+
+
+class SoundScpReader:
+    """Lazy dict-like uttid -> (rate, waveform) (fileio/sound_scp.py)."""
+
+    def __init__(self, path: Union[Path, str], dtype=np.float32):
+        self.path = path
+        self.dtype = dtype
+        self.data = read_2columns_text(path)
+
+    def __getitem__(self, key: str) -> Tuple[int, np.ndarray]:
+        wav_path = self.data[key]
+        if wav_path.endswith("|"):
+            raise NotImplementedError("pipe-style wav.scp entries are not supported")
+        rate, array = read_wav(wav_path)
+        return rate, array.astype(self.dtype)
+
+    def keys(self):
+        return self.data.keys()
+
+    def __len__(self):
+        return len(self.data)
+
+    def __contains__(self, k):
+        return k in self.data
+
+    def __iter__(self):
+        return iter(self.data)
+
+
+class NpyScpReader:
+    """uttid -> np.load(path) (fileio/npy_scp.py)."""
+
+    def __init__(self, path: Union[Path, str]):
+        self.data = read_2columns_text(path)
+
+    def __getitem__(self, key: str) -> np.ndarray:
+        return np.load(self.data[key])
+
+    def keys(self):
+        return self.data.keys()
+
+    def __len__(self):
+        return len(self.data)
+
+    def __iter__(self):
+        return iter(self.data)
+
+
+class DatadirWriter:
+    """Hierarchical scp-file writer for inference outputs (fileio/datadir_writer.py).
+
+    writer["text"][uttid] = "hello" appends 'uttid hello' to <dir>/text.
+    """
+
+    def __init__(self, p: Union[Path, str]):
+        self.path = Path(p)
+        self.path.mkdir(parents=True, exist_ok=True)
+        self.children: Dict[str, "_FileWriter"] = {}
+
+    def __getitem__(self, name: str) -> "_FileWriter":
+        if name not in self.children:
+            self.children[name] = _FileWriter(self.path / name)
+        return self.children[name]
+
+    def close(self):
+        for c in self.children.values():
+            c.close()
+
+    def __enter__(self):
+        return self
+
+    def __exit__(self, *a):
+        self.close()
+
+
+class _FileWriter:
+    def __init__(self, path: Path):
+        path.parent.mkdir(parents=True, exist_ok=True)
+        self.f = open(path, "w", encoding="utf-8")
+
+    def __setitem__(self, key: str, value: str):
+        self.f.write(f"{key} {value}\n")
+        self.f.flush()
+
+    def close(self):
+        self.f.close()
+
+
+def write_shape_file(path: Union[Path, str], shapes: Dict[str, Tuple[int, ...]]):
+    """collect-stats shape artifact: 'uttid d1,d2' lines."""
+    with open(path, "w", encoding="utf-8") as f:
+        for k, shp in shapes.items():
+            f.write(f"{k} {','.join(str(s) for s in shp)}\n")
+
+
+def read_shape_file(path: Union[Path, str]) -> Dict[str, Tuple[int, ...]]:
+    d = read_2columns_text(path)
+    return {k: tuple(int(x) for x in v.split(",")) for k, v in d.items()}

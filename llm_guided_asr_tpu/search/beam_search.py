@@ -1,0 +1,258 @@
+"""Fully vectorized on-device joint CTC/attention beam search.
+
+Rebuild of espnet/nets/beam_search.py:34 + batch_beam_search.py:32 as a
+single jitted ``lax.while_loop``:  the reference's Python-per-token loop with
+per-hypothesis state-list surgery (batch_beam_search.py:320-363, the
+TODO-marked host bottleneck) becomes static-shape tensor ops:
+
+- full scorers (attention decoder, optional LM, length bonus) score [K, V];
+- pre-beam selects W = ceil(1.5*K) candidates per hyp
+  (beam_search.py:347-353, pre_beam_ratio 1.5);
+- the partial scorer (CTC prefix DP, ctc_prefix.py) rescores the [K, W]
+  candidates; total = prev + full_weighted + ctc_weight*local_ctc + penalty;
+- eos candidates retire into a fixed-size finished buffer; non-eos top-K
+  refill the alive beam (espnet's ended_hyps/post_process:500);
+- loop exits when maxlen is reached or no alive hyp can beat the worst
+  finished hyp (end_detect analog).
+
+Weights follow asr_inference.py:352-362: decoder 1-ctc_weight, ctc
+ctc_weight, lm lm_weight, length_bonus penalty.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Any, Callable, Dict, List, NamedTuple, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from llm_guided_asr_tpu.search.ctc_prefix import (
+    CTCPrefixState,
+    ctc_prefix_init,
+    ctc_prefix_scores,
+    ctc_prefix_select,
+)
+
+NEG_INF = -1.0e10
+
+
+class Hypothesis(NamedTuple):
+    """Host-side result (espnet beam_search.py:15)."""
+
+    yseq: List[int]
+    score: float
+    scores: Dict[str, float]
+
+
+class BeamState(NamedTuple):
+    step: jnp.ndarray  # scalar i
+    alive_tokens: jnp.ndarray  # [K, Lmax] (sos at 0)
+    alive_len: jnp.ndarray  # [K]
+    alive_score: jnp.ndarray  # [K]
+    ctc: CTCPrefixState
+    fin_tokens: jnp.ndarray  # [K, Lmax]
+    fin_len: jnp.ndarray  # [K]
+    fin_score: jnp.ndarray  # [K]
+
+
+class BatchBeamSearch:
+    """Joint CTC/attention (+LM) beam search over one utterance, on device."""
+
+    def __init__(
+        self,
+        model,
+        variables,
+        vocab_size: int,
+        sos: int,
+        eos: int,
+        beam_size: int = 10,
+        ctc_weight: float = 0.5,
+        penalty: float = 0.0,
+        lm_score_fn: Optional[Callable] = None,
+        lm_weight: float = 0.0,
+        blank_id: int = 0,
+        pre_beam_ratio: float = 1.5,
+    ):
+        self.model = model
+        self.variables = variables
+        self.vocab_size = vocab_size
+        self.sos = sos
+        self.eos = eos
+        self.K = beam_size
+        self.W = min(vocab_size, max(beam_size + 1, int(pre_beam_ratio * beam_size)))
+        self.ctc_weight = float(ctc_weight)
+        self.att_weight = 1.0 - float(ctc_weight)
+        self.penalty = float(penalty)
+        self.lm_score_fn = lm_score_fn
+        self.lm_weight = float(lm_weight)
+        self.blank_id = blank_id
+        self._search_jit = jax.jit(
+            self._search, static_argnames=("lmax",)
+        )
+
+    # -- full scorer: attention decoder --------------------------------
+    def _att_logp(self, enc_k, enc_lens_k, tokens, lengths):
+        logits = self.model.apply(
+            self.variables, enc_k, enc_lens_k, tokens, lengths,
+            method=self.model.decoder_logits,
+        )  # [K, Lmax, V]
+        k = tokens.shape[0]
+        last = logits[jnp.arange(k), lengths - 1]  # [K, V]
+        return jax.nn.log_softmax(last.astype(jnp.float32), axis=-1)
+
+    # -- core loop ------------------------------------------------------
+    def _search(self, enc, enc_len, maxlen, minlen, lmax: int):
+        K, W, V = self.K, self.W, self.vocab_size
+        t_enc = enc.shape[1]
+        enc_k = jnp.broadcast_to(enc[0], (K,) + enc.shape[1:])
+        enc_lens_k = jnp.full((K,), enc_len, jnp.int32)
+
+        ctc_logp = self.model.apply(
+            self.variables, enc, method=self.model.ctc_log_softmax
+        )[0]  # [T, V]
+
+        init = BeamState(
+            step=jnp.asarray(0, jnp.int32),
+            alive_tokens=jnp.full((K, lmax), self.sos, jnp.int32),
+            alive_len=jnp.ones((K,), jnp.int32),
+            alive_score=jnp.where(jnp.arange(K) == 0, 0.0, NEG_INF),
+            ctc=ctc_prefix_init(ctc_logp, enc_len, K, self.blank_id),
+            fin_tokens=jnp.zeros((K, lmax), jnp.int32),
+            fin_len=jnp.zeros((K,), jnp.int32),
+            fin_score=jnp.full((K,), NEG_INF),
+        )
+
+        def cond(s: BeamState):
+            room = s.step < jnp.minimum(maxlen, lmax - 1)
+            viable = jnp.max(s.alive_score) > jnp.min(s.fin_score)
+            return jnp.logical_and(room, viable)
+
+        def body(s: BeamState) -> BeamState:
+            # 1. full scorers
+            full = self.att_weight * self._att_logp(
+                enc_k, enc_lens_k, s.alive_tokens, s.alive_len
+            )
+            if self.lm_score_fn is not None and self.lm_weight != 0.0:
+                full = full + self.lm_weight * self.lm_score_fn(
+                    s.alive_tokens, s.alive_len
+                )
+            # 2. pre-beam
+            top_full, cand = jax.lax.top_k(full, W)  # [K, W]
+            # 3. partial scorer: CTC prefix
+            if self.ctc_weight != 0.0:
+                psi, r_new = ctc_prefix_scores(
+                    ctc_logp, enc_len, s.ctc, cand,
+                    blank_id=self.blank_id, eos_id=self.eos,
+                )
+                local_ctc = psi - s.ctc.psi[:, None]
+                cand_score = (
+                    s.alive_score[:, None]
+                    + top_full
+                    + self.ctc_weight * local_ctc
+                    + self.penalty
+                )
+            else:
+                psi = jnp.zeros((K, W))
+                r_new = jnp.zeros((K, W) + s.ctc.r.shape[1:])
+                cand_score = s.alive_score[:, None] + top_full + self.penalty
+
+            is_eos = cand == self.eos
+            below_min = s.step < minlen
+            cand_score = jnp.where(is_eos & below_min, NEG_INF, cand_score)
+
+            # 4. retire eos candidates into the finished buffer
+            eos_scores = jnp.where(is_eos, cand_score, NEG_INF).reshape(-1)  # [K*W]
+            all_fin_scores = jnp.concatenate([s.fin_score, eos_scores])
+            fin_top, fin_idx = jax.lax.top_k(all_fin_scores, K)
+            # build candidate token rows (parent seq + eos at position len)
+            flat_parent = jnp.arange(K * W) // W
+            cand_rows = s.alive_tokens[flat_parent]  # [K*W, Lmax]
+            pos = s.alive_len[flat_parent]
+            cand_rows = jnp.where(
+                jnp.arange(lmax)[None, :] == pos[:, None], self.eos, cand_rows
+            )
+            all_fin_tokens = jnp.concatenate([s.fin_tokens, cand_rows])
+            all_fin_len = jnp.concatenate([s.fin_len, pos + 1])
+            fin_tokens = all_fin_tokens[fin_idx]
+            fin_len = all_fin_len[fin_idx]
+
+            # 5. refill alive with best non-eos candidates
+            alive_cand = jnp.where(is_eos, NEG_INF, cand_score).reshape(-1)
+            new_score, flat_idx = jax.lax.top_k(alive_cand, K)
+            parent = flat_idx // W
+            cidx = flat_idx % W
+            token = cand[parent, cidx]
+            new_tokens = s.alive_tokens[parent]
+            ins = s.alive_len[parent]
+            new_tokens = jnp.where(
+                jnp.arange(lmax)[None, :] == ins[:, None], token[:, None], new_tokens
+            )
+            new_len = ins + 1
+            new_ctc = ctc_prefix_select(r_new, psi, cand, parent, cidx)
+
+            return BeamState(
+                step=s.step + 1,
+                alive_tokens=new_tokens,
+                alive_len=new_len,
+                alive_score=new_score,
+                ctc=new_ctc,
+                fin_tokens=fin_tokens,
+                fin_len=fin_len,
+                fin_score=fin_top,
+            )
+
+        final = jax.lax.while_loop(cond, body, init)
+
+        # merge still-alive hyps (maxlen reached) into finished (post_process
+        # at last step, beam_search.py:500): append eos, keep raw score.
+        alive_rows = jnp.where(
+            jnp.arange(final.alive_tokens.shape[1])[None, :]
+            == final.alive_len[:, None],
+            self.eos,
+            final.alive_tokens,
+        )
+        all_scores = jnp.concatenate([final.fin_score, final.alive_score])
+        all_tokens = jnp.concatenate([final.fin_tokens, alive_rows])
+        all_len = jnp.concatenate([final.fin_len, final.alive_len + 1])
+        top, idx = jax.lax.top_k(all_scores, self.K)
+        return all_tokens[idx], all_len[idx], top
+
+    # -- public API -----------------------------------------------------
+    def __call__(
+        self,
+        enc: jnp.ndarray,  # [1, T, D]
+        enc_lens: jnp.ndarray,  # [1]
+        maxlenratio: float = 0.0,
+        minlenratio: float = 0.0,
+        nbest: int = 1,
+    ) -> List[Hypothesis]:
+        t_enc = int(enc.shape[1])
+        enc_len = enc_lens[0]
+        if maxlenratio == 0.0:
+            maxlen = enc_len
+        elif maxlenratio < 0.0:
+            maxlen = jnp.asarray(int(-maxlenratio), jnp.int32)
+        else:
+            maxlen = jnp.maximum(1, (maxlenratio * enc_len).astype(jnp.int32))
+        minlen = (minlenratio * enc_len).astype(jnp.int32)
+        lmax = t_enc + 2
+        tokens, lens, scores = self._search_jit(enc, enc_len, maxlen, minlen, lmax=lmax)
+        tokens = np.asarray(tokens)
+        lens = np.asarray(lens)
+        scores = np.asarray(scores)
+        out = []
+        for k in range(min(nbest, self.K)):
+            if scores[k] <= NEG_INF / 2:
+                continue
+            out.append(
+                Hypothesis(
+                    yseq=[int(t) for t in tokens[k, : lens[k]]],
+                    score=float(scores[k]),
+                    scores={},
+                )
+            )
+        if not out:
+            out = [Hypothesis(yseq=[self.sos, self.eos], score=float(scores[0]), scores={})]
+        return out

@@ -1,0 +1,151 @@
+"""Vectorized CTC prefix scoring as a jitted lax.scan.
+
+Rebuild of espnet/nets/ctc_prefix_score.py:10 (CTCPrefixScoreTH) — the
+(T x 2 x beam x window) DP that, given a hypothesis prefix g and candidate
+tokens c, computes the CTC *prefix* log-probability psi(g.c) = log P(g.c ...).
+
+Notation (Watanabe et al. hybrid CTC/attention):
+  r_nb[t](h): log P(paths of t frames collapsing to h, last frame emits last(h))
+  r_b[t](h):  log P(paths of t frames collapsing to h, last frame blank)
+  phi[t] = logaddexp(r_b[t](g), r_nb[t](g))  (or just r_b if c == last(g))
+  r_nb[t](g.c) = logaddexp(r_nb[t-1](g.c), phi[t-1]) + x[t, c]
+  r_b[t](g.c)  = logaddexp(r_b[t-1](g.c), r_nb[t-1](g.c)) + x[t, blank]
+  psi(g.c) = r_nb[0](g.c) (+) logaddexp over t of phi[t-1] + x[t, c]
+For c == eos the score is the *complete* sequence probability
+logaddexp(r_nb[T-1](g), r_b[T-1](g)) (scorers/ctc.py CTCPrefixScorer.score).
+
+Everything is batched over (beam K, candidate window W) so a decode step is
+one scan of T fused VPU steps — no per-hypothesis host loop.
+"""
+
+from __future__ import annotations
+
+from typing import NamedTuple, Tuple
+
+import jax
+import jax.numpy as jnp
+
+NEG_INF = -1.0e10
+
+
+class CTCPrefixState(NamedTuple):
+    """Per-beam DP state carried across decode steps."""
+
+    r: jnp.ndarray  # [K, T, 2] (r_nb, r_b) of each hyp's prefix
+    psi: jnp.ndarray  # [K] prefix score of each hyp
+    last: jnp.ndarray  # [K] last token id of each hyp
+    empty: jnp.ndarray  # [K] bool: prefix is empty (sos only)
+
+
+def ctc_prefix_init(logp: jnp.ndarray, length: jnp.ndarray, beam: int, blank_id: int = 0) -> CTCPrefixState:
+    """Initial state for the empty prefix, replicated over the beam.
+
+    logp: [T, V] CTC log-softmax of one utterance; length: valid frames.
+    """
+    t_max = logp.shape[0]
+    xb = logp[:, blank_id]  # [T]
+    tpos = jnp.arange(t_max)
+    valid = tpos < length
+    r_b = jnp.cumsum(jnp.where(valid, xb, 0.0))  # log P(all blank up to t)
+    r_b = jnp.where(valid, r_b, NEG_INF)
+    r_nb = jnp.full((t_max,), NEG_INF)
+    r = jnp.stack([r_nb, r_b], axis=-1)  # [T, 2]
+    return CTCPrefixState(
+        r=jnp.broadcast_to(r, (beam,) + r.shape),
+        psi=jnp.zeros((beam,)),
+        last=jnp.full((beam,), -1, jnp.int32),
+        empty=jnp.ones((beam,), bool),
+    )
+
+
+def ctc_prefix_scores(
+    logp: jnp.ndarray,  # [T, V]
+    length: jnp.ndarray,  # scalar valid frames
+    state: CTCPrefixState,  # beam K
+    cand: jnp.ndarray,  # [K, W] candidate token ids
+    blank_id: int = 0,
+    eos_id: int = -1,
+) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """Score all (hyp, candidate) extensions.
+
+    Returns (psi [K, W] prefix scores of g.c, r_new [K, W, T, 2] their DP rows).
+    The *local* step score is psi - state.psi[:, None]; for c == eos the
+    returned psi is the complete-sequence probability of g itself.
+    """
+    t_max, v = logp.shape
+    k, w = cand.shape
+    tpos = jnp.arange(t_max)
+    valid = tpos < length  # [T]
+
+    x = jnp.take_along_axis(
+        jnp.broadcast_to(logp[None], (k, t_max, v)), cand[:, None, :], axis=2
+    )  # [K, T, W]
+    x = jnp.where(valid[None, :, None], x, NEG_INF)
+    xb = jnp.where(valid, logp[:, blank_id], NEG_INF)  # [T]
+
+    r_prev_nb = state.r[..., 0]  # [K, T]
+    r_prev_b = state.r[..., 1]
+    r_prev_sum = jnp.logaddexp(r_prev_nb, r_prev_b)  # [K, T]
+    same_as_last = cand == state.last[:, None]  # [K, W]
+    # phi[t]: what g contributes when appending c at t+1
+    phi = jnp.where(
+        same_as_last[:, None, :], r_prev_b[:, :, None], r_prev_sum[:, :, None]
+    )  # [K, T, W]
+
+    # t = 0 init
+    r_nb_0 = jnp.where(state.empty[:, None], x[:, 0, :], NEG_INF)  # [K, W]
+    r_b_0 = jnp.full((k, w), NEG_INF)
+    psi_0 = r_nb_0
+
+    def step(carry, inp):
+        r_nb_prev, r_b_prev, psi = carry
+        x_t, xb_t, phi_tm1, valid_t = inp  # [K,W], scalar, [K,W], bool
+        r_nb_t = jnp.logaddexp(r_nb_prev, phi_tm1) + x_t
+        r_b_t = jnp.logaddexp(r_b_prev, r_nb_prev) + xb_t
+        psi_t = jnp.logaddexp(psi, phi_tm1 + x_t)
+        # freeze state beyond the valid frames
+        r_nb_t = jnp.where(valid_t, r_nb_t, r_nb_prev)
+        r_b_t = jnp.where(valid_t, r_b_t, r_b_prev)
+        psi_t = jnp.where(valid_t, psi_t, psi)
+        return (r_nb_t, r_b_t, psi_t), (r_nb_t, r_b_t)
+
+    xs = (
+        jnp.moveaxis(x[:, 1:, :], 1, 0),  # [T-1, K, W]
+        xb[1:],
+        jnp.moveaxis(phi[:, :-1, :], 1, 0),  # phi[t-1]
+        valid[1:],
+    )
+    (_, _, psi), (r_nb_seq, r_b_seq) = jax.lax.scan(
+        step, (r_nb_0, r_b_0, psi_0), xs
+    )
+    # assemble [K, W, T, 2]
+    r_nb = jnp.concatenate([r_nb_0[None], r_nb_seq], axis=0)  # [T, K, W]
+    r_b = jnp.concatenate([r_b_0[None], r_b_seq], axis=0)
+    r_new = jnp.stack(
+        [jnp.moveaxis(r_nb, 0, 2), jnp.moveaxis(r_b, 0, 2)], axis=-1
+    )  # [K, W, T, 2]
+
+    # eos candidate: complete-sequence probability of g
+    t_last = jnp.clip(length - 1, 0, t_max - 1)
+    final_sum = r_prev_sum[:, t_last]  # [K]
+    if eos_id >= 0:
+        is_eos = cand == eos_id
+        psi = jnp.where(is_eos, final_sum[:, None], psi)
+    return psi, r_new
+
+
+def ctc_prefix_select(
+    state_r_new: jnp.ndarray,  # [K, W, T, 2]
+    psi: jnp.ndarray,  # [K, W]
+    cand: jnp.ndarray,  # [K, W]
+    parent: jnp.ndarray,  # [K'] selected hyp index in 0..K-1
+    cand_idx: jnp.ndarray,  # [K'] selected candidate index in 0..W-1
+) -> CTCPrefixState:
+    """Gather the DP rows of the chosen (hyp, candidate) pairs into a new state."""
+    r = state_r_new[parent, cand_idx]  # [K', T, 2]
+    return CTCPrefixState(
+        r=r,
+        psi=psi[parent, cand_idx],
+        last=cand[parent, cand_idx].astype(jnp.int32),
+        empty=jnp.zeros(parent.shape, bool),
+    )

@@ -1,0 +1,396 @@
+"""ASR task: config -> model/data/trainer wiring, collect-stats, main().
+
+Rebuild of espnet2/tasks/asr.py (ASRTask) + the shared machinery it inherits
+from espnet2/tasks/abs_task.py (main:1190, main_worker:1278, collect-stats
+:1404-1458, build_model_from_file:2272) in a functional style.
+
+The resolved config dict is the single source of truth; it is dumped to
+``<output_dir>/config.yaml`` and is sufficient to rebuild the model for
+inference (the reference's config.yaml contract, SURVEY.md §5.6).
+"""
+
+from __future__ import annotations
+
+import logging
+from pathlib import Path
+from typing import Any, Dict, List, Optional, Sequence, Tuple, Union
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from llm_guided_asr_tpu.data.dataset import (
+    CommonCollateFn,
+    CommonPreprocessor,
+    ESPnetDataset,
+)
+from llm_guided_asr_tpu.data.iterator import SequenceIterFactory
+from llm_guided_asr_tpu.data.samplers import build_batch_sampler
+from llm_guided_asr_tpu.models.asr_model import ASRModel, ASRModelConfig
+from llm_guided_asr_tpu.models.conformer import ConformerConfig
+from llm_guided_asr_tpu.models.transformer_decoder import TransformerDecoderConfig
+from llm_guided_asr_tpu.ops.frontend import FrontendConfig
+from llm_guided_asr_tpu.ops.specaug import SpecAugConfig
+from llm_guided_asr_tpu.text.tokenizers import TokenIDConverter, build_tokenizer
+from llm_guided_asr_tpu.train.checkpoint import load_partial, load_pytree, merge_loaded, save_pytree
+from llm_guided_asr_tpu.train.optim import build_optimizer, path_prefix_mask
+from llm_guided_asr_tpu.train.trainer import Trainer, TrainerOptions
+from llm_guided_asr_tpu.utils.config import (
+    build_config,
+    dump_yaml,
+    read_token_list,
+)
+
+logger = logging.getLogger(__name__)
+
+ASR_DEFAULTS: Dict[str, Any] = {
+    "token_type": "char",
+    "token_list": None,
+    "bpemodel": None,
+    "input_size": None,  # None => raw audio via frontend
+    "frontend": "default",  # default | none
+    "frontend_conf": {},
+    "specaug": None,  # specaug | None
+    "specaug_conf": {},
+    "normalize": "global_mvn",  # global_mvn | utterance_mvn | none
+    "normalize_conf": {},  # {stats_file: ...}
+    "model": "espnet",  # espnet | llm_guided_asr
+    "model_conf": {},
+    "encoder": "conformer",
+    "encoder_conf": {},
+    "decoder": "transformer",
+    "decoder_conf": {},
+    "llm": None,
+    "llm_conf": {},
+    # training
+    "optim": "adam",
+    "optim_conf": {"lr": 0.001},
+    "scheduler": "warmuplr",
+    "scheduler_conf": {"warmup_steps": 25000},
+    "grad_clip": 5.0,
+    "max_epoch": 40,
+    "accum_grad": 1,
+    "patience": None,
+    "keep_nbest_models": 10,
+    "best_model_criterion": [["valid", "loss", "min"]],
+    "seed": 0,
+    "log_interval": 100,
+    "resume": False,
+    "init_param": [],
+    "freeze_param": [],
+    # data
+    "batch_type": "numel",
+    "batch_size": 20,
+    "batch_bins": 1000000,
+    "fold_length": 80000,
+    "num_iters_per_epoch": None,
+    "sort_in_batch": "descending",
+    "train_data_path_and_name_and_type": [],
+    "valid_data_path_and_name_and_type": [],
+    "train_shape_file": [],
+    "valid_shape_file": [],
+    "speech_pad_multiple": 1600,  # 0.1 s @ 16 kHz: bounds XLA recompiles
+    "text_pad_multiple": 8,
+    "collect_stats": False,
+    "output_dir": "exp/asr",
+    "dry_run": False,
+    "device": None,  # None=default backend; 'cpu' forces host CPU
+}
+
+
+# ---------------------------------------------------------------------------
+# model building
+# ---------------------------------------------------------------------------
+
+def build_model_config(config: Dict[str, Any]) -> ASRModelConfig:
+    token_list = read_token_list(config["token_list"])
+    vocab_size = len(token_list)
+
+    frontend = None
+    if config.get("frontend", "default") not in (None, "none") and config.get("input_size") is None:
+        frontend = FrontendConfig.from_dict(config.get("frontend_conf", {}) or {})
+
+    specaug = None
+    if config.get("specaug") == "specaug":
+        specaug = SpecAugConfig.from_dict(config.get("specaug_conf", {}) or {})
+
+    enc_conf = dict(config.get("encoder_conf", {}) or {})
+    encoder_type = config.get("encoder", "conformer")
+    if encoder_type not in ("conformer", "transformer"):
+        raise ValueError(f"unknown encoder {encoder_type!r}")
+    encoder = ConformerConfig.from_dict(enc_conf)
+
+    dec_conf = dict(config.get("decoder_conf", {}) or {})
+    decoder = TransformerDecoderConfig.from_dict(dec_conf)
+
+    model_conf = dict(config.get("model_conf", {}) or {})
+    return ASRModelConfig(
+        vocab_size=vocab_size,
+        frontend=frontend,
+        specaug=specaug,
+        normalize=config.get("normalize") or "none",
+        encoder_type=encoder_type,
+        encoder=encoder,
+        decoder=decoder,
+        ctc_weight=float(model_conf.get("ctc_weight", 0.5)),
+        lsm_weight=float(model_conf.get("lsm_weight", 0.0)),
+        length_normalized_loss=bool(model_conf.get("length_normalized_loss", False)),
+    )
+
+
+def build_model(config: Dict[str, Any], dtype=jnp.float32) -> ASRModel:
+    if config.get("model", "espnet") == "llm_guided_asr":
+        from llm_guided_asr_tpu.models.llm_guided import build_llm_guided_model
+
+        return build_llm_guided_model(config, dtype=dtype)
+    return ASRModel(build_model_config(config), dtype=dtype)
+
+
+def init_model_variables(
+    model: ASRModel, config: Dict[str, Any], seed: int = 0
+) -> Dict:
+    """Initialize variables with a dummy batch; load MVN stats if configured."""
+    cfg = model.cfg
+    if cfg.frontend is not None:
+        dummy_speech = jnp.zeros((2, max(cfg.frontend.n_fft * 4, 2048)), jnp.float32)
+        dummy_lens = jnp.asarray([dummy_speech.shape[1]] * 2, jnp.int32)
+    else:
+        dim = int(config.get("input_size") or 80)
+        dummy_speech = jnp.zeros((2, 16, dim), jnp.float32)
+        dummy_lens = jnp.asarray([16, 16], jnp.int32)
+    dummy_text = jnp.asarray([[1, 2, -1], [1, -1, -1]], jnp.int32)
+    dummy_tlens = jnp.asarray([2, 1], jnp.int32)
+    variables = model.init(
+        {"params": jax.random.PRNGKey(seed), "dropout": jax.random.PRNGKey(seed + 1)},
+        dummy_speech, dummy_lens, dummy_text, dummy_tlens, deterministic=True,
+    )
+    variables = dict(variables)
+    stats_file = (config.get("normalize_conf") or {}).get("stats_file")
+    if cfg.normalize == "global_mvn" and stats_file:
+        variables["mvn"] = load_mvn_stats(stats_file)
+    return variables
+
+
+def load_mvn_stats(stats_file: Union[str, Path]) -> Dict[str, jnp.ndarray]:
+    """feats_stats.npz {count,sum,sum_square} -> {mean, inv_std} (global_mvn.py:26)."""
+    npz = np.load(stats_file)
+    count = float(npz["count"])
+    mean = npz["sum"] / count
+    var = np.maximum(npz["sum_square"] / count - mean**2, 0.0)
+    std = np.maximum(np.sqrt(var), 1.0e-20)
+    return {
+        "mean": jnp.asarray(mean, jnp.float32),
+        "inv_std": jnp.asarray(1.0 / std, jnp.float32),
+    }
+
+
+def apply_init_param(variables: Dict, init_param: Sequence[str]) -> Dict:
+    """'path:src:dst' surgery entries (load_pretrained_model.py)."""
+    params = variables["params"]
+    for spec in init_param:
+        parts = spec.split(":")
+        path = parts[0]
+        src = parts[1] if len(parts) > 1 else ""
+        dst = parts[2] if len(parts) > 2 else ""
+        params = load_partial(params, path, src, dst)
+        logger.info(f"loaded init_param {spec}")
+    return {**variables, "params": params}
+
+
+# ---------------------------------------------------------------------------
+# data building
+# ---------------------------------------------------------------------------
+
+def build_preprocess_fn(config: Dict[str, Any]) -> CommonPreprocessor:
+    token_type = config.get("token_type", "char")
+    tokenizer = build_tokenizer(token_type, bpemodel=config.get("bpemodel"))
+    converter = TokenIDConverter(read_token_list(config["token_list"]))
+    return CommonPreprocessor(tokenizer, converter)
+
+
+def build_dataset(config: Dict[str, Any], triples: Sequence) -> ESPnetDataset:
+    pre = build_preprocess_fn(config) if config.get("token_list") else None
+    return ESPnetDataset([tuple(t) for t in triples], preprocess=pre)
+
+
+def build_iter_factory(
+    config: Dict[str, Any],
+    dataset: ESPnetDataset,
+    shuffle: bool,
+    shape_files: Sequence[str] = (),
+) -> SequenceIterFactory:
+    lengths = None
+    if shape_files:
+        from llm_guided_asr_tpu.data.fileio import read_shape_file
+
+        lengths = {k: v[0] for k, v in read_shape_file(shape_files[0]).items()}
+        lengths = {k: v for k, v in lengths.items() if k in set(dataset.keys)}
+    elif config.get("batch_type", "numel") != "unsorted":
+        # fall back to loading lengths by peeking (fine for small corpora)
+        lengths = {}
+        for k in dataset.keys:
+            item = dataset[k]
+            first = next(iter(item.values()))
+            lengths[k] = int(np.asarray(first).shape[0])
+    batches = build_batch_sampler(
+        config.get("batch_type", "numel"),
+        dataset.keys,
+        lengths=lengths,
+        batch_size=int(config.get("batch_size", 20)),
+        batch_bins=int(config.get("batch_bins", 1000000)),
+        fold_length=int(config.get("fold_length", 80000)),
+        sort_in_batch=config.get("sort_in_batch", "descending"),
+    )
+    collate = CommonCollateFn(
+        pad_multiples={
+            "speech": int(config.get("speech_pad_multiple", 1600)),
+            "text": int(config.get("text_pad_multiple", 8)),
+        }
+    )
+    return SequenceIterFactory(
+        dataset,
+        batches,
+        collate,
+        shuffle=shuffle,
+        seed=int(config.get("seed", 0)),
+        num_iters_per_epoch=config.get("num_iters_per_epoch"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# collect stats (main_funcs/collect_stats.py:21)
+# ---------------------------------------------------------------------------
+
+def collect_stats(config: Dict[str, Any], output_dir: Path):
+    from llm_guided_asr_tpu.data.fileio import write_shape_file
+
+    model = build_model(config)
+    variables = init_model_variables(model, config, int(config.get("seed", 0)))
+
+    @jax.jit
+    def feats_fn(speech, speech_lengths):
+        return model.apply(
+            variables, speech, speech_lengths, method=model.collect_feats
+        )
+
+    for split, triples, shape_out in [
+        ("train", config["train_data_path_and_name_and_type"], "train"),
+        ("valid", config["valid_data_path_and_name_and_type"], "valid"),
+    ]:
+        if not triples:
+            continue
+        dataset = build_dataset(config, triples)
+        sdir = output_dir / split
+        sdir.mkdir(parents=True, exist_ok=True)
+        count, s, sq = 0, None, None
+        speech_shapes, text_shapes = {}, {}
+        for uid in dataset.keys:
+            item = dataset[uid]
+            speech = np.asarray(item["speech"], np.float32)
+            out = feats_fn(jnp.asarray(speech[None]), jnp.asarray([len(speech)]))
+            feats = np.asarray(out["feats"])[0, : int(out["feats_lengths"][0])]
+            count += feats.shape[0]
+            s = feats.sum(0) if s is None else s + feats.sum(0)
+            sq = (feats**2).sum(0) if sq is None else sq + (feats**2).sum(0)
+            speech_shapes[uid] = speech.shape
+            if "text" in item:
+                text_shapes[uid] = np.asarray(item["text"]).shape
+        np.savez(sdir / "feats_stats.npz", count=count, sum=s, sum_square=sq)
+        write_shape_file(sdir / "speech_shape", speech_shapes)
+        if text_shapes:
+            write_shape_file(sdir / "text_shape", text_shapes)
+        logger.info(f"collect_stats[{split}]: {len(speech_shapes)} utts, {count} frames")
+
+
+# ---------------------------------------------------------------------------
+# main
+# ---------------------------------------------------------------------------
+
+class ASRTask:
+    defaults = ASR_DEFAULTS
+
+    @classmethod
+    def get_default_config(cls) -> Dict[str, Any]:
+        import copy
+
+        return copy.deepcopy(cls.defaults)
+
+    @classmethod
+    def main(cls, cmd: Sequence[str]) -> Optional[Dict]:
+        config = build_config(cmd, cls.get_default_config())
+        from llm_guided_asr_tpu.utils.devices import resolve_device
+
+        resolve_device(config.get("device"))
+        known = set(cls.defaults) | {"exclude_checkpoint_prefixes"}
+        for k in config:
+            if k not in known:
+                logger.warning(f"unknown config key {k!r} (typo?); ignoring")
+        output_dir = Path(config["output_dir"])
+        output_dir.mkdir(parents=True, exist_ok=True)
+        logging.basicConfig(
+            level=logging.INFO, format="%(asctime)s %(levelname)s %(message)s"
+        )
+
+        if config.get("collect_stats"):
+            collect_stats(config, output_dir)
+            return None
+
+        dump_yaml(config, output_dir / "config.yaml")
+        if config.get("dry_run"):
+            logger.info("dry_run: config written, exiting")
+            return None
+
+        model = build_model(config)
+        variables = init_model_variables(model, config, int(config.get("seed", 0)))
+        if config.get("init_param"):
+            variables = apply_init_param(variables, config["init_param"])
+
+        freeze = list(config.get("freeze_param") or [])
+        freeze_mask = path_prefix_mask(variables["params"], freeze) if freeze else None
+        tx = build_optimizer(
+            config.get("optim", "adam"),
+            config.get("optim_conf"),
+            config.get("scheduler"),
+            config.get("scheduler_conf"),
+            grad_clip=config.get("grad_clip", 5.0),
+            freeze_mask=freeze_mask,
+        )
+
+        train_ds = build_dataset(config, config["train_data_path_and_name_and_type"])
+        valid_ds = build_dataset(config, config["valid_data_path_and_name_and_type"])
+        train_iter = build_iter_factory(config, train_ds, shuffle=True,
+                                        shape_files=config.get("train_shape_file", []))
+        valid_iter = build_iter_factory(config, valid_ds, shuffle=False,
+                                        shape_files=config.get("valid_shape_file", []))
+
+        options = TrainerOptions(
+            max_epoch=int(config.get("max_epoch", 40)),
+            accum_grad=int(config.get("accum_grad", 1)),
+            log_interval=int(config.get("log_interval", 100)),
+            patience=config.get("patience"),
+            keep_nbest_models=int(config.get("keep_nbest_models", 10)),
+            best_model_criterion=[tuple(c) for c in config.get("best_model_criterion")],
+            resume=bool(config.get("resume", False)),
+            seed=int(config.get("seed", 0)),
+            exclude_prefixes=tuple(config.get("exclude_checkpoint_prefixes", ()) or ()),
+        )
+        return Trainer.run(model, variables, tx, train_iter, valid_iter, output_dir, options)
+
+    @classmethod
+    def build_model_from_file(
+        cls,
+        config_file: Union[str, Path],
+        model_file: Optional[Union[str, Path]] = None,
+        dtype=jnp.float32,
+    ) -> Tuple[ASRModel, Dict, Dict[str, Any]]:
+        """Rebuild (model, variables, config) from the config.yaml artifact
+        (abs_task.py:2272)."""
+        from llm_guided_asr_tpu.utils.config import load_yaml
+
+        config = {**cls.get_default_config(), **load_yaml(config_file)}
+        model = build_model(config, dtype=dtype)
+        variables = init_model_variables(model, config, int(config.get("seed", 0)))
+        if model_file is not None:
+            loaded = load_pytree(model_file)
+            variables = merge_loaded(variables, loaded)
+        return model, variables, config

@@ -1,0 +1,189 @@
+"""Optimizer + LR-scheduler registry (optax).
+
+Rebuild of the reference registries at espnet2/tasks/abs_task.py:98-175 and
+the schedulers in espnet2/schedulers/ (warmuplr.py, noamlr.py).  Schedules
+are optax-style step->lr callables so the whole update is one jitted optax
+transform chain; ``freeze_param`` surgery (abs_task.py:1352) is an
+optax.masked wrapper over parameter-path prefixes.
+"""
+
+from __future__ import annotations
+
+from typing import Any, Callable, Dict, Optional, Sequence
+
+import jax.numpy as jnp
+import optax
+
+
+# ---------------------------------------------------------------------------
+# LR schedules (espnet2/schedulers/*)
+# ---------------------------------------------------------------------------
+
+def warmup_lr(lr: float, warmup_steps: int = 25000) -> optax.Schedule:
+    """espnet2/schedulers/warmuplr.py: lr * w^0.5 * min(s^-0.5, s * w^-1.5)."""
+
+    def schedule(step):
+        s = jnp.maximum(step.astype(jnp.float32) + 1.0, 1.0)
+        w = float(warmup_steps)
+        return lr * (w**0.5) * jnp.minimum(s**-0.5, s * (w**-1.5))
+
+    return schedule
+
+
+def noam_lr(lr: float, model_size: int = 320, warmup_steps: int = 25000) -> optax.Schedule:
+    """espnet2/schedulers/noamlr.py (equivalent to warmuplr scaled by d^-0.5)."""
+
+    def schedule(step):
+        s = jnp.maximum(step.astype(jnp.float32) + 1.0, 1.0)
+        w = float(warmup_steps)
+        return lr * (model_size**-0.5) * jnp.minimum(s**-0.5, s * (w**-1.5))
+
+    return schedule
+
+
+def constant_lr(lr: float) -> optax.Schedule:
+    return lambda step: jnp.asarray(lr, jnp.float32)
+
+
+def exponential_decay_lr(lr: float, decay_rate: float = 0.96, decay_steps: int = 10000) -> optax.Schedule:
+    return optax.exponential_decay(lr, decay_steps, decay_rate)
+
+
+SCHEDULER_REGISTRY: Dict[str, Callable[..., optax.Schedule]] = {
+    "warmuplr": warmup_lr,
+    "noamlr": noam_lr,
+    "none": constant_lr,
+    "constant": constant_lr,
+    "exponentiallr": exponential_decay_lr,
+}
+
+
+def build_schedule(
+    name: Optional[str], lr: float, conf: Optional[dict] = None
+) -> optax.Schedule:
+    name = (name or "none").lower()
+    conf = dict(conf or {})
+    conf.pop("lr", None)
+    return SCHEDULER_REGISTRY[name](lr, **conf)
+
+
+# ---------------------------------------------------------------------------
+# Optimizers (abs_task.py optim_classes)
+# ---------------------------------------------------------------------------
+
+def _adam(schedule, weight_decay=0.0, betas=(0.9, 0.999), eps=1e-8, **kw):
+    if weight_decay:
+        return optax.adamw(schedule, b1=betas[0], b2=betas[1], eps=eps, weight_decay=weight_decay)
+    return optax.adam(schedule, b1=betas[0], b2=betas[1], eps=eps)
+
+
+def _adamw(schedule, weight_decay=0.01, betas=(0.9, 0.999), eps=1e-8, **kw):
+    return optax.adamw(schedule, b1=betas[0], b2=betas[1], eps=eps, weight_decay=weight_decay)
+
+
+def _sgd(schedule, momentum=0.0, weight_decay=0.0, nesterov=False, **kw):
+    tx = optax.sgd(schedule, momentum=momentum or None, nesterov=nesterov)
+    if weight_decay:
+        tx = optax.chain(optax.add_decayed_weights(weight_decay), tx)
+    return tx
+
+
+def _adadelta(schedule, rho=0.95, eps=1e-6, weight_decay=0.0, **kw):
+    tx = optax.adadelta(schedule, rho=rho, eps=eps)
+    if weight_decay:
+        tx = optax.chain(optax.add_decayed_weights(weight_decay), tx)
+    return tx
+
+
+def _adagrad(schedule, eps=1e-10, **kw):
+    return optax.adagrad(schedule, eps=eps)
+
+
+def _rmsprop(schedule, alpha=0.99, eps=1e-8, momentum=0.0, **kw):
+    return optax.rmsprop(schedule, decay=alpha, eps=eps, momentum=momentum or None)
+
+
+def _radam(schedule, betas=(0.9, 0.999), eps=1e-8, **kw):
+    return optax.radam(schedule, b1=betas[0], b2=betas[1], eps=eps)
+
+
+def _lamb(schedule, weight_decay=0.0, betas=(0.9, 0.999), eps=1e-6, **kw):
+    return optax.lamb(schedule, b1=betas[0], b2=betas[1], eps=eps, weight_decay=weight_decay)
+
+
+def _adafactor(schedule, **kw):
+    return optax.adafactor(schedule)
+
+
+def _lion(schedule, weight_decay=0.0, betas=(0.9, 0.99), **kw):
+    return optax.lion(schedule, b1=betas[0], b2=betas[1], weight_decay=weight_decay)
+
+
+OPTIMIZER_REGISTRY: Dict[str, Callable[..., optax.GradientTransformation]] = {
+    "adam": _adam,
+    "adamw": _adamw,
+    "sgd": _sgd,
+    "adadelta": _adadelta,
+    "adagrad": _adagrad,
+    "rmsprop": _rmsprop,
+    "radam": _radam,
+    "lamb": _lamb,
+    "adafactor": _adafactor,
+    "lion": _lion,
+}
+
+
+def path_prefix_mask(params: Any, prefixes: Sequence[str]) -> Any:
+    """Pytree mask: True where the '/'-joined param path starts with any prefix.
+
+    Used to implement freeze_param (trainable = NOT matching).
+    """
+    import jax
+
+    flat = jax.tree_util.tree_flatten_with_path(params)[0]
+
+    def path_str(kp):
+        parts = []
+        for k in kp:
+            if hasattr(k, "key"):
+                parts.append(str(k.key))
+            elif hasattr(k, "idx"):
+                parts.append(str(k.idx))
+            else:
+                parts.append(str(k))
+        return "/".join(parts)
+
+    def match(kp):
+        p = path_str(kp)
+        return any(p == pref or p.startswith(pref + "/") for pref in prefixes)
+
+    return jax.tree_util.tree_map_with_path(lambda kp, _: match(kp), params)
+
+
+def build_optimizer(
+    name: str = "adam",
+    conf: Optional[dict] = None,
+    scheduler: Optional[str] = None,
+    scheduler_conf: Optional[dict] = None,
+    grad_clip: Optional[float] = 5.0,
+    freeze_mask: Optional[Any] = None,
+) -> optax.GradientTransformation:
+    """Build the full update chain: [zero-frozen] -> clip -> optimizer(schedule).
+
+    ``freeze_mask`` is a params-shaped pytree of bools, True = FROZEN
+    (freeze_param semantics, abs_task.py:1352-1356): frozen grads are zeroed
+    *before* the global-norm clip so they neither move nor distort the norm.
+    grad_clip default 5.0 matches the reference trainer
+    (trainer.py clip_grad_norm_, TrainerOptions.grad_clip).
+    """
+    conf = dict(conf or {})
+    lr = float(conf.pop("lr", 1e-3))
+    schedule = build_schedule(scheduler, lr, scheduler_conf)
+    tx = OPTIMIZER_REGISTRY[name.lower()](schedule, **conf)
+    parts = []
+    if freeze_mask is not None:
+        parts.append(optax.masked(optax.set_to_zero(), freeze_mask))
+    if grad_clip is not None and grad_clip > 0:
+        parts.append(optax.clip_by_global_norm(grad_clip))
+    parts.append(tx)
+    return optax.chain(*parts)

@@ -1,0 +1,253 @@
+"""Training loop: epochs, grad accumulation, checkpointing, early stop.
+
+Rebuild of espnet2/train/trainer.py:109 (Trainer.run / train_one_epoch /
+validate_one_epoch) in the JAX idiom:
+
+- the hot step is ONE jitted function (forward + backward); gradient
+  accumulation sums per-microbatch grads on device and applies the optax
+  update every ``accum_grad`` microbatches (trainer.py:690 loss/=accum_grad);
+- data parallelism is pjit-style: with a Mesh, the batch is sharded along the
+  'data' axis and params are replicated — XLA inserts the gradient psum that
+  DDP's bucket all-reduce does in the reference (trainer.py:269-284);
+- AMP is a dtype policy (bf16 activations) rather than a GradScaler: bf16 has
+  f32-range exponent so no loss scaling is needed on TPU;
+- checkpoint/resume, n-best retention and averaging mirror trainer.py:408-540
+  via CheckpointManager.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import logging
+import time
+from pathlib import Path
+from typing import Any, Callable, Dict, Iterable, Optional, Sequence, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import optax
+
+from llm_guided_asr_tpu.train.checkpoint import CheckpointManager, merge_loaded
+from llm_guided_asr_tpu.train.reporter import Reporter
+
+logger = logging.getLogger(__name__)
+
+
+@dataclasses.dataclass
+class TrainerOptions:
+    """Subset mirror of reference TrainerOptions (trainer.py:77-106)."""
+
+    max_epoch: int = 40
+    accum_grad: int = 1
+    grad_noise: bool = False
+    log_interval: int = 100
+    patience: Optional[int] = None
+    keep_nbest_models: int = 10
+    best_model_criterion: Sequence[Tuple[str, str, str]] = (("valid", "loss", "min"),)
+    val_scheduler_criterion: Tuple[str, str] = ("valid", "loss")
+    resume: bool = False
+    seed: int = 0
+    exclude_prefixes: Sequence[str] = ()  # e.g. ("params/decoder/llm",)
+    average_criterion: Optional[Tuple[str, str, str]] = None  # default: first best criterion
+
+
+class TrainState(dict):
+    """Plain dict train state: {'step', 'params', 'opt_state', 'extra'}.
+
+    A dict (not a frozen struct) so msgpack round-trips naturally and
+    collections can be added (batch_stats, mvn) without schema churn.
+    """
+
+
+def init_train_state(variables: Dict, tx: optax.GradientTransformation) -> Dict:
+    params = variables["params"]
+    extra = {k: v for k, v in variables.items() if k != "params"}
+    return {
+        "step": jnp.zeros((), jnp.int32),
+        "params": params,
+        "opt_state": tx.init(params),
+        "extra": extra,
+    }
+
+
+def make_train_step(
+    model,
+    tx: optax.GradientTransformation,
+    accum_grad: int = 1,
+    donate: bool = True,
+):
+    """Build the jitted microbatch-gradient and update functions.
+
+    Returns (grad_step, apply_step):
+      grad_step(params, extra, batch, rng) -> (grads, new_extra, stats, weight)
+      apply_step(state_params, opt_state, grads) -> (params, opt_state)
+    """
+
+    def loss_fn(params, extra, batch, rng):
+        variables = {"params": params, **extra}
+        mutable = [k for k in extra.keys() if k == "batch_stats"]
+        out = model.apply(
+            variables,
+            batch["speech"],
+            batch["speech_lengths"],
+            batch["text"],
+            batch["text_lengths"],
+            deterministic=False,
+            rngs={"dropout": rng, "specaug": jax.random.fold_in(rng, 1)},
+            mutable=mutable,
+        )
+        if mutable:
+            (loss, stats, weight), updated = out
+            new_extra = {**extra, **updated}
+        else:
+            loss, stats, weight = out
+            new_extra = extra
+        return loss / accum_grad, (new_extra, stats, weight)
+
+    @jax.jit
+    def grad_step(params, extra, batch, rng):
+        (_, (new_extra, stats, weight)), grads = jax.value_and_grad(
+            loss_fn, has_aux=True
+        )(params, extra, batch, rng)
+        return grads, new_extra, stats, weight
+
+    @jax.jit
+    def apply_step(params, opt_state, grads):
+        updates, opt_state = tx.update(grads, opt_state, params)
+        params = optax.apply_updates(params, updates)
+        return params, opt_state
+
+    @jax.jit
+    def accum_add(acc, grads):
+        return jax.tree_util.tree_map(jnp.add, acc, grads)
+
+    return grad_step, apply_step, accum_add
+
+
+def make_valid_step(model):
+    @jax.jit
+    def valid_step(params, extra, batch):
+        loss, stats, weight = model.apply(
+            {"params": params, **extra},
+            batch["speech"],
+            batch["speech_lengths"],
+            batch["text"],
+            batch["text_lengths"],
+            deterministic=True,
+        )
+        return stats, weight
+
+    return valid_step
+
+
+class Trainer:
+    """Epoch-loop driver (classmethod style like the reference Trainer.run)."""
+
+    @classmethod
+    def run(
+        cls,
+        model,
+        variables: Dict,
+        tx: optax.GradientTransformation,
+        train_iter_factory: Callable[[int], Iterable[Dict]],
+        valid_iter_factory: Callable[[int], Iterable[Dict]],
+        output_dir: Path,
+        options: TrainerOptions,
+    ) -> Dict:
+        output_dir = Path(output_dir)
+        reporter = Reporter()
+        ckpt = CheckpointManager(
+            output_dir,
+            keep_nbest=options.keep_nbest_models,
+            best_criteria=options.best_model_criterion,
+            exclude_prefixes=options.exclude_prefixes,
+        )
+        state = init_train_state(variables, tx)
+        start_epoch = 1
+        if options.resume and ckpt.has_checkpoint():
+            loaded = ckpt.load_checkpoint()
+            state = merge_loaded(state, loaded)
+            reporter = Reporter.load(output_dir / "reporter.json")
+            start_epoch = reporter.epoch + 1
+            logger.info(f"resumed from epoch {reporter.epoch}")
+
+        grad_step, apply_step, accum_add = make_train_step(
+            model, tx, options.accum_grad
+        )
+        valid_step = make_valid_step(model)
+        rng = jax.random.PRNGKey(options.seed)
+
+        for epoch in range(start_epoch, options.max_epoch + 1):
+            reporter.set_epoch(epoch)
+            epoch_rng = jax.random.fold_in(rng, epoch)
+
+            # ---- train ----
+            sub = reporter.start_phase("train")
+            state = cls._train_one_epoch(
+                state, grad_step, apply_step, accum_add,
+                train_iter_factory(epoch), epoch_rng, options, sub,
+            )
+            reporter.finish_phase(sub)
+
+            # ---- validate ----
+            sub = reporter.start_phase("valid")
+            for batch in valid_iter_factory(epoch):
+                batch = {k: v for k, v in batch.items() if not k.startswith("_")}
+                stats, weight = valid_step(state["params"], state["extra"], batch)
+                sub.register(
+                    {k: float(v) for k, v in stats.items()}, float(weight)
+                )
+            reporter.finish_phase(sub)
+            reporter.log_epoch()
+
+            # ---- checkpoint ----
+            model_variables = {"params": state["params"], **state["extra"]}
+            ckpt.save_epoch(epoch, model_variables, state, reporter)
+
+            # ---- early stop ----
+            if options.patience is not None:
+                phase, key, mode = options.best_model_criterion[0]
+                if reporter.check_early_stopping(options.patience, phase, key, mode):
+                    break
+
+        # ---- final n-best average (trainer.py:533-540) ----
+        crit = options.average_criterion or options.best_model_criterion[0]
+        try:
+            ckpt.average_nbest(reporter, *crit)
+        except RuntimeError:
+            logger.warning("n-best averaging skipped (no epochs)")
+        return state
+
+    @staticmethod
+    def _train_one_epoch(
+        state, grad_step, apply_step, accum_add, iterator, rng, options, sub
+    ):
+        params, opt_state, extra = state["params"], state["opt_state"], state["extra"]
+        step = int(state["step"])
+        acc_grads = None
+        n_acc = 0
+        t0 = time.perf_counter()
+        for it, batch in enumerate(iterator):
+            it_rng = jax.random.fold_in(rng, it)
+            batch = {k: v for k, v in batch.items() if not k.startswith("_")}
+            grads, extra, stats, weight = grad_step(params, extra, batch, it_rng)
+            acc_grads = grads if acc_grads is None else accum_add(acc_grads, grads)
+            n_acc += 1
+            if n_acc == options.accum_grad:
+                params, opt_state = apply_step(params, opt_state, acc_grads)
+                acc_grads, n_acc = None, 0
+                step += 1
+            sub.register({k: float(v) for k, v in stats.items()}, float(weight))
+            sub.log_interval(options.log_interval)
+        if acc_grads is not None and n_acc > 0:
+            params, opt_state = apply_step(params, opt_state, acc_grads)
+            step += 1
+        dt = time.perf_counter() - t0
+        logger.info(f"epoch took {dt:.1f}s ({step} optim steps total)")
+        return {
+            "step": jnp.asarray(step, jnp.int32),
+            "params": params,
+            "opt_state": opt_state,
+            "extra": extra,
+        }

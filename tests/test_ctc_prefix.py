@@ -1,0 +1,111 @@
+"""CTC prefix scorer vs brute-force path enumeration on tiny inputs."""
+
+import itertools
+
+import jax.numpy as jnp
+import numpy as np
+
+from llm_guided_asr_tpu.search.ctc_prefix import (
+    ctc_prefix_init,
+    ctc_prefix_scores,
+    ctc_prefix_select,
+)
+
+BLANK = 0
+
+
+def collapse(path):
+    out = []
+    prev = None
+    for p in path:
+        if p != BLANK and p != prev:
+            out.append(p)
+        prev = p
+    return tuple(out)
+
+
+def brute_prefix_logprob(logp, prefix):
+    """log sum of P(path) over paths whose collapse STARTS WITH prefix."""
+    T, V = logp.shape
+    total = -np.inf
+    for path in itertools.product(range(V), repeat=T):
+        c = collapse(path)
+        if c[: len(prefix)] == tuple(prefix):
+            lp = sum(logp[t, path[t]] for t in range(T))
+            total = np.logaddexp(total, lp)
+    return total
+
+
+def brute_complete_logprob(logp, seq):
+    T, V = logp.shape
+    total = -np.inf
+    for path in itertools.product(range(V), repeat=T):
+        if collapse(path) == tuple(seq):
+            lp = sum(logp[t, path[t]] for t in range(T))
+            total = np.logaddexp(total, lp)
+    return total
+
+
+def make_logp(T=4, V=4, seed=0):
+    rng = np.random.default_rng(seed)
+    logits = rng.standard_normal((T, V))
+    return (logits - np.log(np.exp(logits).sum(-1, keepdims=True))).astype(np.float32)
+
+
+def test_first_step_scores_match_bruteforce():
+    T, V = 4, 4
+    logp = make_logp(T, V)
+    K = 2
+    state = ctc_prefix_init(jnp.asarray(logp), jnp.asarray(T), beam=K)
+    cand = jnp.asarray([[1, 2, 3], [1, 2, 3]])
+    psi, r_new = ctc_prefix_scores(jnp.asarray(logp), jnp.asarray(T), state, cand)
+    for w, c in enumerate([1, 2, 3]):
+        expect = brute_prefix_logprob(logp, (c,))
+        np.testing.assert_allclose(float(psi[0, w]), expect, rtol=1e-4, atol=1e-5)
+
+
+def test_second_step_and_state_chaining():
+    T, V = 5, 4
+    logp = make_logp(T, V, seed=1)
+    K = 1
+    state = ctc_prefix_init(jnp.asarray(logp), jnp.asarray(T), beam=K)
+    cand1 = jnp.asarray([[2]])
+    psi1, r1 = ctc_prefix_scores(jnp.asarray(logp), jnp.asarray(T), state, cand1)
+    state2 = ctc_prefix_select(r1, psi1, cand1, jnp.asarray([0]), jnp.asarray([0]))
+    # extend with each candidate incl. repeated token (2,2) which needs a blank
+    cand2 = jnp.asarray([[1, 2, 3]])
+    psi2, _ = ctc_prefix_scores(jnp.asarray(logp), jnp.asarray(T), state2, cand2)
+    for w, c in enumerate([1, 2, 3]):
+        expect = brute_prefix_logprob(logp, (2, c))
+        np.testing.assert_allclose(float(psi2[0, w]), expect, rtol=1e-4, atol=1e-5)
+
+
+def test_eos_gives_complete_sequence_prob():
+    T, V = 4, 4
+    eos = 3  # treat 3 as eos for the scorer (it is excluded from CTC paths here)
+    logp = make_logp(T, V, seed=2)
+    state = ctc_prefix_init(jnp.asarray(logp), jnp.asarray(T), beam=1)
+    cand1 = jnp.asarray([[1]])
+    psi1, r1 = ctc_prefix_scores(jnp.asarray(logp), jnp.asarray(T), state, cand1)
+    state2 = ctc_prefix_select(r1, psi1, cand1, jnp.asarray([0]), jnp.asarray([0]))
+    psi2, _ = ctc_prefix_scores(
+        jnp.asarray(logp), jnp.asarray(T), state2, jnp.asarray([[eos]]), eos_id=eos
+    )
+    expect = brute_complete_logprob(logp, (1,))
+    np.testing.assert_allclose(float(psi2[0, 0]), expect, rtol=1e-4, atol=1e-5)
+
+
+def test_length_masking():
+    # frames beyond `length` must not contribute
+    T, V = 6, 4
+    logp = make_logp(T, V, seed=3)
+    L = 4
+    state_full = ctc_prefix_init(jnp.asarray(logp[:L]), jnp.asarray(L), beam=1)
+    psi_ref, _ = ctc_prefix_scores(
+        jnp.asarray(logp[:L]), jnp.asarray(L), state_full, jnp.asarray([[2]])
+    )
+    state_mask = ctc_prefix_init(jnp.asarray(logp), jnp.asarray(L), beam=1)
+    psi_mask, _ = ctc_prefix_scores(
+        jnp.asarray(logp), jnp.asarray(L), state_mask, jnp.asarray([[2]])
+    )
+    np.testing.assert_allclose(float(psi_mask[0, 0]), float(psi_ref[0, 0]), rtol=1e-5)
