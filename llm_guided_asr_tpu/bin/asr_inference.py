@@ -72,11 +72,14 @@ class Speech2Text:
         self.nbest = nbest
         self.speech_pad_multiple = speech_pad_multiple
 
-        token_type = token_type or config.get("token_type", "char")
-        self.tokenizer = build_tokenizer(
-            token_type, bpemodel=bpemodel or config.get("bpemodel")
-        )
-        self.converter = TokenIDConverter(read_token_list(config["token_list"]))
+        from llm_guided_asr_tpu.tasks.asr import build_text_converter
+
+        tc_config = dict(config)
+        if token_type:
+            tc_config["token_type"] = token_type
+        if bpemodel:
+            tc_config["bpemodel"] = bpemodel
+        self.tokenizer, self.converter = build_text_converter(tc_config)
 
         self._encode = jax.jit(
             lambda speech, lengths: model.apply(

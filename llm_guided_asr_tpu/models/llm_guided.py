@@ -1,0 +1,343 @@
+"""LLM-guided ASR model — the fork's headline contribution, TPU-native.
+
+Rebuild of espnet2/asr/llm_guided_asr_model.py:47 (LLMGuidedASRModel) and
+espnet2/asr/decoder/transformer_decoder.py:946 (LLMGuidedTransformerDecoder):
+
+- sos/eos are the LLM's response-delimiter token ids (llm_guided_asr_model.py:76-80);
+- the CTC head is shared into the decoder, which runs first-pass greedy CTC
+  internally (transformer_decoder.py:1021-1039) — here fully on-device;
+- the frozen LLM is prompted with [prefix | ctc-hyp | suffix | response] and
+  its last hidden states at the response positions feed a
+  Linear(llm_hidden -> enc_dim) installed as the decoder 'embed'
+  (llm_guided_asr_model.py:119-125);
+- a 6-block transformer decoder cross-attends to the encoder memory and emits
+  logits over the LLM vocabulary;
+- loss = ctc_weight*ctc + (1-ctc_weight)*label-smoothed att CE
+  (llm_guided_asr_model.py:196-218).
+
+TPU-first: the entire training step — encoder, greedy CTC, prompt packing,
+LLM forward, guided decoder — is ONE jitted graph with static shapes; the
+reference's host-side detokenize/retokenize loop is eliminated.  The same
+``decoder_logits`` method plugs into the on-device BatchBeamSearch unchanged,
+so LLM-guided decoding needs no bespoke search code.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import logging
+from typing import Any, Dict, Optional, Tuple
+
+import flax.linen as nn
+import jax
+import jax.numpy as jnp
+
+from llm_guided_asr_tpu.models.conformer import (
+    ConformerConfig,
+    ConformerEncoder,
+    TransformerEncoder,
+)
+from llm_guided_asr_tpu.models.llm.llama import LlamaConfig, LlamaModel
+from llm_guided_asr_tpu.models.llm.prompt import (
+    PromptTemplate,
+    gather_response,
+    pack_prompt,
+)
+from llm_guided_asr_tpu.models.transformer import DecoderLayer
+from llm_guided_asr_tpu.models.transformer_decoder import TransformerDecoderConfig
+from llm_guided_asr_tpu.ops.frontend import (
+    FrontendConfig,
+    default_frontend,
+    global_mvn,
+    utterance_mvn,
+)
+from llm_guided_asr_tpu.ops.losses import (
+    accuracy,
+    add_sos_eos,
+    ctc_loss,
+    label_smoothing_loss,
+)
+from llm_guided_asr_tpu.ops.specaug import SpecAugConfig, specaug
+from llm_guided_asr_tpu.search.greedy import ctc_greedy_decode
+from llm_guided_asr_tpu.utils.masks import causal_attn_mask, make_valid_mask
+
+logger = logging.getLogger(__name__)
+
+Dtype = Any
+
+
+@dataclasses.dataclass(frozen=True)
+class LLMGuidedASRConfig:
+    vocab_size: int  # = LLM vocab size
+    llm: LlamaConfig
+    prompt: PromptTemplate
+    frontend: Optional[FrontendConfig] = FrontendConfig()
+    specaug: Optional[SpecAugConfig] = None
+    normalize: str = "global_mvn"
+    encoder_type: str = "conformer"
+    encoder: ConformerConfig = ConformerConfig()
+    decoder: TransformerDecoderConfig = TransformerDecoderConfig()
+    ctc_weight: float = 0.3
+    lsm_weight: float = 0.0
+    length_normalized_loss: bool = False
+    ignore_id: int = -1
+    blank_id: int = 0  # llm_guided_asr_model.py:78-80
+
+    @property
+    def sos_id(self) -> int:
+        return self.prompt.start_of_response_id
+
+    @property
+    def eos_id(self) -> int:
+        return self.prompt.end_of_response_id
+
+
+class LLMGuidedASRModel(nn.Module):
+    cfg: LLMGuidedASRConfig
+    dtype: Dtype = jnp.float32
+    llm_dtype: Dtype = jnp.float32  # bfloat16 for real checkpoints
+
+    def setup(self):
+        cfg = self.cfg
+        enc_cls = ConformerEncoder if cfg.encoder_type == "conformer" else TransformerEncoder
+        self.encoder = enc_cls(cfg.encoder, dtype=self.dtype, name="encoder")
+        self.ctc_head = nn.Dense(cfg.vocab_size, dtype=self.dtype, name="ctc_head")
+        self.llm = LlamaModel(cfg.llm, dtype=self.llm_dtype, name="llm")
+        # Linear(llm_hidden -> enc_dim) installed as decoder embed
+        self.embed = nn.Dense(cfg.encoder.output_size, dtype=self.dtype, name="embed")
+        dec = cfg.decoder
+        self.decoders = [
+            DecoderLayer(
+                dec.attention_heads,
+                dec.linear_units,
+                dec.dropout_rate,
+                dec.self_attention_dropout_rate,
+                dec.src_attention_dropout_rate,
+                dtype=self.dtype,
+                name=f"block_{i}",
+            )
+            for i in range(dec.num_blocks)
+        ]
+        self.after_norm = nn.LayerNorm(dtype=self.dtype, name="after_norm")
+        self.output_layer = nn.Dense(cfg.vocab_size, dtype=self.dtype, name="output_layer")
+        n_feat = cfg.frontend.n_mels if cfg.frontend is not None else 1
+        if cfg.normalize == "global_mvn":
+            self.mvn_mean = self.variable("mvn", "mean", lambda: jnp.zeros((n_feat,), jnp.float32))
+            self.mvn_inv_std = self.variable("mvn", "inv_std", lambda: jnp.ones((n_feat,), jnp.float32))
+
+    # ------------------------------------------------------------------
+    def _extract_feats(self, speech, speech_lengths):
+        cfg = self.cfg
+        if cfg.frontend is not None and speech.ndim == 2:
+            f = cfg.frontend
+            return default_frontend(
+                speech, speech_lengths, fs=f.fs, n_fft=f.n_fft,
+                win_length=f.win_length, hop_length=f.hop_length, n_mels=f.n_mels,
+                fmin=f.fmin, fmax=f.fmax, htk=f.htk, center=f.center, window=f.window,
+            )
+        return speech, speech_lengths
+
+    def collect_feats(self, speech, speech_lengths):
+        feats, feats_lengths = self._extract_feats(speech, speech_lengths)
+        return {"feats": feats, "feats_lengths": feats_lengths}
+
+    def encode(self, speech, speech_lengths, deterministic: bool = True):
+        cfg = self.cfg
+        feats, feats_lengths = self._extract_feats(speech, speech_lengths)
+        if cfg.specaug is not None and not deterministic:
+            feats = specaug(self.make_rng("specaug"), feats, feats_lengths, cfg.specaug)
+        if cfg.normalize == "global_mvn":
+            feats = global_mvn(feats, self.mvn_mean.value, self.mvn_inv_std.value, feats_lengths)
+        elif cfg.normalize == "utterance_mvn":
+            feats = utterance_mvn(feats, feats_lengths)
+        feats = feats.astype(self.dtype)
+        # the phase-2 recipe freezes the encoder and forces eval mode
+        # (is_encoder_eval, llm_guided_asr_model.py:160-162): dropout off
+        return self.encoder(feats, feats_lengths, deterministic=True)
+
+    def ctc_logits(self, encoder_out):
+        return self.ctc_head(encoder_out)
+
+    def ctc_log_softmax(self, encoder_out):
+        return jax.nn.log_softmax(self.ctc_head(encoder_out).astype(jnp.float32), axis=-1)
+
+    # ------------------------------------------------------------------
+    def _llm_response_states(
+        self, encoder_out, encoder_out_lengths, ys_in, ys_in_lengths
+    ):
+        """First-pass CTC -> prompt pack -> frozen LLM -> response hidden states."""
+        cfg = self.cfg
+        ctc_lp = self.ctc_log_softmax(encoder_out)
+        hyp, hyp_lengths = ctc_greedy_decode(
+            ctc_lp, encoder_out_lengths, blank_id=cfg.blank_id, pad_id=cfg.prompt.pad_id
+        )
+        ids, valid, resp_start = pack_prompt(
+            cfg.prompt, hyp, hyp_lengths, ys_in, ys_in_lengths
+        )
+        # the LLM is frozen (freeze_param decoder.llm.lm, is_llm_eval):
+        # stop_gradient keeps XLA from building its backward graph
+        hidden, _ = self.llm(ids, valid)
+        hidden = jax.lax.stop_gradient(hidden)
+        resp_hidden = gather_response(hidden, resp_start, ys_in.shape[1])
+        resp_valid = make_valid_mask(ys_in_lengths, ys_in.shape[1])
+        return jnp.where(resp_valid[..., None], resp_hidden.astype(self.dtype), 0.0)
+
+    def decoder_logits(
+        self,
+        encoder_out,
+        encoder_out_lengths,
+        ys_in,
+        ys_in_lengths,
+        deterministic: bool = True,
+    ):
+        """Guided decoder forward (transformer_decoder.py:1014-1065)."""
+        cfg = self.cfg
+        tgt = self._llm_response_states(
+            encoder_out, encoder_out_lengths, ys_in, ys_in_lengths
+        )
+        x = self.embed(tgt)
+        tgt_mask = causal_attn_mask(ys_in_lengths, ys_in.shape[1])
+        memory_mask = make_valid_mask(encoder_out_lengths, encoder_out.shape[1])[:, None, :]
+        for layer in self.decoders:
+            x = layer(x, tgt_mask, encoder_out, memory_mask, deterministic)
+        x = self.after_norm(x)
+        return self.output_layer(x)
+
+    # ------------------------------------------------------------------
+    def __call__(
+        self,
+        speech,
+        speech_lengths,
+        text,  # [B, L] LLM-vocab token ids padded with -1
+        text_lengths,
+        deterministic: bool = True,
+    ) -> Tuple[jnp.ndarray, Dict[str, jnp.ndarray], jnp.ndarray]:
+        cfg = self.cfg
+        batch_size = speech.shape[0]
+        enc_out, enc_lens = self.encode(speech, speech_lengths, deterministic)
+
+        stats: Dict[str, jnp.ndarray] = {}
+        loss_ctc = jnp.asarray(0.0, jnp.float32)
+        if cfg.ctc_weight > 0.0:
+            loss_ctc = ctc_loss(
+                self.ctc_logits(enc_out), enc_lens, text, text_lengths, cfg.blank_id
+            )
+            stats["loss_ctc"] = loss_ctc
+
+        ys_in, ys_out = add_sos_eos(
+            text, text_lengths, cfg.sos_id, cfg.eos_id, cfg.ignore_id
+        )
+        dec_logits = self.decoder_logits(
+            enc_out, enc_lens, ys_in, text_lengths + 1, deterministic
+        )
+        loss_att = label_smoothing_loss(
+            dec_logits, ys_out, cfg.lsm_weight, cfg.ignore_id, cfg.length_normalized_loss
+        )
+        stats["loss_att"] = loss_att
+        stats["acc"] = accuracy(dec_logits, ys_out, cfg.ignore_id)
+
+        if cfg.ctc_weight == 0.0:
+            loss = loss_att
+        else:
+            loss = cfg.ctc_weight * loss_ctc + (1.0 - cfg.ctc_weight) * loss_att
+        stats["loss"] = loss
+        return loss, stats, jnp.asarray(batch_size, jnp.float32)
+
+
+# ---------------------------------------------------------------------------
+# task-layer builder (tasks/asr.py:638-680 analog)
+# ---------------------------------------------------------------------------
+
+def build_llm_guided_model(config: Dict[str, Any], dtype=jnp.float32) -> LLMGuidedASRModel:
+    """Build from a task config dict; LLM weights are injected separately by
+    init_llm_guided_variables (frozen params never live in checkpoints)."""
+    from llm_guided_asr_tpu.models.llm.llama import LlamaConfig
+
+    llm_conf = dict(config.get("llm_conf", {}) or {})
+    spec = _resolve_llm_spec(llm_conf)
+
+    frontend = None
+    if config.get("frontend", "default") not in (None, "none") and config.get("input_size") is None:
+        frontend = FrontendConfig.from_dict(config.get("frontend_conf", {}) or {})
+    spec_aug = None
+    if config.get("specaug") == "specaug":
+        spec_aug = SpecAugConfig.from_dict(config.get("specaug_conf", {}) or {})
+    model_conf = dict(config.get("model_conf", {}) or {})
+
+    cfg = LLMGuidedASRConfig(
+        vocab_size=spec["llm_config"].vocab_size,
+        llm=spec["llm_config"],
+        prompt=spec["template"],
+        frontend=frontend,
+        specaug=spec_aug,
+        normalize=config.get("normalize") or "none",
+        encoder_type=config.get("encoder", "conformer"),
+        encoder=ConformerConfig.from_dict(config.get("encoder_conf", {}) or {}),
+        decoder=TransformerDecoderConfig.from_dict(config.get("decoder_conf", {}) or {}),
+        ctc_weight=float(model_conf.get("ctc_weight", 0.3)),
+        lsm_weight=float(model_conf.get("lsm_weight", 0.0)),
+        length_normalized_loss=bool(model_conf.get("length_normalized_loss", False)),
+    )
+    llm_dtype = {"bfloat16": jnp.bfloat16, "float32": jnp.float32, "float16": jnp.bfloat16}[
+        llm_conf.get("dtype", "float32")
+    ]
+    return LLMGuidedASRModel(cfg, dtype=dtype, llm_dtype=llm_dtype)
+
+
+_LLM_SPEC_CACHE: Dict[str, Dict] = {}
+
+
+def _resolve_llm_spec(llm_conf: Dict[str, Any]) -> Dict:
+    """Load tokenizer+config (and lazily weights) for the configured LLM."""
+    from llm_guided_asr_tpu.models.llm.prompt import split_template
+
+    name = llm_conf["model_name_or_path"]
+    cache_key = f"{name}::{llm_conf.get('template_prompt')}"
+    if cache_key in _LLM_SPEC_CACHE:
+        return _LLM_SPEC_CACHE[cache_key]
+
+    from transformers import AutoConfig, AutoTokenizer
+
+    hf_cfg = AutoConfig.from_pretrained(name, cache_dir=llm_conf.get("cache_dir"))
+    llm_config = LlamaConfig.from_hf_config(hf_cfg)
+    tokenizer = AutoTokenizer.from_pretrained(name, cache_dir=llm_conf.get("cache_dir"))
+    bos = hf_cfg.bos_token_id
+    eos = hf_cfg.eos_token_id
+    if isinstance(eos, (list, tuple)):
+        eos = eos[0]  # llama3 has several eos tokens (llama.py:91-92)
+    if bos is None:
+        bos = tokenizer.bos_token_id if tokenizer.bos_token_id is not None else 0
+    template = split_template(
+        tokenizer,
+        llm_conf.get("template_prompt"),
+        bos_token_id=bos,
+        eos_token_id=eos if eos is not None else 0,
+        pad_token=llm_conf.get("pad_token"),
+    )
+    spec = {
+        "llm_config": llm_config,
+        "template": template,
+        "tokenizer": tokenizer,
+        "name": name,
+        "cache_dir": llm_conf.get("cache_dir"),
+    }
+    _LLM_SPEC_CACHE[cache_key] = spec
+    return spec
+
+
+def load_llm_params(config: Dict[str, Any]) -> Dict:
+    """Convert the HF checkpoint weights for injection at params['llm']."""
+    import torch
+    from transformers import AutoModelForCausalLM
+
+    from llm_guided_asr_tpu.models.llm.llama import convert_hf_state_dict
+
+    llm_conf = dict(config.get("llm_conf", {}) or {})
+    spec = _resolve_llm_spec(llm_conf)
+    hf_model = AutoModelForCausalLM.from_pretrained(
+        spec["name"], cache_dir=spec["cache_dir"], torch_dtype=torch.float32
+    )
+    params = convert_hf_state_dict(hf_model.state_dict(), spec["llm_config"])
+    del hf_model
+    logger.info(f"loaded frozen LLM weights from {spec['name']}")
+    return params

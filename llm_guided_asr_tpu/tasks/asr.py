@@ -168,7 +168,31 @@ def init_model_variables(
     stats_file = (config.get("normalize_conf") or {}).get("stats_file")
     if cfg.normalize == "global_mvn" and stats_file:
         variables["mvn"] = load_mvn_stats(stats_file)
+    if config.get("model") == "llm_guided_asr" and not config.get("_skip_llm_weights"):
+        from llm_guided_asr_tpu.models.llm_guided import load_llm_params
+
+        variables["params"] = {**variables["params"], "llm": load_llm_params(config)}
     return variables
+
+
+# reference freeze_param / init_param names (dot paths) -> our param tree paths
+_PARAM_NAME_ALIASES = {
+    "encoder": "encoder",
+    "ctc": "ctc_head",
+    "ctc.ctc_lo": "ctc_head",
+    "decoder": "decoder",
+    "decoder.llm": "llm",
+    "decoder.llm.lm": "llm",
+    "llm": "llm",
+    "decoder.embed": "embed",
+    "embed": "embed",
+}
+
+
+def translate_param_path(name: str) -> str:
+    if name in _PARAM_NAME_ALIASES:
+        return _PARAM_NAME_ALIASES[name]
+    return name.replace(".", "/")
 
 
 def load_mvn_stats(stats_file: Union[str, Path]) -> Dict[str, jnp.ndarray]:
@@ -190,8 +214,8 @@ def apply_init_param(variables: Dict, init_param: Sequence[str]) -> Dict:
     for spec in init_param:
         parts = spec.split(":")
         path = parts[0]
-        src = parts[1] if len(parts) > 1 else ""
-        dst = parts[2] if len(parts) > 2 else ""
+        src = translate_param_path(parts[1]) if len(parts) > 1 and parts[1] else ""
+        dst = translate_param_path(parts[2]) if len(parts) > 2 and parts[2] else ""
         params = load_partial(params, path, src, dst)
         logger.info(f"loaded init_param {spec}")
     return {**variables, "params": params}
@@ -201,15 +225,35 @@ def apply_init_param(variables: Dict, init_param: Sequence[str]) -> Dict:
 # data building
 # ---------------------------------------------------------------------------
 
-def build_preprocess_fn(config: Dict[str, Any]) -> CommonPreprocessor:
+def _hf_model_name(config: Dict[str, Any]) -> Optional[str]:
+    return config.get("bpemodel") or (config.get("llm_conf") or {}).get("model_name_or_path")
+
+
+def build_text_converter(config: Dict[str, Any]):
+    """(tokenizer, id_converter) per token_type; hugging_face shares the LLM
+    tokenizer so text ids live in the LLM vocabulary (run.sh:36-37)."""
     token_type = config.get("token_type", "char")
+    if token_type == "hugging_face":
+        from llm_guided_asr_tpu.text.tokenizers import (
+            HuggingFaceTokenIDConverter,
+            HuggingFaceTokenizer,
+        )
+
+        name = _hf_model_name(config)
+        return HuggingFaceTokenizer(name), HuggingFaceTokenIDConverter(name)
     tokenizer = build_tokenizer(token_type, bpemodel=config.get("bpemodel"))
     converter = TokenIDConverter(read_token_list(config["token_list"]))
+    return tokenizer, converter
+
+
+def build_preprocess_fn(config: Dict[str, Any]) -> CommonPreprocessor:
+    tokenizer, converter = build_text_converter(config)
     return CommonPreprocessor(tokenizer, converter)
 
 
 def build_dataset(config: Dict[str, Any], triples: Sequence) -> ESPnetDataset:
-    pre = build_preprocess_fn(config) if config.get("token_list") else None
+    has_text = config.get("token_list") or config.get("token_type") == "hugging_face"
+    pre = build_preprocess_fn(config) if has_text else None
     return ESPnetDataset([tuple(t) for t in triples], preprocess=pre)
 
 
@@ -264,6 +308,8 @@ def build_iter_factory(
 def collect_stats(config: Dict[str, Any], output_dir: Path):
     from llm_guided_asr_tpu.data.fileio import write_shape_file
 
+    # collect_feats only touches the frontend; skip loading frozen LLM weights
+    config = {**config, "_skip_llm_weights": True}
     model = build_model(config)
     variables = init_model_variables(model, config, int(config.get("seed", 0)))
 
@@ -345,7 +391,9 @@ class ASRTask:
         if config.get("init_param"):
             variables = apply_init_param(variables, config["init_param"])
 
-        freeze = list(config.get("freeze_param") or [])
+        freeze = [translate_param_path(f) for f in (config.get("freeze_param") or [])]
+        if config.get("model") == "llm_guided_asr" and "llm" not in freeze:
+            freeze.append("llm")  # the LLM is always frozen (llm_guided_asr_model.py)
         freeze_mask = path_prefix_mask(variables["params"], freeze) if freeze else None
         tx = build_optimizer(
             config.get("optim", "adam"),
@@ -363,6 +411,10 @@ class ASRTask:
         valid_iter = build_iter_factory(config, valid_ds, shuffle=False,
                                         shape_files=config.get("valid_shape_file", []))
 
+        exclude = list(config.get("exclude_checkpoint_prefixes", ()) or ())
+        if config.get("model") == "llm_guided_asr" and "params/llm" not in exclude:
+            # never persist the frozen LLM (trainer.py:408-417)
+            exclude.append("params/llm")
         options = TrainerOptions(
             max_epoch=int(config.get("max_epoch", 40)),
             accum_grad=int(config.get("accum_grad", 1)),
@@ -372,7 +424,7 @@ class ASRTask:
             best_model_criterion=[tuple(c) for c in config.get("best_model_criterion")],
             resume=bool(config.get("resume", False)),
             seed=int(config.get("seed", 0)),
-            exclude_prefixes=tuple(config.get("exclude_checkpoint_prefixes", ()) or ()),
+            exclude_prefixes=tuple(exclude),
         )
         return Trainer.run(model, variables, tx, train_iter, valid_iter, output_dir, options)
 

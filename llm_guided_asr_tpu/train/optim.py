@@ -176,14 +176,23 @@ def build_optimizer(
     grad_clip default 5.0 matches the reference trainer
     (trainer.py clip_grad_norm_, TrainerOptions.grad_clip).
     """
+    import jax
+
     conf = dict(conf or {})
     lr = float(conf.pop("lr", 1e-3))
     schedule = build_schedule(scheduler, lr, scheduler_conf)
     tx = OPTIMIZER_REGISTRY[name.lower()](schedule, **conf)
     parts = []
     if freeze_mask is not None:
+        # zero frozen grads before the norm clip, and mask the optimizer so it
+        # allocates NO moment state for frozen subtrees (matters for the
+        # frozen multi-B-param LLM)
         parts.append(optax.masked(optax.set_to_zero(), freeze_mask))
     if grad_clip is not None and grad_clip > 0:
         parts.append(optax.clip_by_global_norm(grad_clip))
-    parts.append(tx)
+    if freeze_mask is not None:
+        trainable = jax.tree_util.tree_map(lambda m: not m, freeze_mask)
+        parts.append(optax.masked(tx, trainable))
+    else:
+        parts.append(tx)
     return optax.chain(*parts)
