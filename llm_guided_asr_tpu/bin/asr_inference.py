@@ -49,6 +49,9 @@ class Speech2Text:
         asr_model_file: Optional[Union[str, Path]] = None,
         token_type: Optional[str] = None,
         bpemodel: Optional[str] = None,
+        lm_train_config: Optional[Union[str, Path]] = None,
+        lm_file: Optional[Union[str, Path]] = None,
+        lm_weight: float = 1.0,
         ctc_weight: float = 0.5,
         beam_size: int = 10,
         penalty: float = 0.0,
@@ -89,6 +92,16 @@ class Speech2Text:
         self._ctc_logp = jax.jit(
             lambda enc: model.apply(variables, enc, method=model.ctc_log_softmax)
         )
+        # shallow fusion LM (asr_inference.py:184-196)
+        lm_score_fn = None
+        if lm_train_config is not None:
+            from llm_guided_asr_tpu.models.lm import make_lm_score_fn
+            from llm_guided_asr_tpu.tasks.lm import LMTask
+
+            lm_wrap, lm_vars, _ = LMTask.build_model_from_file(lm_train_config, lm_file)
+            lm_score_fn = make_lm_score_fn(lm_wrap.lm, {"params": lm_vars["params"]["lm"]})
+        self.lm_weight = lm_weight if lm_score_fn is not None else 0.0
+
         self._beam = None
         if self.beam_size > 1 or self.ctc_weight < 1.0:
             from llm_guided_asr_tpu.search.beam_search import BatchBeamSearch
@@ -102,6 +115,8 @@ class Speech2Text:
                 beam_size=max(self.beam_size, 1),
                 ctc_weight=self.ctc_weight,
                 penalty=self.penalty,
+                lm_score_fn=lm_score_fn,
+                lm_weight=self.lm_weight,
             )
 
     def __call__(
@@ -170,6 +185,9 @@ def main(cmd=None):
         "data_path_and_name_and_type": [],
         "asr_train_config": None,
         "asr_model_file": None,
+        "lm_train_config": None,
+        "lm_file": None,
+        "lm_weight": 1.0,
         "ctc_weight": 0.5,
         "beam_size": 10,
         "penalty": 0.0,
@@ -187,6 +205,9 @@ def main(cmd=None):
         [tuple(t) for t in config["data_path_and_name_and_type"]],
         config["asr_train_config"],
         config.get("asr_model_file"),
+        lm_train_config=config.get("lm_train_config"),
+        lm_file=config.get("lm_file"),
+        lm_weight=float(config.get("lm_weight", 1.0)),
         ctc_weight=float(config.get("ctc_weight", 0.5)),
         beam_size=int(config.get("beam_size", 10)),
         penalty=float(config.get("penalty", 0.0)),

@@ -19,7 +19,7 @@ import optax
 # LR schedules (espnet2/schedulers/*)
 # ---------------------------------------------------------------------------
 
-def warmup_lr(lr: float, warmup_steps: int = 25000) -> optax.Schedule:
+def warmup_lr(lr: float, warmup_steps: int = 25000, **_unused) -> optax.Schedule:
     """espnet2/schedulers/warmuplr.py: lr * w^0.5 * min(s^-0.5, s * w^-1.5)."""
 
     def schedule(step):
@@ -30,7 +30,7 @@ def warmup_lr(lr: float, warmup_steps: int = 25000) -> optax.Schedule:
     return schedule
 
 
-def noam_lr(lr: float, model_size: int = 320, warmup_steps: int = 25000) -> optax.Schedule:
+def noam_lr(lr: float, model_size: int = 320, warmup_steps: int = 25000, **_unused) -> optax.Schedule:
     """espnet2/schedulers/noamlr.py (equivalent to warmuplr scaled by d^-0.5)."""
 
     def schedule(step):
@@ -41,11 +41,11 @@ def noam_lr(lr: float, model_size: int = 320, warmup_steps: int = 25000) -> opta
     return schedule
 
 
-def constant_lr(lr: float) -> optax.Schedule:
+def constant_lr(lr: float, **_unused) -> optax.Schedule:
     return lambda step: jnp.asarray(lr, jnp.float32)
 
 
-def exponential_decay_lr(lr: float, decay_rate: float = 0.96, decay_steps: int = 10000) -> optax.Schedule:
+def exponential_decay_lr(lr: float, decay_rate: float = 0.96, decay_steps: int = 10000, **_unused) -> optax.Schedule:
     return optax.exponential_decay(lr, decay_steps, decay_rate)
 
 

@@ -34,6 +34,9 @@ from llm_guided_asr_tpu.train.reporter import Reporter
 logger = logging.getLogger(__name__)
 
 
+DEFAULT_BATCH_ARGS = ("speech", "speech_lengths", "text", "text_lengths")
+
+
 @dataclasses.dataclass
 class TrainerOptions:
     """Subset mirror of reference TrainerOptions (trainer.py:77-106)."""
@@ -50,6 +53,7 @@ class TrainerOptions:
     seed: int = 0
     exclude_prefixes: Sequence[str] = ()  # e.g. ("params/decoder/llm",)
     average_criterion: Optional[Tuple[str, str, str]] = None  # default: first best criterion
+    batch_args: Tuple[str, ...] = DEFAULT_BATCH_ARGS
 
 
 class TrainState(dict):
@@ -76,6 +80,7 @@ def make_train_step(
     tx: optax.GradientTransformation,
     accum_grad: int = 1,
     donate: bool = True,
+    batch_args: Tuple[str, ...] = DEFAULT_BATCH_ARGS,
 ):
     """Build the jitted microbatch-gradient and update functions.
 
@@ -89,13 +94,10 @@ def make_train_step(
         mutable = [k for k in extra.keys() if k == "batch_stats"]
         out = model.apply(
             variables,
-            batch["speech"],
-            batch["speech_lengths"],
-            batch["text"],
-            batch["text_lengths"],
+            *(batch[k] for k in batch_args),
             deterministic=False,
             rngs={"dropout": rng, "specaug": jax.random.fold_in(rng, 1)},
-            mutable=mutable,
+            mutable=mutable if mutable else False,
         )
         if mutable:
             (loss, stats, weight), updated = out
@@ -125,15 +127,12 @@ def make_train_step(
     return grad_step, apply_step, accum_add
 
 
-def make_valid_step(model):
+def make_valid_step(model, batch_args: Tuple[str, ...] = DEFAULT_BATCH_ARGS):
     @jax.jit
     def valid_step(params, extra, batch):
         loss, stats, weight = model.apply(
             {"params": params, **extra},
-            batch["speech"],
-            batch["speech_lengths"],
-            batch["text"],
-            batch["text_lengths"],
+            *(batch[k] for k in batch_args),
             deterministic=True,
         )
         return stats, weight
@@ -173,9 +172,9 @@ class Trainer:
             logger.info(f"resumed from epoch {reporter.epoch}")
 
         grad_step, apply_step, accum_add = make_train_step(
-            model, tx, options.accum_grad
+            model, tx, options.accum_grad, batch_args=tuple(options.batch_args)
         )
-        valid_step = make_valid_step(model)
+        valid_step = make_valid_step(model, tuple(options.batch_args))
         rng = jax.random.PRNGKey(options.seed)
 
         for epoch in range(start_epoch, options.max_epoch + 1):
