@@ -114,26 +114,32 @@ class ESPnetDataset:
 
 
 class CommonPreprocessor:
-    """Tokenize 'text' to int ids (preprocessor.py:137, minus wav aug)."""
+    """Tokenize text fields to int ids (preprocessor.py:137, minus wav aug).
+
+    All names in ``text_names`` are tokenized (the MutliTokenizerCommon-
+    Preprocessor multi-field analog; ST uses text + src_text).
+    """
 
     def __init__(
         self,
         tokenizer: Optional[AbsTokenizer] = None,
         token_id_converter: Optional[TokenIDConverter] = None,
         text_name: str = "text",
+        text_names: Optional[Sequence[str]] = None,
     ):
         self.tokenizer = tokenizer
         self.converter = token_id_converter
-        self.text_name = text_name
+        self.text_names = tuple(text_names) if text_names else (text_name, "src_text")
 
     def __call__(self, uid: str, data: Dict) -> Dict:
-        if self.text_name in data and isinstance(data[self.text_name], str):
-            if self.tokenizer is None or self.converter is None:
-                raise RuntimeError("text present but no tokenizer configured")
-            tokens = self.tokenizer.text2tokens(data[self.text_name])
-            ids = np.array(self.converter.tokens2ids(tokens), dtype=np.int64)
-            data = {**data, self.text_name: ids}
-        return data
+        out = dict(data)
+        for name in self.text_names:
+            if name in out and isinstance(out[name], str):
+                if self.tokenizer is None or self.converter is None:
+                    raise RuntimeError("text present but no tokenizer configured")
+                tokens = self.tokenizer.text2tokens(out[name])
+                out[name] = np.array(self.converter.tokens2ids(tokens), dtype=np.int64)
+        return out
 
 
 def round_up(x: int, multiple: int) -> int:
