@@ -106,6 +106,13 @@ class Speech2Text:
         if self.beam_size > 1 or self.ctc_weight < 1.0:
             from llm_guided_asr_tpu.search.beam_search import BatchBeamSearch
 
+            att_scorer = None
+            if hasattr(model, "decode_prefix"):
+                # LLM-guided: shared-prefix KV-cached scoring (use_cache
+                # analog, transformer_decoder.py:1012)
+                from llm_guided_asr_tpu.search.scorers import CachedGuidedScorer
+
+                att_scorer = CachedGuidedScorer(model, variables)
             self._beam = BatchBeamSearch(
                 model,
                 variables,
@@ -117,6 +124,7 @@ class Speech2Text:
                 penalty=self.penalty,
                 lm_score_fn=lm_score_fn,
                 lm_weight=self.lm_weight,
+                att_scorer=att_scorer,
             )
 
     def __call__(

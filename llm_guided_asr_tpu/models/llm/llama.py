@@ -153,11 +153,11 @@ class LlamaAttention(nn.Module):
         q = apply_rope(q, positions, inv_freq)
         k = apply_rope(k, positions, inv_freq)
 
+        new_cache = (k, v)  # K/V of the NEW tokens only (caller owns the buffer)
         if cache is not None:
             ck, cv = cache
             k = jnp.concatenate([ck, k], axis=1)
             v = jnp.concatenate([cv, v], axis=1)
-        new_cache = (k, v)
 
         rep = h // hkv
         if rep > 1:

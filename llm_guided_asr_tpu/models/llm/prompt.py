@@ -133,8 +133,11 @@ def pack_prompt(
     from_hyp = jnp.take_along_axis(hyp, idx_hyp.astype(jnp.int32), axis=1)
     idx_suf = jnp.clip(pos - hyp_end, 0, max(s - 1, 0))
     from_suf = suffix_arr[idx_suf] if s else jnp.zeros((b, total), jnp.int32)
-    idx_resp = jnp.broadcast_to(jnp.clip(pos - suf_end, 0, max(l_max - 1, 0)), (b, total))
-    from_resp = jnp.take_along_axis(resp, idx_resp.astype(jnp.int32), axis=1)
+    if l_max > 0:
+        idx_resp = jnp.broadcast_to(jnp.clip(pos - suf_end, 0, l_max - 1), (b, total))
+        from_resp = jnp.take_along_axis(resp, idx_resp.astype(jnp.int32), axis=1)
+    else:
+        from_resp = jnp.zeros((b, total), jnp.int32)
     from_pre = prefix_arr[jnp.clip(pos, 0, max(p - 1, 0))] if p else jnp.zeros((1, total), jnp.int32)
 
     in_pre = pos < p

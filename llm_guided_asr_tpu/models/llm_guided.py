@@ -204,6 +204,119 @@ class LLMGuidedASRModel(nn.Module):
         return self.output_layer(x)
 
     # ------------------------------------------------------------------
+    # cached decoding (TPU rebuild of forward_one_step_cached /
+    # batch_score_cached, transformer_decoder.py:1134-1235 + the
+    # shared-prefix KV trick of llama.py:269-356)
+    # ------------------------------------------------------------------
+    def decode_prefix(self, encoder_out, encoder_out_lengths, beam: int, resp_max: int):
+        """First-pass CTC + prompt-only LLM forward; build static KV buffers.
+
+        The prompt KV is computed ONCE per utterance and broadcast across the
+        beam (llama.py:288-314); response positions are appended per beam at
+        static offsets.  Returns the scorer state pytree.
+        """
+        cfg = self.cfg
+        ctc_lp = self.ctc_log_softmax(encoder_out)
+        hyp, hyp_lengths = ctc_greedy_decode(
+            ctc_lp, encoder_out_lengths, blank_id=cfg.blank_id, pad_id=cfg.prompt.pad_id
+        )
+        b = encoder_out.shape[0]
+        empty_resp = jnp.zeros((b, 0), jnp.int32)
+        ids, valid, _ = pack_prompt(
+            cfg.prompt, hyp, hyp_lengths, empty_resp, jnp.zeros((b,), jnp.int32)
+        )
+        _, cache = self.llm(ids, valid)
+        tp = ids.shape[1]
+        tc = tp + resp_max
+        n_layers = cfg.llm.num_hidden_layers
+        hkv = cfg.llm.num_key_value_heads
+        hd = cfg.llm.hidden_size // cfg.llm.num_attention_heads
+        k_buf = jnp.zeros((n_layers, beam, tc, hkv, hd), jnp.float32)
+        v_buf = jnp.zeros((n_layers, beam, tc, hkv, hd), jnp.float32)
+        for i, (k, v) in enumerate(cache["layers"]):
+            k_buf = k_buf.at[i, :, :tp].set(jnp.broadcast_to(k[:1], (beam, tp, hkv, hd)))
+            v_buf = v_buf.at[i, :, :tp].set(jnp.broadcast_to(v[:1], (beam, tp, hkv, hd)))
+        kv_valid = jnp.zeros((beam, tc), bool).at[:, :tp].set(
+            jnp.broadcast_to(valid[:1], (beam, tp))
+        )
+        prompt_nvalid = jnp.sum(valid[0].astype(jnp.int32))
+        resp_states = jnp.zeros((beam, resp_max, cfg.llm.hidden_size), jnp.float32)
+        return {
+            "k": jax.lax.stop_gradient(k_buf),
+            "v": jax.lax.stop_gradient(v_buf),
+            "kv_valid": kv_valid,
+            "prompt_nvalid": prompt_nvalid,
+            "prompt_len": tp,
+            "resp_states": resp_states,
+        }
+
+    def decode_step(
+        self,
+        encoder_out,  # [1, T, D] (single utterance)
+        encoder_out_lengths,  # [1]
+        state: Dict,
+        last_token: jnp.ndarray,  # [K] most recent response token (sos at step 0)
+        step: jnp.ndarray,  # scalar response position index
+    ):
+        """One cached decode step: LLM on the new token only -> guided decoder
+        over the response-state buffer -> log-probs [K, V]."""
+        cfg = self.cfg
+        k_buf, v_buf = state["k"], state["v"]
+        n_layers, beam, tc = k_buf.shape[:3]
+        tp = state["prompt_len"]
+        resp_max = state["resp_states"].shape[1]
+
+        cache = {"layers": [(k_buf[i], v_buf[i]) for i in range(n_layers)]}
+        positions = jnp.broadcast_to(
+            (state["prompt_nvalid"] + step)[None, None], (beam, 1)
+        )
+        hidden, new_kv = self.llm(
+            last_token[:, None],
+            jnp.ones((beam, 1), bool),
+            cache=cache,
+            cache_valid=state["kv_valid"],
+            positions=positions,
+        )
+        hidden = jax.lax.stop_gradient(hidden)
+        write = tp + step
+        for i, (k, v) in enumerate(new_kv["layers"]):
+            k_buf = jax.lax.dynamic_update_slice(k_buf, k[None].astype(k_buf.dtype), (i, 0, write, 0, 0))
+            v_buf = jax.lax.dynamic_update_slice(v_buf, v[None].astype(v_buf.dtype), (i, 0, write, 0, 0))
+        kv_valid = state["kv_valid"].at[:, write].set(True)
+        resp_states = jax.lax.dynamic_update_slice(
+            state["resp_states"], hidden.astype(jnp.float32), (0, step, 0)
+        )
+
+        # guided decoder over the response buffer (cheap: enc_dim x resp_max)
+        lens = jnp.full((beam,), step + 1, jnp.int32)
+        enc_k = jnp.broadcast_to(encoder_out[0], (beam,) + encoder_out.shape[1:])
+        enc_lens_k = jnp.full((beam,), encoder_out_lengths[0], jnp.int32)
+        logits = self._guided_decode_from_states(
+            resp_states.astype(self.dtype), lens, enc_k, enc_lens_k
+        )
+        logp = jax.nn.log_softmax(
+            jnp.take_along_axis(logits, jnp.broadcast_to(step[None, None, None], (beam, 1, 1)).astype(jnp.int32), axis=1)[:, 0].astype(jnp.float32),
+            axis=-1,
+        )
+        new_state = {
+            "k": k_buf,
+            "v": v_buf,
+            "kv_valid": kv_valid,
+            "prompt_nvalid": state["prompt_nvalid"],
+            "prompt_len": tp,
+            "resp_states": resp_states,
+        }
+        return logp, new_state
+
+    def _guided_decode_from_states(self, tgt_states, lens, encoder_out, encoder_out_lengths):
+        x = self.embed(tgt_states)
+        tgt_mask = causal_attn_mask(lens, tgt_states.shape[1])
+        memory_mask = make_valid_mask(encoder_out_lengths, encoder_out.shape[1])[:, None, :]
+        for layer in self.decoders:
+            x = layer(x, tgt_mask, encoder_out, memory_mask, True)
+        return self.output_layer(self.after_norm(x))
+
+    # ------------------------------------------------------------------
     def __call__(
         self,
         speech,

@@ -74,9 +74,13 @@ class BatchBeamSearch:
         lm_weight: float = 0.0,
         blank_id: int = 0,
         pre_beam_ratio: float = 1.5,
+        att_scorer=None,
     ):
+        from llm_guided_asr_tpu.search.scorers import StatelessAttScorer
+
         self.model = model
         self.variables = variables
+        self.att_scorer = att_scorer or StatelessAttScorer(model, variables)
         self.vocab_size = vocab_size
         self.sos = sos
         self.eos = eos
@@ -92,27 +96,15 @@ class BatchBeamSearch:
             self._search, static_argnames=("lmax",)
         )
 
-    # -- full scorer: attention decoder --------------------------------
-    def _att_logp(self, enc_k, enc_lens_k, tokens, lengths):
-        logits = self.model.apply(
-            self.variables, enc_k, enc_lens_k, tokens, lengths,
-            method=self.model.decoder_logits,
-        )  # [K, Lmax, V]
-        k = tokens.shape[0]
-        last = logits[jnp.arange(k), lengths - 1]  # [K, V]
-        return jax.nn.log_softmax(last.astype(jnp.float32), axis=-1)
-
     # -- core loop ------------------------------------------------------
     def _search(self, enc, enc_len, maxlen, minlen, lmax: int):
         K, W, V = self.K, self.W, self.vocab_size
-        t_enc = enc.shape[1]
-        enc_k = jnp.broadcast_to(enc[0], (K,) + enc.shape[1:])
-        enc_lens_k = jnp.full((K,), enc_len, jnp.int32)
 
         ctc_logp = self.model.apply(
             self.variables, enc, method=self.model.ctc_log_softmax
         )[0]  # [T, V]
 
+        att_state0 = self.att_scorer.init(enc, enc_len, K, lmax)
         init = BeamState(
             step=jnp.asarray(0, jnp.int32),
             alive_tokens=jnp.full((K, lmax), self.sos, jnp.int32),
@@ -124,16 +116,19 @@ class BatchBeamSearch:
             fin_score=jnp.full((K,), NEG_INF),
         )
 
-        def cond(s: BeamState):
+        def cond(carry):
+            s, _ = carry
             room = s.step < jnp.minimum(maxlen, lmax - 1)
             viable = jnp.max(s.alive_score) > jnp.min(s.fin_score)
             return jnp.logical_and(room, viable)
 
-        def body(s: BeamState) -> BeamState:
+        def body(carry):
+            s, att_state = carry
             # 1. full scorers
-            full = self.att_weight * self._att_logp(
-                enc_k, enc_lens_k, s.alive_tokens, s.alive_len
+            att_logp, att_state = self.att_scorer.step(
+                enc, enc_len, att_state, s.alive_tokens, s.alive_len, s.step
             )
+            full = self.att_weight * att_logp
             if self.lm_score_fn is not None and self.lm_weight != 0.0:
                 full = full + self.lm_weight * self.lm_score_fn(
                     s.alive_tokens, s.alive_len
@@ -191,19 +186,23 @@ class BatchBeamSearch:
             )
             new_len = ins + 1
             new_ctc = ctc_prefix_select(r_new, psi, cand, parent, cidx)
+            att_state = self.att_scorer.select(att_state, parent)
 
-            return BeamState(
-                step=s.step + 1,
-                alive_tokens=new_tokens,
-                alive_len=new_len,
-                alive_score=new_score,
-                ctc=new_ctc,
-                fin_tokens=fin_tokens,
-                fin_len=fin_len,
-                fin_score=fin_top,
+            return (
+                BeamState(
+                    step=s.step + 1,
+                    alive_tokens=new_tokens,
+                    alive_len=new_len,
+                    alive_score=new_score,
+                    ctc=new_ctc,
+                    fin_tokens=fin_tokens,
+                    fin_len=fin_len,
+                    fin_score=fin_top,
+                ),
+                att_state,
             )
 
-        final = jax.lax.while_loop(cond, body, init)
+        final, _ = jax.lax.while_loop(cond, body, (init, att_state0))
 
         # merge still-alive hyps (maxlen reached) into finished (post_process
         # at last step, beam_search.py:500): append eos, keep raw score.
