@@ -76,8 +76,9 @@ class ASRModel(nn.Module):
 
     def setup(self):
         cfg = self.cfg
-        enc_cls = ConformerEncoder if cfg.encoder_type == "conformer" else TransformerEncoder
-        self.encoder = enc_cls(cfg.encoder, dtype=self.dtype, name="encoder")
+        from llm_guided_asr_tpu.models.conformer import make_encoder
+
+        self.encoder = make_encoder(cfg.encoder_type, cfg.encoder, self.dtype, name="encoder")
         if cfg.ctc_weight < 1.0:
             self.decoder = TransformerDecoder(
                 cfg.vocab_size, cfg.decoder, dtype=self.dtype, name="decoder"

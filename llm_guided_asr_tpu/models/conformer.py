@@ -253,6 +253,27 @@ class ConformerEncoder(nn.Module):
         return x, out_lengths
 
 
+def make_encoder(encoder_type: str, cfg: "ConformerConfig", dtype=jnp.float32, name: str = "encoder"):
+    """Encoder registry (tasks/asr.py encoder_choices analog)."""
+    if encoder_type == "conformer":
+        return ConformerEncoder(cfg, dtype=dtype, name=name)
+    if encoder_type == "transformer":
+        return TransformerEncoder(cfg, dtype=dtype, name=name)
+    if encoder_type == "e_branchformer":
+        from llm_guided_asr_tpu.models.branchformer import EBranchformerEncoder
+
+        return EBranchformerEncoder(cfg, dtype=dtype, name=name)
+    if encoder_type == "branchformer":
+        from llm_guided_asr_tpu.models.branchformer import BranchformerEncoder
+
+        return BranchformerEncoder(cfg, dtype=dtype, name=name)
+    if encoder_type == "contextual_block_conformer":
+        from llm_guided_asr_tpu.models.streaming import ContextualBlockConformerEncoder
+
+        return ContextualBlockConformerEncoder(cfg, dtype=dtype, name=name)
+    raise ValueError(f"unknown encoder type {encoder_type!r}")
+
+
 class TransformerEncoder(nn.Module):
     """Plain transformer encoder (espnet2/asr/encoder/transformer_encoder.py)."""
 

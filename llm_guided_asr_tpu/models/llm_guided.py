@@ -99,8 +99,9 @@ class LLMGuidedASRModel(nn.Module):
 
     def setup(self):
         cfg = self.cfg
-        enc_cls = ConformerEncoder if cfg.encoder_type == "conformer" else TransformerEncoder
-        self.encoder = enc_cls(cfg.encoder, dtype=self.dtype, name="encoder")
+        from llm_guided_asr_tpu.models.conformer import make_encoder
+
+        self.encoder = make_encoder(cfg.encoder_type, cfg.encoder, self.dtype, name="encoder")
         self.ctc_head = nn.Dense(cfg.vocab_size, dtype=self.dtype, name="ctc_head")
         self.llm = LlamaModel(cfg.llm, dtype=self.llm_dtype, name="llm")
         # Linear(llm_hidden -> enc_dim) installed as decoder embed

@@ -139,8 +139,9 @@ class TransducerModel(nn.Module):
 
     def setup(self):
         cfg = self.cfg
-        enc_cls = ConformerEncoder if cfg.encoder_type == "conformer" else TransformerEncoder
-        self.encoder = enc_cls(cfg.encoder, dtype=self.dtype, name="encoder")
+        from llm_guided_asr_tpu.models.conformer import make_encoder
+
+        self.encoder = make_encoder(cfg.encoder_type, cfg.encoder, self.dtype, name="encoder")
         dec_type = cfg.decoder.decoder_type
         if dec_type == "stateless":
             self.decoder = StatelessDecoder(cfg.vocab_size, cfg.decoder, dtype=self.dtype, name="decoder")

@@ -116,8 +116,12 @@ def build_model_config(config: Dict[str, Any]) -> ASRModelConfig:
 
     enc_conf = dict(config.get("encoder_conf", {}) or {})
     encoder_type = config.get("encoder", "conformer")
-    if encoder_type not in ("conformer", "transformer"):
-        raise ValueError(f"unknown encoder {encoder_type!r}")
+    known_encoders = (
+        "conformer", "transformer", "e_branchformer", "branchformer",
+        "contextual_block_conformer",
+    )
+    if encoder_type not in known_encoders:
+        raise ValueError(f"unknown encoder {encoder_type!r}; known: {known_encoders}")
     encoder = ConformerConfig.from_dict(enc_conf)
 
     dec_conf = dict(config.get("decoder_conf", {}) or {})

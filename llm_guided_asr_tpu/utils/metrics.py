@@ -7,13 +7,72 @@ Levenshtein aligner producing the same corpus-level error rates
 
 from __future__ import annotations
 
+import ctypes
+import functools
+import logging
+import subprocess
+from pathlib import Path
 from typing import Dict, Iterable, List, Sequence, Tuple
 
 import numpy as np
 
+logger = logging.getLogger(__name__)
+
+
+@functools.lru_cache(maxsize=1)
+def _native_lib():
+    """Lazily build + load the C++ aligner (csrc/edit_distance.cpp); None on failure."""
+    try:
+        src = Path(__file__).resolve().parents[2] / "csrc" / "edit_distance.cpp"
+        if not src.exists():
+            return None
+        build = Path(__file__).resolve().parent / "_build"
+        build.mkdir(exist_ok=True)
+        so = build / "edit_distance.so"
+        if not so.exists() or so.stat().st_mtime < src.stat().st_mtime:
+            subprocess.run(
+                ["g++", "-O3", "-shared", "-fPIC", "-o", str(so), str(src)],
+                check=True, capture_output=True,
+            )
+        lib = ctypes.CDLL(str(so))
+        lib.edit_distance_i64.argtypes = [
+            ctypes.POINTER(ctypes.c_int64), ctypes.c_int64,
+            ctypes.POINTER(ctypes.c_int64), ctypes.c_int64,
+            ctypes.POINTER(ctypes.c_int64),
+        ]
+        return lib
+    except Exception as e:  # pragma: no cover - depends on toolchain
+        logger.warning(f"native aligner unavailable, using python DP: {e}")
+        return None
+
+
+def _tokens_to_i64(seq: Sequence) -> np.ndarray:
+    """Map arbitrary hashable tokens to int64 codes (shared per call site)."""
+    return seq  # resolved in edit_distance below
+
 
 def edit_distance(ref: Sequence, hyp: Sequence) -> Tuple[int, int, int, int]:
     """Returns (#sub, #del, #ins, #correct) of the optimal alignment."""
+    lib = _native_lib()
+    if lib is not None:
+        vocab: Dict = {}
+        enc = lambda s: np.array(
+            [vocab.setdefault(t, len(vocab)) for t in s], dtype=np.int64
+        )
+        r = enc(ref)
+        h = enc(hyp)
+        out = np.zeros(4, np.int64)
+        lib.edit_distance_i64(
+            r.ctypes.data_as(ctypes.POINTER(ctypes.c_int64)), len(r),
+            h.ctypes.data_as(ctypes.POINTER(ctypes.c_int64)), len(h),
+            out.ctypes.data_as(ctypes.POINTER(ctypes.c_int64)),
+        )
+        return int(out[0]), int(out[1]), int(out[2]), int(out[3])
+    return _edit_distance_py(ref, hyp)
+
+
+def _edit_distance_py(ref: Sequence, hyp: Sequence) -> Tuple[int, int, int, int]:
+    """Pure-python fallback DP."""
     n, m = len(ref), len(hyp)
     # DP over cost, tracking op counts via backtrace
     d = np.zeros((n + 1, m + 1), dtype=np.int32)
