@@ -1,0 +1,216 @@
+#!/usr/bin/env python3
+"""End-to-end ASR recipe pipeline (egs2/TEMPLATE/asr1/asr.sh analog).
+
+A python stage runner over Kaldi-format data dirs (wav.scp + text), keeping
+the reference's stage numbering where the stage exists here:
+
+  stage 3   wav format/validation (format_wav_scp: resolve+check audio)
+  stage 4   remove long/short utterances (asr.sh:799)
+  stage 5   token list generation (char; asr.sh:877-968)
+  stage 10  collect stats (asr.sh:1189)
+  stage 11  ASR training (asr.sh:1308)
+  stage 12  decoding (asr.sh:1480)
+  stage 13  scoring (asr.sh:1621)
+
+Usage:
+  python -m llm_guided_asr_tpu.bin.asr_pipeline --config conf/train.yaml \
+      --train_dir data/train --valid_dir data/valid --test_dir data/test \
+      --expdir exp/run1 --stage 3 --stop_stage 13
+"""
+
+from __future__ import annotations
+
+import json
+import logging
+import sys
+from pathlib import Path
+
+logger = logging.getLogger(__name__)
+
+DEFAULTS = {
+    "config": None,
+    "train_dir": None,
+    "valid_dir": None,
+    "test_dir": None,
+    "expdir": "exp/asr",
+    "stage": 3,
+    "stop_stage": 13,
+    "min_samples": 800,       # remove-short threshold (samples)
+    "max_samples": 480000,    # remove-long threshold (30 s @ 16 kHz)
+    "token_type": "char",
+    "nbest": 1,
+    "beam_size": 10,
+    "ctc_weight": 0.3,
+    "device": None,
+}
+
+
+def _read_dir(d: Path):
+    from llm_guided_asr_tpu.data.fileio import read_2columns_text
+
+    return read_2columns_text(d / "wav.scp"), read_2columns_text(d / "text")
+
+
+def stage3_format(data_dir: Path, out_dir: Path, cfg):
+    """Validate audio is readable; write normalized wav.scp/text."""
+    from llm_guided_asr_tpu.data.fileio import read_wav
+
+    wavs, texts = _read_dir(data_dir)
+    out_dir.mkdir(parents=True, exist_ok=True)
+    kept = []
+    for uid, path in wavs.items():
+        if uid not in texts:
+            continue
+        try:
+            rate, data = read_wav(path)
+        except Exception as e:
+            logger.warning(f"stage3: dropping {uid}: {e}")
+            continue
+        kept.append((uid, path, len(data)))
+    with open(out_dir / "wav.scp", "w") as fw, open(out_dir / "text", "w") as ft, open(
+        out_dir / "utt2num_samples", "w"
+    ) as fn:
+        for uid, path, n in kept:
+            fw.write(f"{uid} {path}\n")
+            ft.write(f"{uid} {texts[uid]}\n")
+            fn.write(f"{uid} {n}\n")
+    logger.info(f"stage3 [{data_dir.name}]: kept {len(kept)}/{len(wavs)}")
+
+
+def stage4_filter(work_dir: Path, cfg):
+    from llm_guided_asr_tpu.data.fileio import read_2columns_text
+
+    nsamples = {
+        k: int(v) for k, v in read_2columns_text(work_dir / "utt2num_samples").items()
+    }
+    keep = {
+        k for k, n in nsamples.items()
+        if cfg["min_samples"] <= n <= cfg["max_samples"]
+    }
+    for name in ("wav.scp", "text", "utt2num_samples"):
+        lines = (work_dir / name).read_text().splitlines()
+        with open(work_dir / name, "w") as f:
+            for line in lines:
+                if line.split(maxsplit=1)[0] in keep:
+                    f.write(line + "\n")
+    logger.info(f"stage4 [{work_dir.name}]: kept {len(keep)}/{len(nsamples)}")
+
+
+def stage5_token_list(train_dir: Path, out_file: Path, cfg):
+    from llm_guided_asr_tpu.data.fileio import read_2columns_text
+    from llm_guided_asr_tpu.text.tokenizers import CharTokenizer
+
+    texts = read_2columns_text(train_dir / "text")
+    tok = CharTokenizer()
+    vocab = set()
+    for t in texts.values():
+        vocab.update(tok.text2tokens(t))
+    token_list = ["<blank>", "<unk>"] + sorted(vocab) + ["<sos/eos>"]
+    out_file.parent.mkdir(parents=True, exist_ok=True)
+    out_file.write_text("\n".join(token_list) + "\n")
+    logger.info(f"stage5: {len(token_list)} tokens -> {out_file}")
+
+
+def main(cmd=None):
+    from llm_guided_asr_tpu.utils.config import build_config, load_yaml
+
+    raw = list(cmd if cmd is not None else sys.argv[1:])
+    # --config names the *training* yaml passed through to ASRTask — extract
+    # it before build_config would merge it into the pipeline options
+    train_config = None
+    filtered = []
+    i = 0
+    while i < len(raw):
+        if raw[i] == "--config":
+            train_config = raw[i + 1]
+            i += 2
+        elif raw[i].startswith("--config="):
+            train_config = raw[i].split("=", 1)[1]
+            i += 1
+        else:
+            filtered.append(raw[i])
+            i += 1
+    cfg = build_config(filtered, {**DEFAULTS})
+    cfg["config"] = train_config
+    logging.basicConfig(level=logging.INFO, format="%(asctime)s %(levelname)s %(message)s")
+    stage, stop = int(cfg["stage"]), int(cfg["stop_stage"])
+    expdir = Path(cfg["expdir"])
+    work = expdir / "data"
+    token_file = expdir / "tokens.txt"
+    stats_dir = expdir / "stats"
+    train_exp = expdir / "train"
+
+    dirs = {
+        "train": Path(cfg["train_dir"]),
+        "valid": Path(cfg["valid_dir"]),
+    }
+    if cfg.get("test_dir"):
+        dirs["test"] = Path(cfg["test_dir"])
+
+    if stage <= 3 <= stop:
+        for split, d in dirs.items():
+            stage3_format(d, work / split, cfg)
+    if stage <= 4 <= stop:
+        for split in dirs:
+            stage4_filter(work / split, cfg)
+    if stage <= 5 <= stop:
+        stage5_token_list(work / "train", token_file, cfg)
+
+    train_args = []
+    if cfg.get("config"):
+        train_args += ["--config", str(cfg["config"])]
+    if cfg.get("device"):
+        train_args += ["--device", str(cfg["device"])]
+    data_args = [
+        "--token_list", str(token_file),
+        "--train_data_path_and_name_and_type",
+        json.dumps([[str(work / "train" / "wav.scp"), "speech", "sound"],
+                    [str(work / "train" / "text"), "text", "text"]]),
+        "--valid_data_path_and_name_and_type",
+        json.dumps([[str(work / "valid" / "wav.scp"), "speech", "sound"],
+                    [str(work / "valid" / "text"), "text", "text"]]),
+    ]
+
+    from llm_guided_asr_tpu.tasks.asr import ASRTask
+
+    if stage <= 10 <= stop:
+        ASRTask.main(train_args + data_args + [
+            "--collect_stats", "true", "--output_dir", str(stats_dir),
+        ])
+    if stage <= 11 <= stop:
+        ASRTask.main(train_args + data_args + [
+            "--output_dir", str(train_exp),
+            "--normalize_conf", f"stats_file={stats_dir / 'train' / 'feats_stats.npz'}",
+        ])
+    if stage <= 12 <= stop:
+        from llm_guided_asr_tpu.bin.asr_inference import inference
+
+        model_file = next(train_exp.glob("valid.*.ave_*best.msgpack"), None) or (
+            train_exp / "latest.msgpack"
+        )
+        test_split = "test" if "test" in dirs else "valid"
+        inference(
+            str(expdir / "decode" / test_split),
+            [(str(work / test_split / "wav.scp"), "speech", "sound")],
+            str(train_exp / "config.yaml"),
+            str(model_file),
+            beam_size=int(cfg["beam_size"]),
+            ctc_weight=float(cfg["ctc_weight"]),
+            nbest=int(cfg["nbest"]),
+        )
+    if stage <= 13 <= stop:
+        from llm_guided_asr_tpu.bin.score import score
+
+        test_split = "test" if "test" in dirs else "valid"
+        result = score(
+            str(work / test_split / "text"),
+            str(expdir / "decode" / test_split / "1best_recog" / "text"),
+            str(expdir / "score" / test_split),
+            token_type="char" if cfg["token_type"] == "char" else "word",
+        )
+        logger.info(f"stage13 [{test_split}]: {result['metric']}={result['err']:.2f}")
+        print(json.dumps(result))
+
+
+if __name__ == "__main__":
+    main()
