@@ -89,9 +89,11 @@ class Speech2Text:
                 variables, speech, lengths, method=model.encode
             )
         )
-        self._ctc_logp = jax.jit(
-            lambda enc: model.apply(variables, enc, method=model.ctc_log_softmax)
-        )
+        self.is_transducer = hasattr(model, "joint_full")
+        if not self.is_transducer:
+            self._ctc_logp = jax.jit(
+                lambda enc: model.apply(variables, enc, method=model.ctc_log_softmax)
+            )
         # shallow fusion LM (asr_inference.py:184-196)
         lm_score_fn = None
         if lm_train_config is not None:
@@ -102,8 +104,14 @@ class Speech2Text:
             lm_score_fn = make_lm_score_fn(lm_wrap.lm, {"params": lm_vars["params"]["lm"]})
         self.lm_weight = lm_weight if lm_score_fn is not None else 0.0
 
+        from llm_guided_asr_tpu.models.maskctc import MaskCTCModel
+
+        self.is_maskctc = isinstance(model, MaskCTCModel)
+
         self._beam = None
-        if self.beam_size > 1 or self.ctc_weight < 1.0:
+        if self.is_transducer or self.is_maskctc:
+            pass  # dedicated non-autoregressive decode paths below
+        elif self.beam_size > 1 or self.ctc_weight < 1.0:
             from llm_guided_asr_tpu.search.beam_search import BatchBeamSearch
 
             att_scorer = None
@@ -137,7 +145,21 @@ class Speech2Text:
         padded[:n] = speech
         enc, enc_lens = self._encode(jnp.asarray(padded[None]), jnp.asarray([n]))
 
-        if self._beam is not None:
+        if self.is_transducer:
+            from llm_guided_asr_tpu.models.transducer import transducer_greedy_decode
+
+            tokens, ntok = transducer_greedy_decode(
+                self.model, self.variables, enc, enc_lens
+            )
+            ids = [int(t) for t in np.asarray(tokens)[0, : int(ntok[0])]]
+            nb = [Hypothesis(yseq=ids, score=0.0)]
+        elif self.is_maskctc:
+            from llm_guided_asr_tpu.models.maskctc import maskctc_decode
+
+            tokens, ntok = maskctc_decode(self.model, self.variables, enc, enc_lens)
+            ids = [int(t) for t in np.asarray(tokens)[0, : int(ntok[0])]]
+            nb = [Hypothesis(yseq=ids, score=0.0)]
+        elif self._beam is not None:
             nb = self._beam(enc, enc_lens, maxlenratio=self.maxlenratio,
                             minlenratio=self.minlenratio, nbest=self.nbest)
         else:
@@ -153,6 +175,31 @@ class Speech2Text:
             text = self.tokenizer.tokens2text(tokens)
             results.append((text, tokens, ids, hyp))
         return results
+
+    def decode_long(
+        self,
+        speech: np.ndarray,
+        window_s: float = 30.0,
+        hop_s: Optional[float] = None,
+        min_window_s: float = 0.32,
+        fs: int = 16000,
+        separator: str = " ",
+    ) -> str:
+        """Long-form decoding of unsegmented audio (s2t_inference.py:551
+        decode_long analog): slide a fixed window, decode each chunk, skip
+        sub-threshold tails, stitch the hypotheses."""
+        hop = int((hop_s or window_s) * fs)
+        win = int(window_s * fs)
+        pieces = []
+        n = len(speech)
+        for start in range(0, max(n, 1), hop):
+            chunk = speech[start : start + win]
+            if len(chunk) < int(min_window_s * fs):
+                break  # skip-short-chunk threshold (s2t_inference.py:559)
+            text = self(chunk)[0][0]
+            if text:
+                pieces.append(text)
+        return separator.join(pieces)
 
 
 def inference(

@@ -95,6 +95,12 @@ ASR_DEFAULTS: Dict[str, Any] = {
     "output_dir": "exp/asr",
     "dry_run": False,
     "device": None,  # None=default backend; 'cpu' forces host CPU
+    "train_dtype": None,  # float32 | bfloat16 (use_amp analog)
+    "use_amp": False,
+    "use_tensorboard": False,
+    "use_wandb": False,
+    "wandb_project": None,
+    "wandb_name": None,
 }
 
 
@@ -142,11 +148,45 @@ def build_model_config(config: Dict[str, Any]) -> ASRModelConfig:
     )
 
 
-def build_model(config: Dict[str, Any], dtype=jnp.float32) -> ASRModel:
+def resolve_dtype(config: Dict[str, Any], dtype=None):
+    """train_dtype config key ('use_amp' analog): bf16 activations on TPU."""
+    if dtype is not None:
+        return dtype
+    name = config.get("train_dtype") or ("bfloat16" if config.get("use_amp") else "float32")
+    return {"float32": jnp.float32, "bfloat16": jnp.bfloat16, "bf16": jnp.bfloat16}[name]
+
+
+def build_model(config: Dict[str, Any], dtype=None) -> ASRModel:
+    dtype = resolve_dtype(config, dtype)
     if config.get("model", "espnet") == "llm_guided_asr":
         from llm_guided_asr_tpu.models.llm_guided import build_llm_guided_model
 
         return build_llm_guided_model(config, dtype=dtype)
+    if config.get("model") == "maskctc":
+        from llm_guided_asr_tpu.models.maskctc import MaskCTCModel
+
+        return MaskCTCModel(build_model_config(config), dtype=dtype)
+    if config.get("model") == "transducer":
+        from llm_guided_asr_tpu.models.transducer import (
+            TransducerDecoderConfig,
+            TransducerModel,
+            TransducerModelConfig,
+        )
+
+        base = build_model_config(config)
+        model_conf = dict(config.get("model_conf", {}) or {})
+        tcfg = TransducerModelConfig(
+            vocab_size=base.vocab_size,
+            frontend=base.frontend,
+            specaug=base.specaug,
+            normalize=base.normalize,
+            encoder_type=base.encoder_type,
+            encoder=base.encoder,
+            decoder=TransducerDecoderConfig.from_dict(config.get("decoder_conf", {}) or {}),
+            joint_size=int(model_conf.get("joint_size", 256)),
+            aux_ctc_weight=float(model_conf.get("aux_ctc_weight", 0.0)),
+        )
+        return TransducerModel(tcfg, dtype=dtype)
     return ASRModel(build_model_config(config), dtype=dtype)
 
 
@@ -429,6 +469,10 @@ class ASRTask:
             resume=bool(config.get("resume", False)),
             seed=int(config.get("seed", 0)),
             exclude_prefixes=tuple(exclude),
+            use_tensorboard=bool(config.get("use_tensorboard", False)),
+            use_wandb=bool(config.get("use_wandb", False)),
+            wandb_project=config.get("wandb_project"),
+            wandb_name=config.get("wandb_name"),
         )
         return Trainer.run(model, variables, tx, train_iter, valid_iter, output_dir, options)
 

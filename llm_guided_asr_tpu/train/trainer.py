@@ -54,6 +54,10 @@ class TrainerOptions:
     exclude_prefixes: Sequence[str] = ()  # e.g. ("params/decoder/llm",)
     average_criterion: Optional[Tuple[str, str, str]] = None  # default: first best criterion
     batch_args: Tuple[str, ...] = DEFAULT_BATCH_ARGS
+    use_tensorboard: bool = False
+    use_wandb: bool = False
+    wandb_project: Optional[str] = None
+    wandb_name: Optional[str] = None
 
 
 class TrainState(dict):
@@ -96,7 +100,11 @@ def make_train_step(
             variables,
             *(batch[k] for k in batch_args),
             deterministic=False,
-            rngs={"dropout": rng, "specaug": jax.random.fold_in(rng, 1)},
+            rngs={
+                "dropout": rng,
+                "specaug": jax.random.fold_in(rng, 1),
+                "mlm": jax.random.fold_in(rng, 2),
+            },
             mutable=mutable if mutable else False,
         )
         if mutable:
@@ -116,9 +124,22 @@ def make_train_step(
 
     @jax.jit
     def apply_step(params, opt_state, grads):
-        updates, opt_state = tx.update(grads, opt_state, params)
-        params = optax.apply_updates(params, updates)
-        return params, opt_state
+        # AMP inf/nan-skip analog (GradScaler, trainer.py:748): a non-finite
+        # gradient anywhere skips the whole update
+        finite = jnp.all(
+            jnp.asarray(
+                [jnp.all(jnp.isfinite(g)) for g in jax.tree_util.tree_leaves(grads)]
+            )
+        )
+        updates, new_opt_state = tx.update(grads, opt_state, params)
+        new_params = optax.apply_updates(params, updates)
+
+        def keep_if_finite(new, old):
+            return jnp.where(finite, new, old) if hasattr(new, "dtype") else new
+
+        new_params = jax.tree_util.tree_map(keep_if_finite, new_params, params)
+        new_opt_state = jax.tree_util.tree_map(keep_if_finite, new_opt_state, opt_state)
+        return new_params, new_opt_state
 
     @jax.jit
     def accum_add(acc, grads):
@@ -177,6 +198,25 @@ class Trainer:
         valid_step = make_valid_step(model, tuple(options.batch_args))
         rng = jax.random.PRNGKey(options.seed)
 
+        tb_writer = None
+        if options.use_tensorboard:
+            try:
+                from torch.utils.tensorboard import SummaryWriter
+
+                tb_writer = SummaryWriter(log_dir=str(output_dir / "tensorboard"))
+            except Exception as e:  # pragma: no cover
+                logger.warning(f"tensorboard unavailable: {e}")
+        wandb_run = None
+        if options.use_wandb:
+            try:
+                import wandb
+
+                wandb_run = wandb.init(
+                    project=options.wandb_project, name=options.wandb_name
+                )
+            except Exception as e:  # pragma: no cover
+                logger.warning(f"wandb unavailable: {e}")
+
         for epoch in range(start_epoch, options.max_epoch + 1):
             reporter.set_epoch(epoch)
             epoch_rng = jax.random.fold_in(rng, epoch)
@@ -199,6 +239,16 @@ class Trainer:
                 )
             reporter.finish_phase(sub)
             reporter.log_epoch()
+
+            # ---- external observability (reporter.py:220,233) ----
+            for phase, stats in reporter.stats.get(epoch, {}).items():
+                for k, v in stats.items():
+                    if not isinstance(v, float):
+                        continue
+                    if tb_writer is not None:
+                        tb_writer.add_scalar(f"{phase}/{k}", v, epoch)
+                    if wandb_run is not None:
+                        wandb_run.log({f"{phase}/{k}": v, "epoch": epoch})
 
             # ---- checkpoint ----
             model_variables = {"params": state["params"], **state["extra"]}

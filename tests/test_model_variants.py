@@ -1,0 +1,115 @@
+"""Config-driven transducer + maskctc through ASRTask/Speech2Text; decode_long."""
+
+import sys
+from pathlib import Path
+
+import numpy as np
+import pytest
+import yaml
+
+sys.path.insert(0, str(Path(__file__).parent))
+
+BASE_ENC = {
+    "output_size": 32, "attention_heads": 2, "linear_units": 64, "num_blocks": 1,
+    "use_cnn_module": False, "dropout_rate": 0.0, "positional_dropout_rate": 0.0,
+}
+
+
+def _train(tmp_path, extra_cfg):
+    from test_e2e_tiny import TOKEN_LIST, make_corpus
+
+    from llm_guided_asr_tpu.tasks.asr import ASRTask
+
+    root = tmp_path / "c"
+    make_corpus(root, n_train=8, n_valid=2)
+    (root / "tokens.txt").write_text("\n".join(TOKEN_LIST) + "\n")
+    exp = tmp_path / "exp"
+    config = {
+        "token_type": "char", "token_list": str(root / "tokens.txt"),
+        "frontend_conf": {"n_fft": 256, "hop_length": 128, "n_mels": 23},
+        "normalize": "utterance_mvn",
+        "encoder": "conformer", "encoder_conf": BASE_ENC,
+        "optim": "adam", "optim_conf": {"lr": 0.002}, "scheduler": "none",
+        "batch_type": "sorted", "batch_size": 8, "max_epoch": 2,
+        "keep_nbest_models": 1, "log_interval": 50,
+        "speech_pad_multiple": 4000, "text_pad_multiple": 4,
+        "train_data_path_and_name_and_type": [
+            [str(root / "train" / "wav.scp"), "speech", "sound"],
+            [str(root / "train" / "text"), "text", "text"]],
+        "valid_data_path_and_name_and_type": [
+            [str(root / "valid" / "wav.scp"), "speech", "sound"],
+            [str(root / "valid" / "text"), "text", "text"]],
+        "output_dir": str(exp),
+    }
+    config.update(extra_cfg)
+    f = tmp_path / "t.yaml"
+    f.write_text(yaml.safe_dump(config))
+    ASRTask.main(["--config", str(f)])
+    return root, exp
+
+
+def _decode_one(root, exp, **kw):
+    from llm_guided_asr_tpu.bin.asr_inference import Speech2Text
+    from llm_guided_asr_tpu.data.fileio import SoundScpReader
+
+    s2t = Speech2Text(exp / "config.yaml", exp / "valid.loss.best.msgpack",
+                      speech_pad_multiple=4000, **kw)
+    reader = SoundScpReader(root / "valid" / "wav.scp")
+    uid = next(iter(reader.keys()))
+    _, wav = reader[uid]
+    return s2t, wav, s2t(wav)
+
+
+def test_transducer_via_task_and_inference(tmp_path):
+    root, exp = _train(tmp_path, {
+        "model": "transducer",
+        "decoder_conf": {"decoder_type": "stateless", "embed_size": 32,
+                         "hidden_size": 32},
+        "model_conf": {"joint_size": 32, "aux_ctc_weight": 0.1},
+    })
+    s2t, wav, results = _decode_one(root, exp)
+    assert s2t.is_transducer
+    text, tokens, ids, hyp = results[0]
+    assert isinstance(text, str)
+    assert all(0 < i < 6 for i in ids)
+
+
+def test_maskctc_via_task_and_inference(tmp_path):
+    root, exp = _train(tmp_path, {
+        "model": "maskctc",
+        "decoder_conf": {"attention_heads": 2, "linear_units": 64, "num_blocks": 1,
+                         "dropout_rate": 0.0},
+        "model_conf": {"ctc_weight": 0.5},
+    })
+    s2t, wav, results = _decode_one(root, exp)
+    assert s2t.is_maskctc
+    text, tokens, ids, hyp = results[0]
+    assert all(i < 6 for i in ids)  # no <mask> leaks into output
+
+
+def test_bf16_train_dtype(tmp_path):
+    root, exp = _train(tmp_path, {
+        "model_conf": {"ctc_weight": 0.5},
+        "decoder_conf": {"attention_heads": 2, "linear_units": 64, "num_blocks": 1,
+                         "dropout_rate": 0.0},
+        "train_dtype": "bfloat16",
+    })
+    assert (exp / "valid.loss.best.msgpack").exists()
+
+
+def test_decode_long(tmp_path):
+    root, exp = _train(tmp_path, {
+        "model_conf": {"ctc_weight": 0.5},
+        "decoder_conf": {"attention_heads": 2, "linear_units": 64, "num_blocks": 1,
+                         "dropout_rate": 0.0},
+    })
+    from llm_guided_asr_tpu.bin.asr_inference import Speech2Text
+    from llm_guided_asr_tpu.data.fileio import SoundScpReader
+
+    s2t = Speech2Text(exp / "config.yaml", exp / "valid.loss.best.msgpack",
+                      ctc_weight=1.0, beam_size=1, speech_pad_multiple=4000)
+    reader = SoundScpReader(root / "valid" / "wav.scp")
+    wavs = [reader[u][1] for u in list(reader.keys())[:2]]
+    long_wav = np.concatenate(wavs * 2)
+    out = s2t.decode_long(long_wav, window_s=1.0, hop_s=1.0, separator="")
+    assert isinstance(out, str)
