@@ -135,10 +135,33 @@ class Speech2Text:
                 att_scorer=att_scorer,
             )
 
+    def make_bias_ctx(self, words: Optional[List[str]], pad_multiple: int = 64):
+        """Per-utterance contextual biasing (asr_inference_new.py plumbing):
+        tokenize the word list with the LLM tokenizer into a fixed-bucket
+        (ids, lengths) pair — passed as a *traced* scorer context so switching
+        bias between utterances never bakes into the jit cache."""
+        from llm_guided_asr_tpu.search.scorers import CachedGuidedScorer
+
+        scorer = getattr(self._beam, "att_scorer", None) if self._beam else None
+        if not isinstance(scorer, CachedGuidedScorer) or not words:
+            return None
+        ids = self.tokenizer.tokenizer(", ".join(words)).input_ids
+        # drop a leading bos if the tokenizer adds one
+        bos = getattr(self.tokenizer.tokenizer, "bos_token_id", None)
+        if bos is not None and ids and ids[0] == bos:
+            ids = ids[1:]
+        from llm_guided_asr_tpu.data.dataset import round_up
+
+        w = round_up(max(len(ids), 1), pad_multiple)
+        arr = np.zeros((1, w), np.int32)
+        arr[0, : len(ids)] = ids[:w]
+        return (jnp.asarray(arr), jnp.asarray([min(len(ids), w)], jnp.int32))
+
     def __call__(
-        self, speech: np.ndarray
+        self, speech: np.ndarray, biasing_words: Optional[List[str]] = None
     ) -> List[Tuple[str, List[str], List[int], Hypothesis]]:
         """Decode one utterance (asr_inference.py Speech2Text.__call__:491)."""
+        bias_ctx = self.make_bias_ctx(biasing_words)
         speech = np.asarray(speech, np.float32)
         n = speech.shape[0]
         padded = np.zeros((round_up(max(n, 1), self.speech_pad_multiple),), np.float32)
@@ -161,7 +184,8 @@ class Speech2Text:
             nb = [Hypothesis(yseq=ids, score=0.0)]
         elif self._beam is not None:
             nb = self._beam(enc, enc_lens, maxlenratio=self.maxlenratio,
-                            minlenratio=self.minlenratio, nbest=self.nbest)
+                            minlenratio=self.minlenratio, nbest=self.nbest,
+                            scorer_ctx=bias_ctx)
         else:
             logp = self._ctc_logp(enc)
             tokens, ntok = ctc_greedy_decode(logp, enc_lens, blank_id=self.model.cfg.blank_id)
@@ -207,11 +231,20 @@ def inference(
     data_path_and_name_and_type: Sequence[Tuple[str, str, str]],
     asr_train_config: str,
     asr_model_file: Optional[str] = None,
+    biasing_words_file: Optional[str] = None,
     **kwargs,
 ):
     """Batch decode a wav.scp into <output_dir>/1best_recog/{text,token,score}
-    (asr_inference.py inference():710)."""
+    (asr_inference.py inference():710; biasing_words_file gives the
+    per-utterance word tables of asr_inference_new.py:844-855)."""
     s2t = Speech2Text(asr_train_config, asr_model_file, **kwargs)
+    bias_table = {}
+    if biasing_words_file:
+        from llm_guided_asr_tpu.data.fileio import read_2columns_text
+
+        bias_table = {
+            k: v.split() for k, v in read_2columns_text(biasing_words_file).items()
+        }
     wav_path = None
     for path, name, typ in data_path_and_name_and_type:
         if name == "speech":
@@ -222,7 +255,7 @@ def inference(
     with DatadirWriter(Path(output_dir) / "1best_recog") as writer:
         for uid in reader.keys():
             rate, wav = reader[uid]
-            results = s2t(wav)
+            results = s2t(wav, biasing_words=bias_table.get(uid))
             text, tokens, ids, hyp = results[0]
             writer["text"][uid] = text
             writer["token"][uid] = " ".join(tokens)
@@ -249,6 +282,7 @@ def main(cmd=None):
         "maxlenratio": 0.0,
         "minlenratio": 0.0,
         "nbest": 1,
+        "biasing_words_file": None,
         "device": None,
     })
     logging.basicConfig(level=logging.INFO)
@@ -260,6 +294,7 @@ def main(cmd=None):
         [tuple(t) for t in config["data_path_and_name_and_type"]],
         config["asr_train_config"],
         config.get("asr_model_file"),
+        biasing_words_file=config.get("biasing_words_file"),
         lm_train_config=config.get("lm_train_config"),
         lm_file=config.get("lm_file"),
         lm_weight=float(config.get("lm_weight", 1.0)),

@@ -24,13 +24,24 @@ import numpy as np
 
 @dataclasses.dataclass(frozen=True)
 class PromptTemplate:
-    """Static token-id segments of the templated prompt."""
+    """Static token-id segments of the templated prompt.
 
-    prefix_ids: Tuple[int, ...]  # [bos] + template-before-((HYP))
+    Optional contextual biasing (the fork's llama_new.py variant): when the
+    template contains a ``((BIAS))`` marker, ``mid_ids`` holds the static
+    tokens between the bias-word segment and the hypothesis, and per-utterance
+    bias words are packed at the marker position.
+    """
+
+    prefix_ids: Tuple[int, ...]  # [bos] + template-before-((BIAS) or (HYP))
     suffix_ids: Tuple[int, ...]  # template-after-((HYP))
     start_of_response_id: int  # sos for the guided decoder (llama.py:74-92)
     end_of_response_id: int
     pad_id: int
+    mid_ids: Optional[Tuple[int, ...]] = None  # between ((BIAS)) and ((HYP))
+
+    @property
+    def has_bias_slot(self) -> bool:
+        return self.mid_ids is not None
 
     @property
     def prefix_len(self) -> int:
@@ -41,6 +52,17 @@ class PromptTemplate:
         return len(self.suffix_ids)
 
 
+def _find_marker(tokens, marker: str, max_marker_tokens: int = 10):
+    for i in range(len(tokens)):
+        for w in range(1, max_marker_tokens + 1):
+            joined = "".join(tokens[i : i + w])
+            # tokenizers may decorate with word-boundary markers; strip common ones
+            cleaned = joined.replace("▁", " ").replace("Ġ", " ").strip()
+            if cleaned == marker:
+                return i, w
+    return None
+
+
 def split_template(
     tokenizer,
     template_prompt: Optional[str],
@@ -48,9 +70,10 @@ def split_template(
     eos_token_id: int,
     pad_token: Optional[str] = None,
     hyp_marker: str = "((HYP))",
+    bias_marker: str = "((BIAS))",
     max_marker_tokens: int = 8,
 ) -> PromptTemplate:
-    """Tokenize the template and split at the ``((HYP))`` marker.
+    """Tokenize the template and split at ``((HYP))`` (and optional ``((BIAS))``).
 
     Unlike the reference's fixed marker length (5 for llama2 BPE, 4 for
     llama3, llama.py:61), the marker span is searched over 1..max_marker_tokens
@@ -72,22 +95,19 @@ def split_template(
             pad_id=pad_id,
         )
     tokens = tokenizer.tokenize(template_prompt)
-    found = None
-    for i in range(len(tokens)):
-        for w in range(1, max_marker_tokens + 1):
-            joined = "".join(tokens[i : i + w])
-            # tokenizers may decorate with word-boundary markers; strip common ones
-            cleaned = joined.replace("▁", " ").replace("Ġ", " ").strip()
-            if cleaned == hyp_marker:
-                found = (i, w)
-                break
-        if found:
-            break
+    found = _find_marker(tokens, hyp_marker, max_marker_tokens)
     if found is None:
         raise ValueError(f"marker {hyp_marker!r} not found in template tokens: {tokens}")
     i, w = found
-    prefix = [bos_token_id] + tokenizer.convert_tokens_to_ids(tokens[:i])
+    before_hyp = tokens[:i]
     suffix = tokenizer.convert_tokens_to_ids(tokens[i + w :])
+    mid = None
+    bias_found = _find_marker(before_hyp, bias_marker, max_marker_tokens)
+    if bias_found is not None:
+        bi, bw = bias_found
+        mid = tuple(tokenizer.convert_tokens_to_ids(before_hyp[bi + bw :]))
+        before_hyp = before_hyp[:bi]
+    prefix = [bos_token_id] + tokenizer.convert_tokens_to_ids(before_hyp)
     # response delimiter: the literal double-quote token wrapping ((HYP))
     # (llama.py:74-80 hardcodes 29908 / 1; we resolve it from the tokenizer)
     quote_id = tokenizer.convert_tokens_to_ids('"')
@@ -99,7 +119,54 @@ def split_template(
         start_of_response_id=quote_id,
         end_of_response_id=quote_id,
         pad_id=pad_id,
+        mid_ids=mid,
     )
+
+
+def pack_segments(
+    statics: Sequence[Tuple[int, ...]],  # n+1 static id tuples
+    variables: Sequence[Tuple[jnp.ndarray, jnp.ndarray]],  # n of ([B, L], [B])
+    pad_id: int,
+) -> Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray]:
+    """Scatter interleaved [s0 | v0 | s1 | v1 | ... | sn] rows, static shape.
+
+    Returns (ids [B, total], valid [B, total], var_starts [B, n]) where
+    var_starts[:, i] is the per-row offset of variable segment i.
+    """
+    assert len(statics) == len(variables) + 1
+    b = variables[0][0].shape[0] if variables else 1
+    total = sum(len(s) for s in statics) + sum(v.shape[1] for v, _ in variables)
+    pos = jnp.arange(total)[None, :]  # [1, total]
+
+    ids = jnp.full((b, total), pad_id, jnp.int32)
+    valid = jnp.zeros((b, total), bool)
+    offset = jnp.zeros((b, 1), jnp.int32)  # running per-row offset
+    var_starts = []
+    for i, static in enumerate(statics):
+        if len(static):
+            arr = jnp.asarray(static, jnp.int32)
+            idx = jnp.clip(pos - offset, 0, len(static) - 1)
+            seg = arr[idx]
+            inside = (pos >= offset) & (pos < offset + len(static))
+            ids = jnp.where(inside, seg, ids)
+            valid = valid | inside
+            offset = offset + len(static)
+        if i < len(variables):
+            v, vlen = variables[i]
+            var_starts.append(offset[:, 0])
+            if v.shape[1] > 0:
+                idx = jnp.broadcast_to(
+                    jnp.clip(pos - offset, 0, v.shape[1] - 1), (b, total)
+                )
+                seg = jnp.take_along_axis(v, idx.astype(jnp.int32), axis=1)
+                inside = (pos >= offset) & (pos < offset + vlen[:, None])
+                ids = jnp.where(inside, seg, ids)
+                valid = valid | inside
+            offset = offset + vlen[:, None]
+    starts = (
+        jnp.stack(var_starts, axis=1) if var_starts else jnp.zeros((b, 0), jnp.int32)
+    )
+    return ids, valid, starts.astype(jnp.int32)
 
 
 def pack_prompt(
@@ -108,50 +175,19 @@ def pack_prompt(
     hyp_lengths: jnp.ndarray,  # [B]
     resp: jnp.ndarray,  # [B, L] response-so-far ids (ys_in incl. sos)
     resp_lengths: jnp.ndarray,  # [B]
+    bias: Optional[jnp.ndarray] = None,  # [B, W] per-utterance biasing tokens
+    bias_lengths: Optional[jnp.ndarray] = None,
 ) -> Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray]:
-    """Scatter [prefix | hyp | suffix | resp] into a static [B, P+H+S+L] row.
-
-    Returns (ids, valid, resp_start) where resp_start[b] is the index of the
-    first response token — response hidden states live at
-    ids[b, resp_start[b] : resp_start[b] + resp_lengths[b]].
-    """
-    b, h_max = hyp.shape
-    l_max = resp.shape[1]
-    p, s = template.prefix_len, template.suffix_len
-    total = p + h_max + s + l_max
-    pos = jnp.arange(total)[None, :]  # [1, total]
-
-    hyp_end = p + hyp_lengths[:, None]  # [B, 1]
-    suf_end = hyp_end + s
-    resp_end = suf_end + resp_lengths[:, None]
-
-    prefix_arr = jnp.asarray(template.prefix_ids, jnp.int32) if p else jnp.zeros((0,), jnp.int32)
-    suffix_arr = jnp.asarray(template.suffix_ids, jnp.int32) if s else jnp.zeros((0,), jnp.int32)
-
-    # segment gathers with clipped indices (validity decided by range tests)
-    idx_hyp = jnp.broadcast_to(jnp.clip(pos - p, 0, max(h_max - 1, 0)), (b, total))
-    from_hyp = jnp.take_along_axis(hyp, idx_hyp.astype(jnp.int32), axis=1)
-    idx_suf = jnp.clip(pos - hyp_end, 0, max(s - 1, 0))
-    from_suf = suffix_arr[idx_suf] if s else jnp.zeros((b, total), jnp.int32)
-    if l_max > 0:
-        idx_resp = jnp.broadcast_to(jnp.clip(pos - suf_end, 0, l_max - 1), (b, total))
-        from_resp = jnp.take_along_axis(resp, idx_resp.astype(jnp.int32), axis=1)
+    """Pack [prefix | (bias | mid |) hyp | suffix | resp]; returns
+    (ids, valid, resp_start)."""
+    if template.has_bias_slot and bias is not None:
+        statics = [template.prefix_ids, template.mid_ids, template.suffix_ids, ()]
+        var_parts = [(bias, bias_lengths), (hyp, hyp_lengths), (resp, resp_lengths)]
     else:
-        from_resp = jnp.zeros((b, total), jnp.int32)
-    from_pre = prefix_arr[jnp.clip(pos, 0, max(p - 1, 0))] if p else jnp.zeros((1, total), jnp.int32)
-
-    in_pre = pos < p
-    in_hyp = (pos >= p) & (pos < hyp_end)
-    in_suf = (pos >= hyp_end) & (pos < suf_end)
-    in_resp = (pos >= suf_end) & (pos < resp_end)
-
-    ids = jnp.where(
-        in_pre, jnp.broadcast_to(from_pre, (b, total)),
-        jnp.where(in_hyp, from_hyp, jnp.where(in_suf, from_suf, jnp.where(in_resp, from_resp, template.pad_id))),
-    ).astype(jnp.int32)
-    valid = in_pre | in_hyp | in_suf | in_resp
-    resp_start = (p + hyp_lengths + s).astype(jnp.int32)
-    return ids, valid, resp_start
+        statics = [template.prefix_ids, template.suffix_ids, ()]
+        var_parts = [(hyp, hyp_lengths), (resp, resp_lengths)]
+    ids, valid, starts = pack_segments(statics, var_parts, template.pad_id)
+    return ids, valid, starts[:, -1]
 
 
 def gather_response(

@@ -164,7 +164,8 @@ class LLMGuidedASRModel(nn.Module):
 
     # ------------------------------------------------------------------
     def _llm_response_states(
-        self, encoder_out, encoder_out_lengths, ys_in, ys_in_lengths
+        self, encoder_out, encoder_out_lengths, ys_in, ys_in_lengths,
+        bias_words=None, bias_words_lengths=None,
     ):
         """First-pass CTC -> prompt pack -> frozen LLM -> response hidden states."""
         cfg = self.cfg
@@ -173,7 +174,8 @@ class LLMGuidedASRModel(nn.Module):
             ctc_lp, encoder_out_lengths, blank_id=cfg.blank_id, pad_id=cfg.prompt.pad_id
         )
         ids, valid, resp_start = pack_prompt(
-            cfg.prompt, hyp, hyp_lengths, ys_in, ys_in_lengths
+            cfg.prompt, hyp, hyp_lengths, ys_in, ys_in_lengths,
+            bias=bias_words, bias_lengths=bias_words_lengths,
         )
         # the LLM is frozen (freeze_param decoder.llm.lm, is_llm_eval):
         # stop_gradient keeps XLA from building its backward graph
@@ -190,11 +192,14 @@ class LLMGuidedASRModel(nn.Module):
         ys_in,
         ys_in_lengths,
         deterministic: bool = True,
+        bias_words=None,
+        bias_words_lengths=None,
     ):
         """Guided decoder forward (transformer_decoder.py:1014-1065)."""
         cfg = self.cfg
         tgt = self._llm_response_states(
-            encoder_out, encoder_out_lengths, ys_in, ys_in_lengths
+            encoder_out, encoder_out_lengths, ys_in, ys_in_lengths,
+            bias_words, bias_words_lengths,
         )
         x = self.embed(tgt)
         tgt_mask = causal_attn_mask(ys_in_lengths, ys_in.shape[1])
@@ -209,7 +214,8 @@ class LLMGuidedASRModel(nn.Module):
     # batch_score_cached, transformer_decoder.py:1134-1235 + the
     # shared-prefix KV trick of llama.py:269-356)
     # ------------------------------------------------------------------
-    def decode_prefix(self, encoder_out, encoder_out_lengths, beam: int, resp_max: int):
+    def decode_prefix(self, encoder_out, encoder_out_lengths, beam: int, resp_max: int,
+                      bias_words=None, bias_words_lengths=None):
         """First-pass CTC + prompt-only LLM forward; build static KV buffers.
 
         The prompt KV is computed ONCE per utterance and broadcast across the
@@ -224,7 +230,8 @@ class LLMGuidedASRModel(nn.Module):
         b = encoder_out.shape[0]
         empty_resp = jnp.zeros((b, 0), jnp.int32)
         ids, valid, _ = pack_prompt(
-            cfg.prompt, hyp, hyp_lengths, empty_resp, jnp.zeros((b,), jnp.int32)
+            cfg.prompt, hyp, hyp_lengths, empty_resp, jnp.zeros((b,), jnp.int32),
+            bias=bias_words, bias_lengths=bias_words_lengths,
         )
         _, cache = self.llm(ids, valid)
         tp = ids.shape[1]
@@ -324,6 +331,8 @@ class LLMGuidedASRModel(nn.Module):
         speech_lengths,
         text,  # [B, L] LLM-vocab token ids padded with -1
         text_lengths,
+        bias_words=None,  # [B, W] per-utterance biasing tokens (optional)
+        bias_words_lengths=None,
         deterministic: bool = True,
     ) -> Tuple[jnp.ndarray, Dict[str, jnp.ndarray], jnp.ndarray]:
         cfg = self.cfg
@@ -342,7 +351,8 @@ class LLMGuidedASRModel(nn.Module):
             text, text_lengths, cfg.sos_id, cfg.eos_id, cfg.ignore_id
         )
         dec_logits = self.decoder_logits(
-            enc_out, enc_lens, ys_in, text_lengths + 1, deterministic
+            enc_out, enc_lens, ys_in, text_lengths + 1, deterministic,
+            bias_words=bias_words, bias_words_lengths=bias_words_lengths,
         )
         loss_att = label_smoothing_loss(
             dec_logits, ys_out, cfg.lsm_weight, cfg.ignore_id, cfg.length_normalized_loss

@@ -97,14 +97,14 @@ class BatchBeamSearch:
         )
 
     # -- core loop ------------------------------------------------------
-    def _search(self, enc, enc_len, maxlen, minlen, lmax: int):
+    def _search(self, enc, enc_len, maxlen, minlen, scorer_ctx, lmax: int):
         K, W, V = self.K, self.W, self.vocab_size
 
         ctc_logp = self.model.apply(
             self.variables, enc, method=self.model.ctc_log_softmax
         )[0]  # [T, V]
 
-        att_state0 = self.att_scorer.init(enc, enc_len, K, lmax)
+        att_state0 = self.att_scorer.init(enc, enc_len, K, lmax, ctx=scorer_ctx)
         init = BeamState(
             step=jnp.asarray(0, jnp.int32),
             alive_tokens=jnp.full((K, lmax), self.sos, jnp.int32),
@@ -226,6 +226,7 @@ class BatchBeamSearch:
         maxlenratio: float = 0.0,
         minlenratio: float = 0.0,
         nbest: int = 1,
+        scorer_ctx=None,  # traced per-utterance scorer context (e.g. bias ids)
     ) -> List[Hypothesis]:
         t_enc = int(enc.shape[1])
         enc_len = enc_lens[0]
@@ -237,7 +238,9 @@ class BatchBeamSearch:
             maxlen = jnp.maximum(1, (maxlenratio * enc_len).astype(jnp.int32))
         minlen = (minlenratio * enc_len).astype(jnp.int32)
         lmax = t_enc + 2
-        tokens, lens, scores = self._search_jit(enc, enc_len, maxlen, minlen, lmax=lmax)
+        tokens, lens, scores = self._search_jit(
+            enc, enc_len, maxlen, minlen, scorer_ctx, lmax=lmax
+        )
         tokens = np.asarray(tokens)
         lens = np.asarray(lens)
         scores = np.asarray(scores)

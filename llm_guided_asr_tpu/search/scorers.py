@@ -30,7 +30,7 @@ class StatelessAttScorer:
         self.model = model
         self.variables = variables
 
-    def init(self, enc, enc_len, beam, lmax):
+    def init(self, enc, enc_len, beam, lmax, ctx=None):
         return {}
 
     def step(self, enc, enc_len, state, tokens, lens, step):
@@ -56,11 +56,29 @@ class CachedGuidedScorer:
     def __init__(self, model, variables):
         self.model = model
         self.variables = variables
+        self.bias_words = None  # [1, W] per-utterance biasing tokens
+        self.bias_words_lengths = None
 
-    def init(self, enc, enc_len, beam, lmax):
+    def set_bias(self, bias_words, bias_words_lengths):
+        """Per-utterance contextual biasing (asr_inference_new utt_id plumbing).
+
+        NOTE: values set here are only a fallback used when no ``ctx`` reaches
+        ``init``; inside a jitted search they are baked in as constants at
+        trace time.  Per-utterance switching must pass ctx=(ids, lens) through
+        BatchBeamSearch.__call__ so the bias is a traced argument.
+        """
+        self.bias_words = bias_words
+        self.bias_words_lengths = bias_words_lengths
+
+    def init(self, enc, enc_len, beam, lmax, ctx=None):
+        if ctx is None and self.bias_words is not None:
+            ctx = (self.bias_words, self.bias_words_lengths)
+        kwargs = {}
+        if ctx is not None:
+            kwargs = dict(bias_words=ctx[0], bias_words_lengths=ctx[1])
         return self.model.apply(
             self.variables, enc, jnp.asarray([enc_len]), beam, lmax,
-            method=self.model.decode_prefix,
+            method=self.model.decode_prefix, **kwargs,
         )
 
     def step(self, enc, enc_len, state, tokens, lens, step):

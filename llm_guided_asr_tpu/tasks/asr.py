@@ -474,6 +474,13 @@ class ASRTask:
             wandb_project=config.get("wandb_project"),
             wandb_name=config.get("wandb_name"),
         )
+        data_names = {t[1] for t in config["train_data_path_and_name_and_type"]}
+        if "bias_words" in data_names:
+            # per-utterance contextual biasing text (transformer_decoder_new)
+            options.batch_args = (
+                "speech", "speech_lengths", "text", "text_lengths",
+                "bias_words", "bias_words_lengths",
+            )
         return Trainer.run(model, variables, tx, train_iter, valid_iter, output_dir, options)
 
     @classmethod

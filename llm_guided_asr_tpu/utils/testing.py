@@ -35,7 +35,7 @@ def make_tiny_llm_dir(
 
     # vocab: id 0 = '!' (the reference notes blank_id 0 is llama3's '!',
     # llm_guided_asr_model.py:78-80), then specials + template chars
-    chars = list("!\"#()->:HYP ") + list("abcdefghijklmnopqrstuvwxyz") + list(extra_chars)
+    chars = list("!\"#()->:HYPBIAS,. ") + list("abcdefghijklmnopqrstuvwxyz") + list(extra_chars)
     vocab = {}
     for ch in chars:
         if ch not in vocab:
