@@ -169,13 +169,26 @@ class Speech2Text:
         enc, enc_lens = self._encode(jnp.asarray(padded[None]), jnp.asarray([n]))
 
         if self.is_transducer:
-            from llm_guided_asr_tpu.models.transducer import transducer_greedy_decode
+            if self.beam_size > 1:
+                from llm_guided_asr_tpu.search.transducer_beam import (
+                    transducer_beam_decode,
+                )
 
-            tokens, ntok = transducer_greedy_decode(
-                self.model, self.variables, enc, enc_lens
-            )
-            ids = [int(t) for t in np.asarray(tokens)[0, : int(ntok[0])]]
-            nb = [Hypothesis(yseq=ids, score=0.0)]
+                hyps = transducer_beam_decode(
+                    self.model, self.variables, enc, enc_lens,
+                    beam_size=self.beam_size, nbest=self.nbest,
+                )
+                nb = [Hypothesis(yseq=h.yseq, score=h.score) for h in hyps]
+            else:
+                from llm_guided_asr_tpu.models.transducer import (
+                    transducer_greedy_decode,
+                )
+
+                tokens, ntok = transducer_greedy_decode(
+                    self.model, self.variables, enc, enc_lens
+                )
+                ids = [int(t) for t in np.asarray(tokens)[0, : int(ntok[0])]]
+                nb = [Hypothesis(yseq=ids, score=0.0)]
         elif self.is_maskctc:
             from llm_guided_asr_tpu.models.maskctc import maskctc_decode
 

@@ -1,0 +1,135 @@
+"""Batched transducer beam search, fully on device.
+
+Rebuild of the reference transducer searches
+(espnet2/asr/transducer/beam_search_transducer.py 'default'/'maes' family)
+in a TPU-friendly fixed-expansion formulation (the mAES idea): per encoder
+frame, each hypothesis gets up to ``max_sym_exp`` symbol-expansion rounds;
+in each round a hypothesis either *settles* (takes blank, freezing its score
+for this frame) or emits one of the top non-blank tokens.  All K hypotheses
+and candidates are fixed-shape tensors inside one ``lax.fori_loop`` over
+frames — no per-hypothesis host loop.
+
+Prediction-network states are recomputed from the full label prefix each
+round (correct for all decoder types; the prefix is capped at ``u_max``).
+"""
+
+from __future__ import annotations
+
+from typing import Dict, List, NamedTuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+NEG_INF = -1.0e10
+
+
+class TransducerHypothesis(NamedTuple):
+    yseq: List[int]
+    score: float
+
+
+def transducer_beam_decode(
+    model,
+    variables: Dict,
+    enc: jnp.ndarray,  # [1, T, D] single utterance
+    enc_lens: jnp.ndarray,  # [1]
+    beam_size: int = 5,
+    max_sym_exp: int = 2,
+    u_max: int = 200,
+    nbest: int = 1,
+    score_norm: bool = True,
+) -> List[TransducerHypothesis]:
+    """Beam decode one utterance; returns nbest hypotheses."""
+    t_max = enc.shape[1]
+    u_max = min(u_max, t_max * max_sym_exp + 1)
+    K = beam_size
+    blank = model.cfg.blank_id
+    enc_len = enc_lens[0]
+
+    def dec_state(tokens, n):
+        """Prediction-network output at position n for each hyp."""
+        out = model.apply(variables, tokens, method=model.decode_labels)  # [K, U+1, H]
+        return jnp.take_along_axis(out, n[:, None, None], axis=1)[:, 0]
+
+    def frame_step(t, carry):
+        tokens, n, score = carry
+        h_t = enc[0, jnp.clip(t, 0, t_max - 1)]  # [D]
+        h_k = jnp.broadcast_to(h_t[None, :], (K, h_t.shape[0]))
+        active = jnp.ones((K,), bool)
+        frame_valid = t < enc_len
+
+        for e in range(max_sym_exp):
+            g = dec_state(tokens, n)  # [K, H]
+            logits = model.apply(variables, h_k, g, method=model.joint_step)
+            logp = jax.nn.log_softmax(logits.astype(jnp.float32), axis=-1)  # [K, V]
+
+            # settled candidates: active hyps take blank; inactive keep score
+            settled_score = jnp.where(active, score + logp[:, blank], score)
+
+            if e == max_sym_exp - 1:
+                tokens, n, score = tokens, n, settled_score
+                break
+
+            # emit candidates from active hyps: top-W non-blank
+            w = min(K, logp.shape[-1] - 1)
+            masked = logp.at[:, blank].set(NEG_INF)
+            top_lp, top_id = jax.lax.top_k(masked, w)  # [K, W]
+            emit_score = jnp.where(
+                (active & (n < u_max - 1))[:, None], score[:, None] + top_lp, NEG_INF
+            )
+
+            # pool: K settled + K*W emitted -> top K
+            pool_scores = jnp.concatenate([settled_score, emit_score.reshape(-1)])
+            best, idx = jax.lax.top_k(pool_scores, K)
+            is_settled = idx < K
+            parent = jnp.where(is_settled, idx, (idx - K) // w)
+            cand_j = jnp.clip(idx - K, 0, K * w - 1) % w
+            new_token = top_id[parent, cand_j]
+
+            new_tokens = tokens[parent]
+            new_n = n[parent]
+            ins = new_n  # 0-based position of the next label
+            new_tokens = jnp.where(
+                (~is_settled[:, None])
+                & (jnp.arange(tokens.shape[1])[None, :] == ins[:, None]),
+                new_token[:, None],
+                new_tokens,
+            )
+            new_n = jnp.where(is_settled, new_n, jnp.minimum(new_n + 1, u_max - 1))
+            # settled hyps stop expanding this frame; emitted ones continue
+            prev_active = active[parent]
+            active = prev_active & ~is_settled
+            tokens, n, score = new_tokens, new_n, best
+
+        # frames past the utterance leave everything unchanged
+        tokens = jnp.where(frame_valid, tokens, carry[0])
+        n = jnp.where(frame_valid, n, carry[1])
+        score = jnp.where(frame_valid, score, carry[2])
+        return tokens, n, score
+
+    tokens0 = jnp.zeros((K, u_max), jnp.int32)
+    n0 = jnp.zeros((K,), jnp.int32)
+    score0 = jnp.where(jnp.arange(K) == 0, 0.0, NEG_INF)
+
+    tokens, n, score = jax.lax.fori_loop(
+        0, t_max, frame_step, (tokens0, n0, score0)
+    )
+    final = score / jnp.maximum(n, 1) if score_norm else score
+    order = jnp.argsort(-final)
+    tokens, n, final = tokens[order], n[order], final[order]
+    out = []
+    tk = np.asarray(tokens)
+    nn = np.asarray(n)
+    ss = np.asarray(final)
+    for k in range(min(nbest, K)):
+        if ss[k] <= NEG_INF / 2:
+            continue
+        out.append(
+            TransducerHypothesis(
+                yseq=[int(x) for x in tk[k, : nn[k]]], score=float(ss[k])
+            )
+        )
+    if not out:
+        out = [TransducerHypothesis(yseq=[], score=float(ss[0]))]
+    return out

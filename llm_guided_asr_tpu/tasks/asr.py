@@ -101,6 +101,7 @@ ASR_DEFAULTS: Dict[str, Any] = {
     "use_wandb": False,
     "wandb_project": None,
     "wandb_name": None,
+    "report_cer": False,
 }
 
 
@@ -473,6 +474,7 @@ class ASRTask:
             use_wandb=bool(config.get("use_wandb", False)),
             wandb_project=config.get("wandb_project"),
             wandb_name=config.get("wandb_name"),
+            report_ctc_er=bool(config.get("report_cer", False)),
         )
         data_names = {t[1] for t in config["train_data_path_and_name_and_type"]}
         if "bias_words" in data_names:

@@ -58,6 +58,7 @@ class TrainerOptions:
     use_wandb: bool = False
     wandb_project: Optional[str] = None
     wandb_name: Optional[str] = None
+    report_ctc_er: bool = False  # greedy-CTC token error rate on valid
 
 
 class TrainState(dict):
@@ -161,6 +162,39 @@ def make_valid_step(model, batch_args: Tuple[str, ...] = DEFAULT_BATCH_ARGS):
     return valid_step
 
 
+def make_ctc_greedy_step(model):
+    """Greedy-CTC hypotheses for validation error reporting
+    (ErrorCalculator cer_ctc analog, llm_guided_asr_model.py:180-182)."""
+    if not hasattr(model, "ctc_log_softmax"):
+        return None
+    from llm_guided_asr_tpu.search.greedy import ctc_greedy_decode
+
+    @jax.jit
+    def greedy(params, extra, speech, speech_lengths):
+        enc, enc_lens = model.apply(
+            {"params": params, **extra}, speech, speech_lengths, method=model.encode
+        )
+        logp = model.apply(
+            {"params": params, **extra}, enc, method=model.ctc_log_softmax
+        )
+        return ctc_greedy_decode(logp, enc_lens)
+
+    return greedy
+
+
+def token_error_rate(hyp_tokens, hyp_lens, ref_tokens, ref_lens) -> float:
+    """Corpus token error rate of a batch (host-side, native aligner)."""
+    from llm_guided_asr_tpu.utils.metrics import error_rate
+
+    hyp_tokens = np.asarray(hyp_tokens)
+    hyp_lens = np.asarray(hyp_lens)
+    ref_tokens = np.asarray(ref_tokens)
+    ref_lens = np.asarray(ref_lens)
+    refs = [list(ref_tokens[b, : ref_lens[b]]) for b in range(len(ref_lens))]
+    hyps = [list(hyp_tokens[b, : hyp_lens[b]]) for b in range(len(hyp_lens))]
+    return error_rate(refs, hyps)["err"]
+
+
 class Trainer:
     """Epoch-loop driver (classmethod style like the reference Trainer.run)."""
 
@@ -196,6 +230,7 @@ class Trainer:
             model, tx, options.accum_grad, batch_args=tuple(options.batch_args)
         )
         valid_step = make_valid_step(model, tuple(options.batch_args))
+        greedy_step = make_ctc_greedy_step(model) if options.report_ctc_er else None
         rng = jax.random.PRNGKey(options.seed)
 
         tb_writer = None
@@ -234,9 +269,20 @@ class Trainer:
             for batch in valid_iter_factory(epoch):
                 batch = {k: v for k, v in batch.items() if not k.startswith("_")}
                 stats, weight = valid_step(state["params"], state["extra"], batch)
-                sub.register(
-                    {k: float(v) for k, v in stats.items()}, float(weight)
-                )
+                stats = {k: float(v) for k, v in stats.items()}
+                if (
+                    options.report_ctc_er
+                    and greedy_step is not None
+                    and "speech" in batch
+                ):
+                    hyp_t, hyp_n = greedy_step(
+                        state["params"], state["extra"],
+                        batch["speech"], batch["speech_lengths"],
+                    )
+                    stats["cer_ctc"] = token_error_rate(
+                        hyp_t, hyp_n, batch["text"], batch["text_lengths"]
+                    )
+                sub.register(stats, float(weight))
             reporter.finish_phase(sub)
             reporter.log_epoch()
 

@@ -97,6 +97,20 @@ def test_bf16_train_dtype(tmp_path):
     assert (exp / "valid.loss.best.msgpack").exists()
 
 
+def test_report_cer_in_validation(tmp_path):
+    import json
+
+    root, exp = _train(tmp_path, {
+        "model_conf": {"ctc_weight": 0.5},
+        "decoder_conf": {"attention_heads": 2, "linear_units": 64, "num_blocks": 1,
+                         "dropout_rate": 0.0},
+        "report_cer": True,
+    })
+    rep = json.loads((exp / "reporter.json").read_text())
+    valid = rep["stats"]["2"]["valid"]
+    assert "cer_ctc" in valid and 0.0 <= valid["cer_ctc"] <= 300.0
+
+
 def test_decode_long(tmp_path):
     root, exp = _train(tmp_path, {
         "model_conf": {"ctc_weight": 0.5},

@@ -149,6 +149,56 @@ def test_transducer_greedy_decode_runs():
         assert np.all((ids > 0) & (ids < VOCAB))
 
 
+def _overfit(model, variables, speech, slens, text, tlens, steps=120, lr=3e-3):
+    import optax
+
+    tx = optax.adam(lr)
+    params = variables["params"]
+    opt = tx.init(params)
+
+    @jax.jit
+    def step(params, opt):
+        loss, g = jax.value_and_grad(
+            lambda p: model.apply({**variables, "params": p}, speech, slens, text,
+                                  tlens, deterministic=True)[0]
+        )(params)
+        up, opt = tx.update(g, opt, params)
+        return optax.apply_updates(params, up), opt, loss
+
+    for _ in range(steps):
+        params, opt, loss = step(params, opt)
+    return {**variables, "params": params}, float(loss)
+
+
+def test_transducer_beam_recovers_sequences():
+    """Beam search on an overfit model recovers the training sequences."""
+    from llm_guided_asr_tpu.search.transducer_beam import transducer_beam_decode
+
+    cfg = tiny_transducer_cfg("stateless")
+    model = TransducerModel(cfg)
+    rng = np.random.default_rng(0)
+    # distinguishable inputs: each sequence gets its own random "audio"
+    speech = jnp.asarray(rng.standard_normal((3, 1600)), jnp.float32)
+    slens = jnp.full((3,), 1600, jnp.int32)
+    text = jnp.asarray([[1, 2, 3], [3, 3, 1], [2, 1, 2]], jnp.int32)
+    tlens = jnp.full((3,), 3, jnp.int32)
+    variables = model.init(
+        {"params": jax.random.PRNGKey(0), "dropout": jax.random.PRNGKey(1)},
+        speech, slens, text, tlens, deterministic=True,
+    )
+    variables, loss = _overfit(model, variables, speech, slens, text, tlens, steps=250)
+    assert loss < 0.5, f"failed to overfit: {loss}"
+    enc, enc_lens = model.apply(variables, speech, slens, method=model.encode)
+    ok = 0
+    for b in range(3):
+        hyps = transducer_beam_decode(
+            model, variables, enc[b : b + 1], enc_lens[b : b + 1], beam_size=4
+        )
+        if hyps[0].yseq == [int(x) for x in np.asarray(text)[b]]:
+            ok += 1
+    assert ok >= 2, f"beam decode recovered only {ok}/3"
+
+
 def test_transducer_overfit_tiny():
     """A few adam steps reduce the RNN-T loss on one batch."""
     import optax
