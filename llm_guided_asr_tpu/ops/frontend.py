@@ -175,6 +175,45 @@ def stft(
 # Log-mel + MVN
 # ---------------------------------------------------------------------------
 
+def istft(
+    spec: jnp.ndarray,  # complex [B, T, F]
+    n_fft: int = 512,
+    win_length: Optional[int] = None,
+    hop_length: int = 128,
+    center: bool = True,
+    window: Optional[str] = "hann",
+    length: Optional[int] = None,
+) -> jnp.ndarray:
+    """Inverse STFT via windowed overlap-add (stft.py:178 inverse analog)."""
+    if win_length is None:
+        win_length = n_fft
+    b, t, f = spec.shape
+    frames = jnp.fft.irfft(spec, n=n_fft, axis=-1)  # [B, T, n_fft]
+    w = _hann_window(win_length)
+    if win_length < n_fft:
+        left = (n_fft - win_length) // 2
+        w = np.pad(w, (left, n_fft - win_length - left))
+    wj = jnp.asarray(w)
+    frames = frames * wj
+    total = (t - 1) * hop_length + n_fft
+    out = jnp.zeros((b, total))
+    norm = jnp.zeros((total,))
+    idx = jnp.arange(t)[:, None] * hop_length + jnp.arange(n_fft)[None, :]  # [T, n_fft]
+    out = out.at[:, idx.reshape(-1)].add(frames.reshape(b, -1))
+    norm = norm.at[idx.reshape(-1)].add(jnp.tile(wj**2, (t,)))
+    out = out / jnp.maximum(norm, 1e-8)[None, :]
+    if center:
+        pad = n_fft // 2
+        out = out[:, pad:]
+        if length is not None:
+            out = out[:, :length]
+        else:
+            out = out[:, : total - 2 * pad]
+    elif length is not None:
+        out = out[:, :length]
+    return out
+
+
 def logmel_from_power(
     power: jnp.ndarray,
     fs: int = 16000,
