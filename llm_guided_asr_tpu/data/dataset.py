@@ -130,7 +130,9 @@ class CommonPreprocessor:
         self.tokenizer = tokenizer
         self.converter = token_id_converter
         self.text_names = (
-            tuple(text_names) if text_names else (text_name, "src_text", "bias_words")
+            tuple(text_names)
+            if text_names
+            else (text_name, "src_text", "bias_words", "text_prev", "text_ctc")
         )
 
     def __call__(self, uid: str, data: Dict) -> Dict:

@@ -94,12 +94,17 @@ def make_train_step(
       apply_step(state_params, opt_state, grads) -> (params, opt_state)
     """
 
+    def batch_to_args(batch):
+        if callable(batch_args):
+            return batch_args(batch)
+        return tuple(batch[k] for k in batch_args)
+
     def loss_fn(params, extra, batch, rng):
         variables = {"params": params, **extra}
         mutable = [k for k in extra.keys() if k == "batch_stats"]
         out = model.apply(
             variables,
-            *(batch[k] for k in batch_args),
+            *batch_to_args(batch),
             deterministic=False,
             rngs={
                 "dropout": rng,
@@ -149,13 +154,14 @@ def make_train_step(
     return grad_step, apply_step, accum_add
 
 
-def make_valid_step(model, batch_args: Tuple[str, ...] = DEFAULT_BATCH_ARGS):
+def make_valid_step(model, batch_args=DEFAULT_BATCH_ARGS):
     @jax.jit
     def valid_step(params, extra, batch):
+        args = batch_args(batch) if callable(batch_args) else tuple(
+            batch[k] for k in batch_args
+        )
         loss, stats, weight = model.apply(
-            {"params": params, **extra},
-            *(batch[k] for k in batch_args),
-            deterministic=True,
+            {"params": params, **extra}, *args, deterministic=True
         )
         return stats, weight
 
@@ -226,10 +232,15 @@ class Trainer:
             start_epoch = reporter.epoch + 1
             logger.info(f"resumed from epoch {reporter.epoch}")
 
-        grad_step, apply_step, accum_add = make_train_step(
-            model, tx, options.accum_grad, batch_args=tuple(options.batch_args)
+        bargs = (
+            options.batch_args
+            if callable(options.batch_args)
+            else tuple(options.batch_args)
         )
-        valid_step = make_valid_step(model, tuple(options.batch_args))
+        grad_step, apply_step, accum_add = make_train_step(
+            model, tx, options.accum_grad, batch_args=bargs
+        )
+        valid_step = make_valid_step(model, bargs)
         greedy_step = make_ctc_greedy_step(model) if options.report_ctc_er else None
         rng = jax.random.PRNGKey(options.seed)
 
