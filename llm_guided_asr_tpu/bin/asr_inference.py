@@ -213,6 +213,35 @@ class Speech2Text:
             results.append((text, tokens, ids, hyp))
         return results
 
+    def batch_call(
+        self, speeches: List[np.ndarray]
+    ) -> List[List[Tuple[str, List[str], List[int], Hypothesis]]]:
+        """Decode several utterances in ONE on-device batched beam search."""
+        if self._beam is None or self.is_transducer or self.is_maskctc:
+            return [self(s) for s in speeches]
+        n = max(len(s) for s in speeches)
+        n = round_up(max(n, 1), self.speech_pad_multiple)
+        batch = np.zeros((len(speeches), n), np.float32)
+        lens = np.zeros((len(speeches),), np.int32)
+        for i, s in enumerate(speeches):
+            batch[i, : len(s)] = np.asarray(s, np.float32)
+            lens[i] = len(s)
+        enc, enc_lens = self._encode(jnp.asarray(batch), jnp.asarray(lens))
+        per_utt = self._beam.batch_decode(
+            enc, enc_lens, maxlenratio=self.maxlenratio,
+            minlenratio=self.minlenratio, nbest=self.nbest,
+        )
+        out = []
+        for hyps in per_utt:
+            results = []
+            for hyp in hyps[: self.nbest]:
+                ids = [i for i in hyp.yseq
+                       if i not in (self.model.cfg.sos_id, self.model.cfg.eos_id)]
+                tokens = self.converter.ids2tokens(ids)
+                results.append((self.tokenizer.tokens2text(tokens), tokens, ids, hyp))
+            out.append(results)
+        return out
+
     def decode_long(
         self,
         speech: np.ndarray,

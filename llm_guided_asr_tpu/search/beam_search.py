@@ -95,6 +95,19 @@ class BatchBeamSearch:
         self._search_jit = jax.jit(
             self._search, static_argnames=("lmax",)
         )
+        # batched multi-utterance decode: vmap the whole search (the reference
+        # decodes utterance-by-utterance even in BatchBeamSearch; here the
+        # while_loop lifts under vmap so all utterances share one compile and
+        # run lock-step on device until the longest finishes)
+        self._batch_search_jit = jax.jit(
+            self._vmapped_search, static_argnames=("lmax",)
+        )
+
+    def _vmapped_search(self, encs, enc_lens, maxlens, minlens, lmax: int):
+        def one(enc, enc_len, maxlen, minlen):
+            return self._search(enc[None], enc_len, maxlen, minlen, None, lmax)
+
+        return jax.vmap(one)(encs, enc_lens, maxlens, minlens)
 
     # -- core loop ------------------------------------------------------
     def _search(self, enc, enc_len, maxlen, minlen, scorer_ctx, lmax: int):
@@ -241,6 +254,9 @@ class BatchBeamSearch:
         tokens, lens, scores = self._search_jit(
             enc, enc_len, maxlen, minlen, scorer_ctx, lmax=lmax
         )
+        return self._to_hyps(tokens, lens, scores, nbest)
+
+    def _to_hyps(self, tokens, lens, scores, nbest: int) -> List[Hypothesis]:
         tokens = np.asarray(tokens)
         lens = np.asarray(lens)
         scores = np.asarray(scores)
@@ -258,3 +274,28 @@ class BatchBeamSearch:
         if not out:
             out = [Hypothesis(yseq=[self.sos, self.eos], score=float(scores[0]), scores={})]
         return out
+
+    def batch_decode(
+        self,
+        encs: jnp.ndarray,  # [B, T, D]
+        enc_lens: jnp.ndarray,  # [B]
+        maxlenratio: float = 0.0,
+        minlenratio: float = 0.0,
+        nbest: int = 1,
+    ) -> List[List[Hypothesis]]:
+        """Decode a whole batch of utterances in one on-device call."""
+        t_enc = int(encs.shape[1])
+        if maxlenratio == 0.0:
+            maxlens = enc_lens
+        elif maxlenratio < 0.0:
+            maxlens = jnp.full_like(enc_lens, int(-maxlenratio))
+        else:
+            maxlens = jnp.maximum(1, (maxlenratio * enc_lens).astype(jnp.int32))
+        minlens = (minlenratio * enc_lens).astype(jnp.int32)
+        tokens, lens, scores = self._batch_search_jit(
+            encs, enc_lens, maxlens, minlens, lmax=t_enc + 2
+        )
+        return [
+            self._to_hyps(tokens[b], lens[b], scores[b], nbest)
+            for b in range(encs.shape[0])
+        ]
