@@ -213,6 +213,18 @@ class Speech2Text:
             results.append((text, tokens, ids, hyp))
         return results
 
+    @classmethod
+    def from_packed(cls, archive: Union[str, Path], workdir: Optional[str] = None,
+                    **kwargs) -> "Speech2Text":
+        """Build from a bin/pack.py archive (from_pretrained analog)."""
+        import tempfile
+
+        from llm_guided_asr_tpu.bin.pack import unpack
+
+        workdir = workdir or tempfile.mkdtemp(prefix="s2t_packed_")
+        files = unpack(archive, workdir)
+        return cls(files["asr_train_config"], files.get("asr_model_file"), **kwargs)
+
     def batch_call(
         self, speeches: List[np.ndarray]
     ) -> List[List[Tuple[str, List[str], List[int], Hypothesis]]]:
