@@ -208,11 +208,12 @@ class GenericTask:
         output_dir = Path(config["output_dir"])
         output_dir.mkdir(parents=True, exist_ok=True)
         logging.basicConfig(level=logging.INFO, format="%(asctime)s %(levelname)s %(message)s")
+        # build (and thus validate) BEFORE dumping the config artifact, so a
+        # bad invocation can never clobber a valid exp dir's config.yaml
+        model, batch_args, dummy = cls.build(config)
         dump_yaml(config, output_dir / "config.yaml")
         if config.get("dry_run"):
             return None
-
-        model, batch_args, dummy = cls.build(config)
         rngs = {
             "params": jax.random.PRNGKey(int(config.get("seed", 0))),
             "dropout": jax.random.PRNGKey(1),
