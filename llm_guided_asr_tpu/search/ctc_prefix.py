@@ -65,6 +65,7 @@ def ctc_prefix_scores(
     cand: jnp.ndarray,  # [K, W] candidate token ids
     blank_id: int = 0,
     eos_id: int = -1,
+    use_associative_scan: bool = True,
 ) -> Tuple[jnp.ndarray, jnp.ndarray]:
     """Score all (hyp, candidate) extensions.
 
@@ -97,30 +98,65 @@ def ctc_prefix_scores(
     r_b_0 = jnp.full((k, w), NEG_INF)
     psi_0 = r_nb_0
 
-    def step(carry, inp):
-        r_nb_prev, r_b_prev, psi = carry
-        x_t, xb_t, phi_tm1, valid_t = inp  # [K,W], scalar, [K,W], bool
-        r_nb_t = jnp.logaddexp(r_nb_prev, phi_tm1) + x_t
-        r_b_t = jnp.logaddexp(r_b_prev, r_nb_prev) + xb_t
-        psi_t = jnp.logaddexp(psi, phi_tm1 + x_t)
-        # freeze state beyond the valid frames
-        r_nb_t = jnp.where(valid_t, r_nb_t, r_nb_prev)
-        r_b_t = jnp.where(valid_t, r_b_t, r_b_prev)
-        psi_t = jnp.where(valid_t, psi_t, psi)
-        return (r_nb_t, r_b_t, psi_t), (r_nb_t, r_b_t)
+    if use_associative_scan:
+        # Both recurrences are first-order linear in the (logaddexp, +)
+        # semiring — r[t] = logaddexp(r[t-1] + a[t], b[t]) — so the T-step
+        # sequential chain becomes a log(T)-depth associative scan (the DP is
+        # latency-bound on TPU, so this is the decode-step hot-path win).
+        def compose(f1, f2):
+            a1, b1 = f1
+            a2, b2 = f2
+            return (a1 + a2, jnp.logaddexp(b1 + a2, b2))
 
-    xs = (
-        jnp.moveaxis(x[:, 1:, :], 1, 0),  # [T-1, K, W]
-        xb[1:],
-        jnp.moveaxis(phi[:, :-1, :], 1, 0),  # phi[t-1]
-        valid[1:],
-    )
-    (_, _, psi), (r_nb_seq, r_b_seq) = jax.lax.scan(
-        step, (r_nb_0, r_b_0, psi_0), xs
-    )
+        # r_nb[t] = logaddexp(r_nb[t-1], phi[t-1]) + x[t]
+        #        -> a[t] = x[t],  b[t] = phi[t-1] + x[t]          (t = 1..T-1)
+        a_nb = jnp.moveaxis(x[:, 1:, :], 1, 0)  # [T-1, K, W]
+        b_nb = jnp.moveaxis(phi[:, :-1, :] + x[:, 1:, :], 1, 0)
+        ca, cb = jax.lax.associative_scan(compose, (a_nb, b_nb), axis=0)
+        r_nb_seq = jnp.logaddexp(r_nb_0[None] + ca, cb)  # [T-1, K, W]
+        r_nb = jnp.concatenate([r_nb_0[None], r_nb_seq], axis=0)  # [T, K, W]
+
+        # r_b[t] = logaddexp(r_b[t-1], r_nb[t-1]) + xb[t]
+        #        -> a[t] = xb[t], b[t] = r_nb[t-1] + xb[t]
+        xb_t = jnp.broadcast_to(xb[1:, None, None], (t_max - 1, k, w))
+        a_b = xb_t
+        b_b = r_nb[:-1] + xb_t
+        ca, cb = jax.lax.associative_scan(compose, (a_b, b_b), axis=0)
+        r_b_seq = jnp.logaddexp(r_b_0[None] + ca, cb)
+        r_b = jnp.concatenate([r_b_0[None], r_b_seq], axis=0)
+
+        # psi = logaddexp(psi_0, logsumexp_t(phi[t-1] + x[t])) — a reduction
+        contrib = phi[:, :-1, :] + x[:, 1:, :]  # [K, T-1, W]
+        psi = jnp.logaddexp(psi_0, jax.nn.logsumexp(contrib, axis=1))
+        # invalid frames contribute NEG_INF via x/xb masking; beyond-length
+        # rows of r are NEG_INF (vs frozen in the sequential version) — they
+        # are never read because phi/x mask them on the next step too.
+    else:
+        def step(carry, inp):
+            r_nb_prev, r_b_prev, psi = carry
+            x_t, xb_s, phi_tm1, valid_t = inp  # [K,W], scalar, [K,W], bool
+            r_nb_t = jnp.logaddexp(r_nb_prev, phi_tm1) + x_t
+            r_b_t = jnp.logaddexp(r_b_prev, r_nb_prev) + xb_s
+            psi_t = jnp.logaddexp(psi, phi_tm1 + x_t)
+            # freeze state beyond the valid frames
+            r_nb_t = jnp.where(valid_t, r_nb_t, r_nb_prev)
+            r_b_t = jnp.where(valid_t, r_b_t, r_b_prev)
+            psi_t = jnp.where(valid_t, psi_t, psi)
+            return (r_nb_t, r_b_t, psi_t), (r_nb_t, r_b_t)
+
+        xs = (
+            jnp.moveaxis(x[:, 1:, :], 1, 0),  # [T-1, K, W]
+            xb[1:],
+            jnp.moveaxis(phi[:, :-1, :], 1, 0),  # phi[t-1]
+            valid[1:],
+        )
+        (_, _, psi), (r_nb_seq, r_b_seq) = jax.lax.scan(
+            step, (r_nb_0, r_b_0, psi_0), xs
+        )
+        r_nb = jnp.concatenate([r_nb_0[None], r_nb_seq], axis=0)  # [T, K, W]
+        r_b = jnp.concatenate([r_b_0[None], r_b_seq], axis=0)
+
     # assemble [K, W, T, 2]
-    r_nb = jnp.concatenate([r_nb_0[None], r_nb_seq], axis=0)  # [T, K, W]
-    r_b = jnp.concatenate([r_b_0[None], r_b_seq], axis=0)
     r_new = jnp.stack(
         [jnp.moveaxis(r_nb, 0, 2), jnp.moveaxis(r_b, 0, 2)], axis=-1
     )  # [K, W, T, 2]

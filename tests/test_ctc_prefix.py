@@ -109,3 +109,27 @@ def test_length_masking():
         jnp.asarray(logp), jnp.asarray(L), state_mask, jnp.asarray([[2]])
     )
     np.testing.assert_allclose(float(psi_mask[0, 0]), float(psi_ref[0, 0]), rtol=1e-5)
+
+
+def test_associative_equals_sequential_scan():
+    T, V, K, W = 9, 6, 3, 4
+    logp = make_logp(T, V, seed=7)
+    L = 7  # exercise length masking too
+    state = ctc_prefix_init(jnp.asarray(logp), jnp.asarray(L), beam=K)
+    # give beams distinct last tokens / states via one chained extension
+    cand0 = jnp.asarray([[1], [2], [3]])
+    psi0, r0 = ctc_prefix_scores(jnp.asarray(logp), jnp.asarray(L), state, cand0)
+    state = ctc_prefix_select(r0, psi0, cand0, jnp.asarray([0, 1, 2]), jnp.asarray([0, 0, 0]))
+    cand = jnp.asarray([[1, 2, 3, 4], [2, 3, 4, 5], [1, 1, 2, 3]])
+    psi_a, r_a = ctc_prefix_scores(
+        jnp.asarray(logp), jnp.asarray(L), state, cand, use_associative_scan=True
+    )
+    psi_s, r_s = ctc_prefix_scores(
+        jnp.asarray(logp), jnp.asarray(L), state, cand, use_associative_scan=False
+    )
+    np.testing.assert_allclose(np.asarray(psi_a), np.asarray(psi_s), rtol=1e-4, atol=1e-4)
+    # DP rows must agree on the VALID frames (beyond L the variants differ by
+    # design: frozen vs -inf — never read)
+    np.testing.assert_allclose(
+        np.asarray(r_a)[:, :, :L], np.asarray(r_s)[:, :, :L], rtol=1e-4, atol=1e-4
+    )
