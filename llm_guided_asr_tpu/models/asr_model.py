@@ -152,9 +152,11 @@ class ASRModel(nn.Module):
         ys_in: jnp.ndarray,
         ys_in_lengths: jnp.ndarray,
         deterministic: bool = True,
+        only_last: bool = False,
     ) -> jnp.ndarray:
         return self.decoder(
-            encoder_out, encoder_out_lengths, ys_in, ys_in_lengths, deterministic
+            encoder_out, encoder_out_lengths, ys_in, ys_in_lengths, deterministic,
+            only_last=only_last,
         )
 
     # ------------------------------------------------------------------

@@ -299,13 +299,10 @@ class LLMGuidedASRModel(nn.Module):
         lens = jnp.full((beam,), step + 1, jnp.int32)
         enc_k = jnp.broadcast_to(encoder_out[0], (beam,) + encoder_out.shape[1:])
         enc_lens_k = jnp.full((beam,), encoder_out_lengths[0], jnp.int32)
-        logits = self._guided_decode_from_states(
-            resp_states.astype(self.dtype), lens, enc_k, enc_lens_k
-        )
-        logp = jax.nn.log_softmax(
-            jnp.take_along_axis(logits, jnp.broadcast_to(step[None, None, None], (beam, 1, 1)).astype(jnp.int32), axis=1)[:, 0].astype(jnp.float32),
-            axis=-1,
-        )
+        last_logits = self._guided_decode_from_states(
+            resp_states.astype(self.dtype), lens, enc_k, enc_lens_k, at_position=step
+        )  # [K, V]: vocab projection on the current position only
+        logp = jax.nn.log_softmax(last_logits.astype(jnp.float32), axis=-1)
         new_state = {
             "k": k_buf,
             "v": v_buf,
@@ -316,13 +313,19 @@ class LLMGuidedASRModel(nn.Module):
         }
         return logp, new_state
 
-    def _guided_decode_from_states(self, tgt_states, lens, encoder_out, encoder_out_lengths):
+    def _guided_decode_from_states(
+        self, tgt_states, lens, encoder_out, encoder_out_lengths, at_position=None
+    ):
         x = self.embed(tgt_states)
         tgt_mask = causal_attn_mask(lens, tgt_states.shape[1])
         memory_mask = make_valid_mask(encoder_out_lengths, encoder_out.shape[1])[:, None, :]
         for layer in self.decoders:
             x = layer(x, tgt_mask, encoder_out, memory_mask, True)
-        return self.output_layer(self.after_norm(x))
+        x = self.after_norm(x)
+        if at_position is not None:
+            # slice before the (large) vocab projection
+            x = jax.lax.dynamic_slice_in_dim(x, at_position, 1, axis=1)[:, 0]
+        return self.output_layer(x)
 
     # ------------------------------------------------------------------
     def __call__(

@@ -59,8 +59,14 @@ class TransformerDecoder(nn.Module):
         ys_in: jnp.ndarray,  # [B, L] token ids
         ys_in_lengths: jnp.ndarray,  # [B]
         deterministic: bool = True,
+        only_last: bool = False,
     ) -> jnp.ndarray:
-        """Teacher-forced forward -> logits [B, L, vocab]."""
+        """Teacher-forced forward -> logits [B, L, vocab].
+
+        only_last=True slices the hidden state at position len-1 BEFORE the
+        vocab projection — the beam-search scoring path only needs the last
+        position, and the [L, D] x [D, V] projection dominates step FLOPs.
+        """
         cfg = self.cfg
         d_model = memory.shape[-1]
         x = nn.Embed(self.vocab_size, d_model, dtype=self.dtype, name="embed")(ys_in)
@@ -81,6 +87,8 @@ class TransformerDecoder(nn.Module):
             )(x, tgt_mask, memory, memory_mask, deterministic)
         if cfg.normalize_before:
             x = nn.LayerNorm(dtype=self.dtype, name="after_norm")(x)
+        if only_last:
+            x = x[jnp.arange(x.shape[0]), ys_in_lengths - 1]  # [B, D]
         if cfg.use_output_layer:
             x = nn.Dense(self.vocab_size, dtype=self.dtype, name="output_layer")(x)
         return x

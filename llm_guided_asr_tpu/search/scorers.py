@@ -37,11 +37,17 @@ class StatelessAttScorer:
         k = tokens.shape[0]
         enc_k = jnp.broadcast_to(enc[0], (k,) + enc.shape[1:])
         enc_lens_k = jnp.full((k,), enc_len, jnp.int32)
-        logits = self.model.apply(
-            self.variables, enc_k, enc_lens_k, tokens, lens,
-            method=self.model.decoder_logits,
-        )
-        last = logits[jnp.arange(k), lens - 1]
+        try:
+            last = self.model.apply(
+                self.variables, enc_k, enc_lens_k, tokens, lens,
+                method=self.model.decoder_logits, only_last=True,
+            )  # [K, V]: vocab projection on the last position only
+        except TypeError:
+            logits = self.model.apply(
+                self.variables, enc_k, enc_lens_k, tokens, lens,
+                method=self.model.decoder_logits,
+            )
+            last = logits[jnp.arange(k), lens - 1]
         return jax.nn.log_softmax(last.astype(jnp.float32), axis=-1), state
 
     def select(self, state, parent):
