@@ -173,12 +173,60 @@ def _build_s2t(config):
     return model, names, dummy
 
 
+def _build_diar(config):
+    from llm_guided_asr_tpu.models.diar import DiarConfig, DiarizationModel
+    from llm_guided_asr_tpu.ops.frontend import FrontendConfig
+
+    mc = dict(config.get("model_conf", {}) or {})
+    cfg = DiarConfig(
+        num_spk=int(mc.get("num_spk", 2)),
+        frontend=FrontendConfig.from_dict(config.get("frontend_conf", {}) or {}),
+        adim=int(mc.get("adim", 128)),
+        heads=int(mc.get("heads", 2)),
+        units=int(mc.get("units", 256)),
+        layers=int(mc.get("layers", 2)),
+    )
+    model = DiarizationModel(cfg)
+    names = ("speech", "speech_lengths", "spk_labels")
+    dummy = (
+        jnp.zeros((2, 4000), jnp.float32), jnp.asarray([4000, 4000]),
+        jnp.zeros((2, 28, cfg.num_spk), jnp.int32),
+    )
+    return model, names, dummy
+
+
+def _build_mt(config):
+    from llm_guided_asr_tpu.models.mt import MTConfig, MTModel
+    from llm_guided_asr_tpu.models.transformer_decoder import TransformerDecoderConfig
+
+    mc = dict(config.get("model_conf", {}) or {})
+    vocab = len(read_token_list(config["token_list"]))
+    cfg = MTConfig(
+        vocab_size=vocab,
+        adim=int(mc.get("adim", 256)),
+        heads=int(mc.get("heads", 4)),
+        units=int(mc.get("units", 1024)),
+        elayers=int(mc.get("elayers", 6)),
+        decoder=TransformerDecoderConfig.from_dict(config.get("decoder_conf", {}) or {}),
+        lsm_weight=float(mc.get("lsm_weight", 0.1)),
+    )
+    model = MTModel(cfg)
+    names = ("text", "text_lengths", "src_text", "src_text_lengths")
+    dummy = (
+        jnp.ones((2, 3), jnp.int32), jnp.asarray([3, 2]),
+        jnp.ones((2, 4), jnp.int32), jnp.asarray([4, 3]),
+    )
+    return model, names, dummy
+
+
 TASK_BUILDERS: Dict[str, Callable] = {
     "enh": _build_enh,
     "spk": _build_spk,
     "tts": _build_tts,
     "hubert": _build_hubert,
     "s2t": _build_s2t,
+    "diar": _build_diar,
+    "mt": _build_mt,
 }
 
 

@@ -70,7 +70,7 @@ def test_generic_enh_trains(tmp_path):
     assert ests.shape == (2, 1, 4000)
 
 
-@pytest.mark.parametrize("task", ["spk", "hubert", "s2t", "tts"])
+@pytest.mark.parametrize("task", ["spk", "hubert", "s2t", "tts", "diar", "mt"])
 def test_generic_task_builders(task, tmp_path):
     """Every registered task builds a model and inits variables."""
     from llm_guided_asr_tpu.tasks.generic import GenericTask
@@ -82,6 +82,8 @@ def test_generic_task_builders(task, tmp_path):
         "task": task,
         "token_list": str(tokens),
         "model_conf": {
+            "diar": {"num_spk": 2, "adim": 16, "heads": 2, "units": 24, "layers": 1},
+            "mt": {"adim": 16, "heads": 2, "units": 24, "elayers": 1},
             "spk": {"n_speakers": 4, "hidden": 16, "layers": 1, "embed_dim": 8},
             "hubert": {"n_clusters": 4, "adim": 16, "heads": 2, "units": 24,
                        "layers": 1, "conv_channels": 8},
