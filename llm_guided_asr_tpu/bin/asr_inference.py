@@ -121,6 +121,20 @@ class Speech2Text:
                 from llm_guided_asr_tpu.search.scorers import CachedGuidedScorer
 
                 att_scorer = CachedGuidedScorer(model, variables)
+            else:
+                from llm_guided_asr_tpu.models.asr_model import ASRModel as _ASRModel
+
+                if isinstance(model, _ASRModel) and model.cfg.ctc_weight < 1.0:
+                    # standard decoder: per-beam KV cache (forward_one_step analog)
+                    from llm_guided_asr_tpu.search.cached_decoder import (
+                        CachedDecoderScorer,
+                    )
+
+                    att_scorer = CachedDecoderScorer(
+                        model, variables,
+                        model.cfg.decoder.attention_heads,
+                        model.cfg.decoder.num_blocks,
+                    )
             self._beam = BatchBeamSearch(
                 model,
                 variables,
