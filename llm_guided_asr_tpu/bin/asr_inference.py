@@ -59,6 +59,7 @@ class Speech2Text:
         minlenratio: float = 0.0,
         nbest: int = 1,
         speech_pad_multiple: int = 1600,
+        use_cached_decoder: bool = False,
         dtype=jnp.float32,
     ):
         model, variables, config = ASRTask.build_model_from_file(
@@ -124,8 +125,17 @@ class Speech2Text:
             else:
                 from llm_guided_asr_tpu.models.asr_model import ASRModel as _ASRModel
 
-                if isinstance(model, _ASRModel) and model.cfg.ctc_weight < 1.0:
-                    # standard decoder: per-beam KV cache (forward_one_step analog)
+                if (
+                    use_cached_decoder
+                    and isinstance(model, _ASRModel)
+                    and model.cfg.ctc_weight < 1.0
+                ):
+                    # standard decoder per-beam KV cache (forward_one_step
+                    # analog).  Opt-in: measured on TPU at typical ASR output
+                    # lengths the stateless recompute is FASTER (83x vs 75x
+                    # RT at L<=64) — the MXU eats the small recompute while
+                    # the cache pays scatter + carry overhead.  Worth it only
+                    # for long outputs.
                     from llm_guided_asr_tpu.search.cached_decoder import (
                         CachedDecoderScorer,
                     )

@@ -250,11 +250,22 @@ class BatchBeamSearch:
         else:
             maxlen = jnp.maximum(1, (maxlenratio * enc_len).astype(jnp.int32))
         minlen = (minlenratio * enc_len).astype(jnp.int32)
-        lmax = t_enc + 2
+        lmax = self._lmax(t_enc, maxlenratio)
         tokens, lens, scores = self._search_jit(
             enc, enc_len, maxlen, minlen, scorer_ctx, lmax=lmax
         )
         return self._to_hyps(tokens, lens, scores, nbest)
+
+    @staticmethod
+    def _lmax(t_enc: int, maxlenratio: float) -> int:
+        """Static token-buffer size: don't carry T_enc-sized state when the
+        output is capped far shorter (scorer KV buffers scale with this)."""
+        bound = t_enc
+        if maxlenratio < 0.0:
+            bound = min(bound, int(-maxlenratio))
+        elif maxlenratio > 0.0:
+            bound = min(bound, int(maxlenratio * t_enc) + 1)
+        return bound + 2
 
     def _to_hyps(self, tokens, lens, scores, nbest: int) -> List[Hypothesis]:
         tokens = np.asarray(tokens)
@@ -293,7 +304,7 @@ class BatchBeamSearch:
             maxlens = jnp.maximum(1, (maxlenratio * enc_lens).astype(jnp.int32))
         minlens = (minlenratio * enc_lens).astype(jnp.int32)
         tokens, lens, scores = self._batch_search_jit(
-            encs, enc_lens, maxlens, minlens, lmax=t_enc + 2
+            encs, enc_lens, maxlens, minlens, lmax=self._lmax(t_enc, maxlenratio)
         )
         return [
             self._to_hyps(tokens[b], lens[b], scores[b], nbest)
