@@ -137,7 +137,24 @@ class ASRModel(nn.Module):
         elif cfg.normalize == "utterance_mvn":
             feats = utterance_mvn(feats, feats_lengths)
         feats = feats.astype(self.dtype)
-        return self.encoder(feats, feats_lengths, deterministic)
+        out = self.encoder(feats, feats_lengths, deterministic)
+        if len(out) == 3:  # interCTC taps configured
+            return out[0], out[1]
+        return out
+
+    def encode_with_intermediates(self, speech, speech_lengths, deterministic=True):
+        cfg = self.cfg
+        feats, feats_lengths = self._extract_feats(speech, speech_lengths)
+        if cfg.specaug is not None and not deterministic:
+            feats = specaug(self.make_rng("specaug"), feats, feats_lengths, cfg.specaug)
+        if cfg.normalize == "global_mvn":
+            feats = global_mvn(feats, self.mvn_mean.value, self.mvn_inv_std.value, feats_lengths)
+        elif cfg.normalize == "utterance_mvn":
+            feats = utterance_mvn(feats, feats_lengths)
+        out = self.encoder(feats.astype(self.dtype), feats_lengths, deterministic)
+        if len(out) == 3:
+            return out
+        return out[0], out[1], ()
 
     def ctc_logits(self, encoder_out: jnp.ndarray) -> jnp.ndarray:
         return self.ctc_head(encoder_out)
@@ -172,7 +189,9 @@ class ASRModel(nn.Module):
     ) -> Tuple[jnp.ndarray, Dict[str, jnp.ndarray], jnp.ndarray]:
         cfg = self.cfg
         batch_size = speech.shape[0]
-        enc_out, enc_lens = self.encode(speech, speech_lengths, deterministic)
+        enc_out, enc_lens, intermediates = self.encode_with_intermediates(
+            speech, speech_lengths, deterministic
+        )
 
         stats: Dict[str, jnp.ndarray] = {}
         loss_ctc = jnp.asarray(0.0, jnp.float32)
@@ -181,6 +200,17 @@ class ASRModel(nn.Module):
                 self.ctc_logits(enc_out), enc_lens, text, text_lengths, cfg.blank_id
             )
             stats["loss_ctc"] = loss_ctc
+            if cfg.interctc_weight > 0.0 and intermediates:
+                # espnet_model.py: loss_ctc = (1-w)*ctc + w*mean(inter ctc)
+                inter = jnp.mean(
+                    jnp.stack([
+                        ctc_loss(self.ctc_logits(h), enc_lens, text, text_lengths,
+                                 cfg.blank_id)
+                        for h in intermediates
+                    ])
+                )
+                stats["loss_interctc"] = inter
+                loss_ctc = (1 - cfg.interctc_weight) * loss_ctc + cfg.interctc_weight * inter
 
         loss_att = jnp.asarray(0.0, jnp.float32)
         if cfg.ctc_weight < 1.0:

@@ -57,11 +57,15 @@ class ConformerConfig:
     use_cnn_module: bool = True
     cnn_module_kernel: int = 31
     cnn_module_norm: str = "batch_norm"  # batch_norm | layer_norm
+    interctc_layer_idx: Tuple[int, ...] = ()  # 1-based block indices
 
     @classmethod
     def from_dict(cls, d: dict) -> "ConformerConfig":
         known = {f.name for f in dataclasses.fields(cls)}
-        return cls(**{k: v for k, v in d.items() if k in known})
+        d = {k: v for k, v in d.items() if k in known}
+        if d.get("interctc_layer_idx") is not None:
+            d["interctc_layer_idx"] = tuple(d["interctc_layer_idx"])
+        return cls(**d)
 
 
 def _activation(name: str):
@@ -243,13 +247,19 @@ class ConformerEncoder(nn.Module):
             pos_emb = None
 
         valid = make_valid_mask(out_lengths, x.shape[1])
+        intermediates = []
         for i in range(cfg.num_blocks):
             x = ConformerBlock(cfg, dtype=self.dtype, name=f"block_{i}")(
                 x, pos_emb, valid, deterministic
             )
+            if (i + 1) in cfg.interctc_layer_idx:
+                # intermediate CTC taps (conformer_encoder.py interctc path)
+                intermediates.append(jnp.where(valid[..., None], x, 0.0))
         if cfg.normalize_before:
             x = nn.LayerNorm(dtype=self.dtype, name="after_norm")(x)
         x = jnp.where(valid[..., None], x, 0.0)
+        if cfg.interctc_layer_idx:
+            return x, out_lengths, tuple(intermediates)
         return x, out_lengths
 
 

@@ -144,6 +144,7 @@ def build_model_config(config: Dict[str, Any]) -> ASRModelConfig:
         encoder=encoder,
         decoder=decoder,
         ctc_weight=float(model_conf.get("ctc_weight", 0.5)),
+        interctc_weight=float(model_conf.get("interctc_weight", 0.0)),
         lsm_weight=float(model_conf.get("lsm_weight", 0.0)),
         length_normalized_loss=bool(model_conf.get("length_normalized_loss", False)),
     )

@@ -118,3 +118,24 @@ def test_grads_flow():
     assert all(np.all(np.isfinite(np.asarray(g))) for g in leaves)
     total = sum(float(jnp.sum(jnp.abs(g))) for g in leaves)
     assert total > 0.0
+
+
+def test_interctc_loss():
+    cfg = tiny_cfg()
+    cfg = ASRModelConfig(**{
+        **{f.name: getattr(cfg, f.name) for f in __import__("dataclasses").fields(cfg)},
+        "interctc_weight": 0.3,
+        "encoder": ConformerConfig(
+            output_size=16, attention_heads=2, linear_units=24, num_blocks=2,
+            macaron_style=True, use_cnn_module=True, cnn_module_kernel=7,
+            interctc_layer_idx=(1,),
+        ),
+    })
+    _, _, (loss, stats, _) = init_and_forward(cfg)
+    assert "loss_interctc" in stats
+    assert np.isfinite(float(stats["loss_interctc"]))
+    # combined loss uses the mixed ctc: 0.3*((1-0.3)*ctc + 0.3*inter) + 0.7*att
+    mixed = 0.7 * float(stats["loss_ctc"]) + 0.3 * float(stats["loss_interctc"])
+    np.testing.assert_allclose(
+        float(loss), 0.3 * mixed + 0.7 * float(stats["loss_att"]), rtol=1e-5
+    )
