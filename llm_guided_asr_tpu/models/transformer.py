@@ -100,6 +100,9 @@ class MultiHeadedAttention(nn.Module):
 
         scores = jnp.einsum("bqhd,bkhd->bhqk", q, k) / math.sqrt(d_k)
         attn = _masked_softmax(scores, mask)
+        # attention-map capture for plotting (calculate_all_attentions analog):
+        # collected only when apply() asks for the 'intermediates' collection
+        self.sow("intermediates", "attn_weights", attn)
         attn = nn.Dropout(self.dropout_rate)(attn, deterministic=deterministic)
         out = jnp.einsum("bhqk,bkhd->bqhd", attn, v)
         out = out.reshape(*out.shape[:-2], d_model)
@@ -163,6 +166,7 @@ class RelPositionMultiHeadedAttention(nn.Module):
         bd = _rel_shift(bd, t)
         scores = (ac + bd) / math.sqrt(d_k)
         attn = _masked_softmax(scores, mask)
+        self.sow("intermediates", "attn_weights", attn)
         attn = nn.Dropout(self.dropout_rate)(attn, deterministic=deterministic)
         out = jnp.einsum("bhqk,bkhd->bqhd", attn, v)
         out = out.reshape(*out.shape[:-2], d_model)

