@@ -98,3 +98,22 @@ def test_logmel_matches_manual():
     power = (np.abs(spec) ** 2).transpose(0, 2, 1)
     mel = np.maximum(power @ mel_filterbank(16000, 512, 80), 1e-10)
     np.testing.assert_allclose(np.asarray(feats), np.log(mel), atol=2e-2, rtol=1e-3)
+
+
+def test_speed_perturb():
+    from llm_guided_asr_tpu.ops.augment import perturb_dataset_speeds, speed_perturb
+
+    t = np.arange(16000) / 16000.0
+    tone = np.sin(2 * np.pi * 400.0 * t).astype(np.float32)
+    fast = speed_perturb(tone, 1.1)
+    slow = speed_perturb(tone, 0.9)
+    assert abs(len(fast) - 16000 / 1.1) <= 1
+    assert abs(len(slow) - 16000 / 0.9) <= 1
+    # pitch scales with speed: dominant frequency moves to 400*factor
+    for sig, factor in [(fast, 1.1), (slow, 0.9)]:
+        spec = np.abs(np.fft.rfft(sig * np.hanning(len(sig))))
+        freqs = np.fft.rfftfreq(len(sig), 1 / 16000)
+        peak = freqs[int(np.argmax(spec))]
+        assert abs(peak - 400 * factor) < 8, (factor, peak)
+    out = perturb_dataset_speeds([("u0", tone)], (0.9, 1.0, 1.1))
+    assert [u for u, _ in out] == ["sp0.9-u0", "u0", "sp1.1-u0"]
