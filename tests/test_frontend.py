@@ -117,3 +117,29 @@ def test_speed_perturb():
         assert abs(peak - 400 * factor) < 8, (factor, peak)
     out = perturb_dataset_speeds([("u0", tone)], (0.9, 1.0, 1.1))
     assert [u for u, _ in out] == ["sp0.9-u0", "u0", "sp1.1-u0"]
+
+
+def test_rir_and_noise_aug():
+    from llm_guided_asr_tpu.ops.augment import WavAugPreprocessor, add_noise, apply_rir
+
+    rng = np.random.default_rng(0)
+    wav = np.sin(2 * np.pi * 300 * np.arange(4000) / 16000).astype(np.float32) * 0.5
+    rir = np.zeros(100, np.float32)
+    rir[0] = 1.0
+    rir[50] = 0.5  # one echo
+    wet = apply_rir(wav, rir)
+    assert wet.shape == wav.shape
+    # power-normalized to the dry signal
+    np.testing.assert_allclose(np.mean(wet**2), np.mean(wav**2), rtol=1e-3)
+
+    noise = rng.standard_normal(2000).astype(np.float32)
+    noisy = add_noise(wav, noise, snr_db=10.0, rng=rng)
+    res = noisy - wav
+    snr = 10 * np.log10(np.mean(wav**2) / np.mean(res**2))
+    assert abs(snr - 10.0) < 0.5
+
+    pre = WavAugPreprocessor(rirs=[rir], noises=[noise], noise_db_range=(10, 10))
+    out = pre("u0", {"speech": wav, "text": "abc"})
+    assert out["speech"].shape == wav.shape
+    assert not np.allclose(out["speech"], wav)
+    assert out["text"] == "abc"
