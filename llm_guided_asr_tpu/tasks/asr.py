@@ -68,6 +68,7 @@ ASR_DEFAULTS: Dict[str, Any] = {
     "scheduler": "warmuplr",
     "scheduler_conf": {"warmup_steps": 25000},
     "grad_clip": 5.0,
+    "grad_noise": False,
     "max_epoch": 40,
     "accum_grad": 1,
     "patience": None,
@@ -458,6 +459,7 @@ class ASRTask:
             config.get("scheduler_conf"),
             grad_clip=config.get("grad_clip", 5.0),
             freeze_mask=freeze_mask,
+            grad_noise=bool(config.get("grad_noise", False)),
         )
 
         train_ds = build_dataset(config, config["train_data_path_and_name_and_type"])

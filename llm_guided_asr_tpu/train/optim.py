@@ -167,6 +167,7 @@ def build_optimizer(
     scheduler_conf: Optional[dict] = None,
     grad_clip: Optional[float] = 5.0,
     freeze_mask: Optional[Any] = None,
+    grad_noise: bool = False,
 ) -> optax.GradientTransformation:
     """Build the full update chain: [zero-frozen] -> clip -> optimizer(schedule).
 
@@ -190,6 +191,10 @@ def build_optimizer(
         parts.append(optax.masked(optax.set_to_zero(), freeze_mask))
     if grad_clip is not None and grad_clip > 0:
         parts.append(optax.clip_by_global_norm(grad_clip))
+    if grad_noise:
+        # annealed gaussian gradient noise (torch_utils/add_gradient_noise.py:
+        # eta/(1+step)^0.55 with eta ~ duration-scaled; optax equivalent)
+        parts.append(optax.add_noise(eta=0.01, gamma=0.55, key=0))
     if freeze_mask is not None:
         trainable = jax.tree_util.tree_map(lambda m: not m, freeze_mask)
         parts.append(optax.masked(tx, trainable))
