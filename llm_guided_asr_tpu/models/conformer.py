@@ -281,7 +281,45 @@ def make_encoder(encoder_type: str, cfg: "ConformerConfig", dtype=jnp.float32, n
         from llm_guided_asr_tpu.models.streaming import ContextualBlockConformerEncoder
 
         return ContextualBlockConformerEncoder(cfg, dtype=dtype, name=name)
+    if encoder_type == "whisper_style":
+        return WhisperStyleEncoder(cfg, dtype=dtype, name=name)
     raise ValueError(f"unknown encoder type {encoder_type!r}")
+
+
+class WhisperStyleEncoder(nn.Module):
+    """Whisper-architecture encoder (asr/encoder/whisper_encoder.py family):
+    two stride-(1,2) conv1d stems with GELU over mel frames (x2 subsampling),
+    sinusoidal positions, pre-norm transformer blocks.  (Weights train from
+    scratch here — pretrained Whisper import is future work.)"""
+
+    cfg: "ConformerConfig"
+    dtype: Any = jnp.float32
+
+    @nn.compact
+    def __call__(self, feats, feats_lengths, deterministic: bool = True):
+        from llm_guided_asr_tpu.models.transformer import (
+            PositionalEncoding,
+            TransformerEncoderLayer,
+        )
+
+        cfg = self.cfg
+        x = nn.Conv(cfg.output_size, (3,), padding="SAME", dtype=self.dtype,
+                    name="conv1")(feats)
+        x = jax.nn.gelu(x)
+        x = nn.Conv(cfg.output_size, (3,), strides=(2,), padding="SAME",
+                    dtype=self.dtype, name="conv2")(x)
+        x = jax.nn.gelu(x)
+        out_lengths = (feats_lengths + 1) // 2
+        x = PositionalEncoding(cfg.positional_dropout_rate, dtype=self.dtype,
+                               name="pos_enc")(x, deterministic)
+        valid = make_valid_mask(out_lengths, x.shape[1])
+        for i in range(cfg.num_blocks):
+            x = TransformerEncoderLayer(
+                cfg.attention_heads, cfg.linear_units, cfg.dropout_rate,
+                cfg.attention_dropout_rate, dtype=self.dtype, name=f"block_{i}",
+            )(x, valid[:, None, :], deterministic)
+        x = nn.LayerNorm(dtype=self.dtype, name="after_norm")(x)
+        return jnp.where(valid[..., None], x, 0.0), out_lengths
 
 
 class TransformerEncoder(nn.Module):

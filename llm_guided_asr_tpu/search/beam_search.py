@@ -113,9 +113,14 @@ class BatchBeamSearch:
     def _search(self, enc, enc_len, maxlen, minlen, scorer_ctx, lmax: int):
         K, W, V = self.K, self.W, self.vocab_size
 
-        ctc_logp = self.model.apply(
-            self.variables, enc, method=self.model.ctc_log_softmax
-        )[0]  # [T, V]
+        if self.ctc_weight != 0.0:
+            ctc_logp = self.model.apply(
+                self.variables, enc, method=self.model.ctc_log_softmax
+            )[0]  # [T, V]
+        else:
+            # CTC-less models (MT, discrete-unit TTS): dummy uniform table,
+            # never scored (the ctc branch below is compiled out)
+            ctc_logp = jnp.zeros((enc.shape[1], V))
 
         att_state0 = self.att_scorer.init(enc, enc_len, K, lmax, ctx=scorer_ctx)
         init = BeamState(
