@@ -103,6 +103,15 @@ ASR_DEFAULTS: Dict[str, Any] = {
     "wandb_project": None,
     "wandb_name": None,
     "report_cer": False,
+    # parallelism (DDP analog, espnet2/train/trainer.py:262-293):
+    # data_parallel: None=off, 0=all devices, N=N-way batch sharding
+    "data_parallel": None,
+    "model_parallel": 1,
+    # multi-host: coordinator "host:port" + process indices
+    # (espnet2/train/distributed_utils.py:87-111 analog)
+    "dist_coordinator": None,
+    "dist_num_processes": None,
+    "dist_process_id": None,
 }
 
 
@@ -414,6 +423,14 @@ class ASRTask:
         from llm_guided_asr_tpu.utils.devices import resolve_device
 
         resolve_device(config.get("device"))
+        if config.get("dist_coordinator"):
+            from llm_guided_asr_tpu.parallel.mesh import DistributedOption
+
+            DistributedOption(
+                coordinator=config["dist_coordinator"],
+                num_processes=config.get("dist_num_processes"),
+                process_id=config.get("dist_process_id"),
+            ).init_distributed()
         if config.get("print_config"):
             import sys
 
@@ -488,6 +505,8 @@ class ASRTask:
             wandb_project=config.get("wandb_project"),
             wandb_name=config.get("wandb_name"),
             report_ctc_er=bool(config.get("report_cer", False)),
+            data_parallel=config.get("data_parallel"),
+            model_parallel=int(config.get("model_parallel", 1)),
         )
         data_names = {t[1] for t in config["train_data_path_and_name_and_type"]}
         if "bias_words" in data_names:
