@@ -21,6 +21,7 @@ import jax.numpy as jnp
 
 from llm_guided_asr_tpu.models.conformer import ConformerConfig, _activation
 from llm_guided_asr_tpu.models.transformer import (
+    LayerNorm,
     Conv2dSubsampling,
     MultiHeadedAttention,
     PositionalEncoding,
@@ -48,7 +49,7 @@ class ConvolutionalGatingMLP(nn.Module):
         h = nn.Dense(self.linear_units, dtype=self.dtype, name="channel_proj1")(x)
         h = jax.nn.gelu(h)
         a, b = jnp.split(h, 2, axis=-1)
-        g = nn.LayerNorm(dtype=self.dtype, name="norm")(b)
+        g = LayerNorm(dtype=self.dtype, name="norm")(b)
         g = jnp.where(valid[..., None], g, 0.0)
         g = nn.Conv(
             g.shape[-1], (self.kernel_size,), padding="SAME",
@@ -70,14 +71,14 @@ class EBranchformerBlock(nn.Module):
         drop = nn.Dropout(cfg.dropout_rate)
         attn_mask = valid[:, None, :]
 
-        h = nn.LayerNorm(dtype=self.dtype, name="norm_ff1")(x)
+        h = LayerNorm(dtype=self.dtype, name="norm_ff1")(x)
         h = PositionwiseFeedForward(
             cfg.linear_units, cfg.dropout_rate, dtype=self.dtype, name="feed_forward1"
         )(h, deterministic)
         x = x + 0.5 * drop(h, deterministic=deterministic)
 
         # attention branch
-        ha = nn.LayerNorm(dtype=self.dtype, name="norm_mha")(x)
+        ha = LayerNorm(dtype=self.dtype, name="norm_mha")(x)
         if cfg.selfattention_layer_type == "rel_selfattn" and pos_emb is not None:
             ha = RelPositionMultiHeadedAttention(
                 cfg.attention_heads, cfg.attention_dropout_rate, dtype=self.dtype,
@@ -91,7 +92,7 @@ class EBranchformerBlock(nn.Module):
         ha = drop(ha, deterministic=deterministic)
 
         # cgMLP branch
-        hc = nn.LayerNorm(dtype=self.dtype, name="norm_mlp")(x)
+        hc = LayerNorm(dtype=self.dtype, name="norm_mlp")(x)
         hc = ConvolutionalGatingMLP(
             cfg.linear_units, cfg.cnn_module_kernel, cfg.dropout_rate,
             dtype=self.dtype, name="cgmlp",
@@ -110,12 +111,12 @@ class EBranchformerBlock(nn.Module):
             deterministic=deterministic,
         )
 
-        h = nn.LayerNorm(dtype=self.dtype, name="norm_ff2")(x)
+        h = LayerNorm(dtype=self.dtype, name="norm_ff2")(x)
         h = PositionwiseFeedForward(
             cfg.linear_units, cfg.dropout_rate, dtype=self.dtype, name="feed_forward2"
         )(h, deterministic)
         x = x + 0.5 * drop(h, deterministic=deterministic)
-        return nn.LayerNorm(dtype=self.dtype, name="norm_final")(x)
+        return LayerNorm(dtype=self.dtype, name="norm_final")(x)
 
 
 class BranchformerBlock(nn.Module):
@@ -131,7 +132,7 @@ class BranchformerBlock(nn.Module):
         cfg = self.cfg
         drop = nn.Dropout(cfg.dropout_rate)
         attn_mask = valid[:, None, :]
-        ha = nn.LayerNorm(dtype=self.dtype, name="norm_mha")(x)
+        ha = LayerNorm(dtype=self.dtype, name="norm_mha")(x)
         if cfg.selfattention_layer_type == "rel_selfattn" and pos_emb is not None:
             ha = RelPositionMultiHeadedAttention(
                 cfg.attention_heads, cfg.attention_dropout_rate, dtype=self.dtype, name="attn"
@@ -140,7 +141,7 @@ class BranchformerBlock(nn.Module):
             ha = MultiHeadedAttention(
                 cfg.attention_heads, cfg.attention_dropout_rate, dtype=self.dtype, name="attn"
             )(ha, ha, ha, attn_mask, deterministic)
-        hc = nn.LayerNorm(dtype=self.dtype, name="norm_mlp")(x)
+        hc = LayerNorm(dtype=self.dtype, name="norm_mlp")(x)
         hc = ConvolutionalGatingMLP(
             cfg.linear_units, cfg.cnn_module_kernel, cfg.dropout_rate,
             dtype=self.dtype, name="cgmlp",
@@ -148,7 +149,7 @@ class BranchformerBlock(nn.Module):
         w = self.param("branch_weights", nn.initializers.zeros, (2,))
         wts = jax.nn.softmax(w)
         x = x + drop(wts[0] * ha + wts[1] * hc, deterministic=deterministic)
-        return nn.LayerNorm(dtype=self.dtype, name="norm_final")(x)
+        return LayerNorm(dtype=self.dtype, name="norm_final")(x)
 
 
 class EBranchformerEncoder(nn.Module):
@@ -163,7 +164,7 @@ class EBranchformerEncoder(nn.Module):
         cfg = self.cfg
         if cfg.input_layer == "conv2d":
             x = Conv2dSubsampling(cfg.output_size, dtype=self.dtype, name="embed")(feats)
-            out_lengths = sub4_lengths(feats_lengths)
+            out_lengths = sub4_lengths(feats_lengths, feats.shape[1])
         elif cfg.input_layer == "linear":
             x = nn.Dense(cfg.output_size, dtype=self.dtype, name="embed")(feats)
             out_lengths = feats_lengths

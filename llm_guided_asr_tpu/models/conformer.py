@@ -24,6 +24,7 @@ import jax
 import jax.numpy as jnp
 
 from llm_guided_asr_tpu.models.transformer import (
+    LayerNorm,
     Conv2dSubsampling,
     MultiHeadedAttention,
     PositionalEncoding,
@@ -57,6 +58,12 @@ class ConformerConfig:
     use_cnn_module: bool = True
     cnn_module_kernel: int = 31
     cnn_module_norm: str = "batch_norm"  # batch_norm | layer_norm
+    # True (default): zero padded frames before the depthwise conv so pad
+    # garbage cannot smear into valid frames (batch-width-invariant outputs).
+    # False: reproduce the reference exactly (espnet convolves pads; required
+    # for bit-parity when ingesting reference checkpoints — see
+    # tests/test_parity_reference.py).
+    pad_safe_conv: bool = True
     interctc_layer_idx: Tuple[int, ...] = ()  # 1-based block indices
 
     @classmethod
@@ -121,6 +128,7 @@ class ConvolutionModule(nn.Module):
     kernel_size: int = 31
     norm_type: str = "batch_norm"
     activation: Any = jax.nn.silu
+    mask_pads: bool = True
     dtype: Dtype = jnp.float32
 
     @nn.compact
@@ -130,8 +138,9 @@ class ConvolutionModule(nn.Module):
         d = x.shape[-1]
         h = nn.Dense(2 * d, dtype=self.dtype, name="pointwise_conv1")(x)
         h = nn.glu(h, axis=-1)
-        # mask pads so the depthwise conv cannot smear garbage inward
-        h = jnp.where(valid[..., None], h, 0.0)
+        if self.mask_pads:
+            # mask pads so the depthwise conv cannot smear garbage inward
+            h = jnp.where(valid[..., None], h, 0.0)
         h = nn.Conv(
             d,
             (self.kernel_size,),
@@ -145,7 +154,7 @@ class ConvolutionModule(nn.Module):
                 h, valid, use_running_average=deterministic
             )
         else:
-            h = nn.LayerNorm(dtype=self.dtype, name="norm")(h)
+            h = LayerNorm(dtype=self.dtype, name="norm")(h)
         h = self.activation(h)
         return nn.Dense(d, dtype=self.dtype, name="pointwise_conv2")(h)
 
@@ -168,14 +177,14 @@ class ConformerBlock(nn.Module):
         attn_mask = valid[:, None, :]  # [B, 1, T]
 
         if cfg.macaron_style:
-            h = nn.LayerNorm(dtype=self.dtype, name="norm_ff_macaron")(x)
+            h = LayerNorm(dtype=self.dtype, name="norm_ff_macaron")(x)
             h = PositionwiseFeedForward(
                 cfg.linear_units, cfg.dropout_rate, activation=act, dtype=self.dtype,
                 name="feed_forward_macaron",
             )(h, deterministic)
             x = x + 0.5 * drop(h, deterministic=deterministic)
 
-        h = nn.LayerNorm(dtype=self.dtype, name="norm_mha")(x)
+        h = LayerNorm(dtype=self.dtype, name="norm_mha")(x)
         if cfg.selfattention_layer_type == "rel_selfattn":
             h = RelPositionMultiHeadedAttention(
                 cfg.attention_heads, cfg.attention_dropout_rate, dtype=self.dtype,
@@ -189,14 +198,15 @@ class ConformerBlock(nn.Module):
         x = x + drop(h, deterministic=deterministic)
 
         if cfg.use_cnn_module:
-            h = nn.LayerNorm(dtype=self.dtype, name="norm_conv")(x)
+            h = LayerNorm(dtype=self.dtype, name="norm_conv")(x)
             h = ConvolutionModule(
-                cfg.cnn_module_kernel, cfg.cnn_module_norm, act, dtype=self.dtype,
+                cfg.cnn_module_kernel, cfg.cnn_module_norm, act,
+                mask_pads=cfg.pad_safe_conv, dtype=self.dtype,
                 name="conv_module",
             )(h, valid, deterministic)
             x = x + drop(h, deterministic=deterministic)
 
-        h = nn.LayerNorm(dtype=self.dtype, name="norm_ff")(x)
+        h = LayerNorm(dtype=self.dtype, name="norm_ff")(x)
         h = PositionwiseFeedForward(
             cfg.linear_units, cfg.dropout_rate, activation=act, dtype=self.dtype,
             name="feed_forward",
@@ -206,7 +216,7 @@ class ConformerBlock(nn.Module):
         )
 
         if cfg.use_cnn_module:
-            x = nn.LayerNorm(dtype=self.dtype, name="norm_final")(x)
+            x = LayerNorm(dtype=self.dtype, name="norm_final")(x)
         return x
 
 
@@ -226,7 +236,7 @@ class ConformerEncoder(nn.Module):
         cfg = self.cfg
         if cfg.input_layer == "conv2d":
             x = Conv2dSubsampling(cfg.output_size, dtype=self.dtype, name="embed")(feats)
-            out_lengths = sub4_lengths(feats_lengths)
+            out_lengths = sub4_lengths(feats_lengths, feats.shape[1])
         elif cfg.input_layer == "linear":
             x = nn.Dense(cfg.output_size, dtype=self.dtype, name="embed")(feats)
             out_lengths = feats_lengths
@@ -256,7 +266,7 @@ class ConformerEncoder(nn.Module):
                 # intermediate CTC taps (conformer_encoder.py interctc path)
                 intermediates.append(jnp.where(valid[..., None], x, 0.0))
         if cfg.normalize_before:
-            x = nn.LayerNorm(dtype=self.dtype, name="after_norm")(x)
+            x = LayerNorm(dtype=self.dtype, name="after_norm")(x)
         x = jnp.where(valid[..., None], x, 0.0)
         if cfg.interctc_layer_idx:
             return x, out_lengths, tuple(intermediates)
@@ -318,7 +328,7 @@ class WhisperStyleEncoder(nn.Module):
                 cfg.attention_heads, cfg.linear_units, cfg.dropout_rate,
                 cfg.attention_dropout_rate, dtype=self.dtype, name=f"block_{i}",
             )(x, valid[:, None, :], deterministic)
-        x = nn.LayerNorm(dtype=self.dtype, name="after_norm")(x)
+        x = LayerNorm(dtype=self.dtype, name="after_norm")(x)
         return jnp.where(valid[..., None], x, 0.0), out_lengths
 
 
@@ -338,7 +348,7 @@ class TransformerEncoder(nn.Module):
         cfg = self.cfg
         if cfg.input_layer == "conv2d":
             x = Conv2dSubsampling(cfg.output_size, dtype=self.dtype, name="embed")(feats)
-            out_lengths = sub4_lengths(feats_lengths)
+            out_lengths = sub4_lengths(feats_lengths, feats.shape[1])
         elif cfg.input_layer == "linear":
             x = nn.Dense(cfg.output_size, dtype=self.dtype, name="embed")(feats)
             out_lengths = feats_lengths
@@ -360,6 +370,6 @@ class TransformerEncoder(nn.Module):
                 name=f"block_{i}",
             )(x, mask, deterministic)
         if cfg.normalize_before:
-            x = nn.LayerNorm(dtype=self.dtype, name="after_norm")(x)
+            x = LayerNorm(dtype=self.dtype, name="after_norm")(x)
         x = jnp.where(valid[..., None], x, 0.0)
         return x, out_lengths

@@ -27,6 +27,7 @@ import jax.numpy as jnp
 
 from llm_guided_asr_tpu.models.conformer import ConformerConfig, ConformerBlock, _activation
 from llm_guided_asr_tpu.models.transformer import (
+    LayerNorm,
     Conv2dSubsampling,
     MultiHeadedAttention,
     PositionalEncoding,
@@ -78,11 +79,11 @@ class ContextualBlockLayer(nn.Module):
             if cfg.use_cnn_module
             else None
         )
-        norm_mac = nn.LayerNorm(dtype=self.dtype, name="norm_ff_macaron") if cfg.macaron_style else None
-        norm_mha = nn.LayerNorm(dtype=self.dtype, name="norm_mha")
-        norm_conv = nn.LayerNorm(dtype=self.dtype, name="norm_conv") if conv is not None else None
-        norm_ff = nn.LayerNorm(dtype=self.dtype, name="norm_ff")
-        norm_final = nn.LayerNorm(dtype=self.dtype, name="norm_final")
+        norm_mac = LayerNorm(dtype=self.dtype, name="norm_ff_macaron") if cfg.macaron_style else None
+        norm_mha = LayerNorm(dtype=self.dtype, name="norm_mha")
+        norm_conv = LayerNorm(dtype=self.dtype, name="norm_conv") if conv is not None else None
+        norm_ff = LayerNorm(dtype=self.dtype, name="norm_ff")
+        norm_final = LayerNorm(dtype=self.dtype, name="norm_final")
 
         def block_step(ctx, x, valid):
             # x: [B, S, D], valid: [B, S]
@@ -135,7 +136,7 @@ class ContextualBlockConformerEncoder(nn.Module):
         cfg = self.cfg
         if cfg.input_layer == "conv2d":
             x = Conv2dSubsampling(cfg.output_size, dtype=self.dtype, name="embed")(feats)
-            out_lengths = sub4_lengths(feats_lengths)
+            out_lengths = sub4_lengths(feats_lengths, feats.shape[1])
         elif cfg.input_layer == "linear":
             x = nn.Dense(cfg.output_size, dtype=self.dtype, name="embed")(feats)
             out_lengths = feats_lengths
@@ -163,6 +164,6 @@ class ContextualBlockConformerEncoder(nn.Module):
             )
         x = blocks.reshape(b, n * s, d)[:, :t]
         if cfg.normalize_before:
-            x = nn.LayerNorm(dtype=self.dtype, name="after_norm")(x)
+            x = LayerNorm(dtype=self.dtype, name="after_norm")(x)
         x = jnp.where(make_valid_mask(out_lengths, t)[..., None], x, 0.0)
         return x, out_lengths

@@ -27,6 +27,14 @@ Dtype = Any
 NEG_INF = -1.0e9  # large-negative attention bias; avoids bf16 inf-nan traps
 
 
+def LayerNorm(*args, **kwargs):
+    """LayerNorm with torch's default epsilon (1e-5, vs flax's 1e-6) so
+    ingested reference checkpoints reproduce reference numerics exactly
+    (parity harness caught a compounding ~5% drift from the eps mismatch)."""
+    kwargs.setdefault("epsilon", 1e-5)
+    return nn.LayerNorm(*args, **kwargs)
+
+
 def sinusoidal_pos_enc(length: int, d_model: int, dtype=jnp.float32) -> np.ndarray:
     """Classic sinusoidal table [length, d_model] (embedding.py PositionalEncoding)."""
     position = np.arange(length, dtype=np.float64)[:, None]
@@ -248,10 +256,17 @@ class Conv2dSubsampling(nn.Module):
         return nn.Dense(self.odim, dtype=self.dtype, name="out")(h)
 
 
-def sub4_lengths(lengths: jnp.ndarray) -> jnp.ndarray:
-    """Sequence lengths after Conv2dSubsampling (two valid stride-2 k=3 convs)."""
-    l1 = (lengths - 1) // 2
-    return (l1 - 1) // 2
+def sub4_lengths(lengths: jnp.ndarray, t: Optional[int] = None) -> jnp.ndarray:
+    """Sequence lengths after Conv2dSubsampling, matching the reference's
+    mask arithmetic (subsampling.py: mask[:, :-2:2][:, :-2:2]): frames whose
+    receptive field is only partially inside the utterance count as valid,
+    giving ceil-style (L+3)//4 clamped to the conv output width for ``t``
+    padded input frames. (A floor-style (((L-1)//2-1)//2 undercounts by up to
+    2 frames vs the reference — caught by the golden parity harness.)"""
+    out = (lengths + 3) // 4
+    if t is not None:
+        out = jnp.minimum(out, sub4_frames(t))
+    return out
 
 
 def sub4_frames(t: int) -> int:
@@ -270,12 +285,12 @@ class TransformerEncoderLayer(nn.Module):
     @nn.compact
     def __call__(self, x, mask, deterministic: bool = True):
         drop = nn.Dropout(self.dropout_rate)
-        h = nn.LayerNorm(dtype=self.dtype, name="norm1")(x)
+        h = LayerNorm(dtype=self.dtype, name="norm1")(x)
         h = MultiHeadedAttention(
             self.num_heads, self.attention_dropout_rate, dtype=self.dtype, name="self_attn"
         )(h, h, h, mask, deterministic)
         x = x + drop(h, deterministic=deterministic)
-        h = nn.LayerNorm(dtype=self.dtype, name="norm2")(x)
+        h = LayerNorm(dtype=self.dtype, name="norm2")(x)
         h = PositionwiseFeedForward(
             self.linear_units, self.dropout_rate, dtype=self.dtype, name="feed_forward"
         )(h, deterministic)
@@ -304,19 +319,19 @@ class DecoderLayer(nn.Module):
         self_kv: Optional[jnp.ndarray] = None,  # [B, Lk_self, D] full key/value stream
     ) -> jnp.ndarray:
         drop = nn.Dropout(self.dropout_rate)
-        norm1 = nn.LayerNorm(dtype=self.dtype, name="norm1")
+        norm1 = LayerNorm(dtype=self.dtype, name="norm1")
         h = norm1(tgt)
         hk = norm1(self_kv) if self_kv is not None else h
         h = MultiHeadedAttention(
             self.num_heads, self.self_attention_dropout_rate, dtype=self.dtype, name="self_attn"
         )(h, hk, hk, tgt_mask, deterministic)
         x = tgt + drop(h, deterministic=deterministic)
-        h = nn.LayerNorm(dtype=self.dtype, name="norm2")(x)
+        h = LayerNorm(dtype=self.dtype, name="norm2")(x)
         h = MultiHeadedAttention(
             self.num_heads, self.src_attention_dropout_rate, dtype=self.dtype, name="src_attn"
         )(h, memory, memory, memory_mask, deterministic)
         x = x + drop(h, deterministic=deterministic)
-        h = nn.LayerNorm(dtype=self.dtype, name="norm3")(x)
+        h = LayerNorm(dtype=self.dtype, name="norm3")(x)
         h = PositionwiseFeedForward(
             self.linear_units, self.dropout_rate, dtype=self.dtype, name="feed_forward"
         )(h, deterministic)

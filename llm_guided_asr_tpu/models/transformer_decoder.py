@@ -20,6 +20,7 @@ import flax.linen as nn
 import jax.numpy as jnp
 
 from llm_guided_asr_tpu.models.transformer import (
+    LayerNorm,
     DecoderLayer,
     PositionalEncoding,
 )
@@ -86,7 +87,7 @@ class TransformerDecoder(nn.Module):
                 name=f"block_{i}",
             )(x, tgt_mask, memory, memory_mask, deterministic)
         if cfg.normalize_before:
-            x = nn.LayerNorm(dtype=self.dtype, name="after_norm")(x)
+            x = LayerNorm(dtype=self.dtype, name="after_norm")(x)
         if only_last:
             x = x[jnp.arange(x.shape[0]), ys_in_lengths - 1]  # [B, D]
         if cfg.use_output_layer:

@@ -84,7 +84,11 @@ class BatchBeamSearch:
         self.vocab_size = vocab_size
         self.sos = sos
         self.eos = eos
-        self.K = beam_size
+        # espnet clamps the beam to the vocab (beam_search.py __init__); a
+        # K > V beam admits blank/dead candidates whose later extension gets
+        # a catastrophic +inf CTC delta (psi_finite - NEG_INF)
+        self.K = min(beam_size, vocab_size)
+        beam_size = self.K
         self.W = min(vocab_size, max(beam_size + 1, int(pre_beam_ratio * beam_size)))
         self.ctc_weight = float(ctc_weight)
         self.att_weight = 1.0 - float(ctc_weight)
@@ -160,6 +164,11 @@ class BatchBeamSearch:
                     blank_id=self.blank_id, eos_id=self.eos,
                 )
                 local_ctc = psi - s.ctc.psi[:, None]
+                # a zero-probability prefix (psi = NEG_INF, e.g. a retired or
+                # dead slot) must not yield a +1e10 "improvement" delta
+                local_ctc = jnp.where(
+                    s.ctc.psi[:, None] <= NEG_INF / 2, NEG_INF, local_ctc
+                )
                 cand_score = (
                     s.alive_score[:, None]
                     + top_full
@@ -171,38 +180,37 @@ class BatchBeamSearch:
                 r_new = jnp.zeros((K, W) + s.ctc.r.shape[1:])
                 cand_score = s.alive_score[:, None] + top_full + self.penalty
 
-            is_eos = cand == self.eos
-            below_min = s.step < minlen
-            cand_score = jnp.where(is_eos & below_min, NEG_INF, cand_score)
-
-            # 4. retire eos candidates into the finished buffer
-            eos_scores = jnp.where(is_eos, cand_score, NEG_INF).reshape(-1)  # [K*W]
-            all_fin_scores = jnp.concatenate([s.fin_score, eos_scores])
-            fin_top, fin_idx = jax.lax.top_k(all_fin_scores, K)
-            # build candidate token rows (parent seq + eos at position len)
-            flat_parent = jnp.arange(K * W) // W
-            cand_rows = s.alive_tokens[flat_parent]  # [K*W, Lmax]
-            pos = s.alive_len[flat_parent]
-            cand_rows = jnp.where(
-                jnp.arange(lmax)[None, :] == pos[:, None], self.eos, cand_rows
-            )
-            all_fin_tokens = jnp.concatenate([s.fin_tokens, cand_rows])
-            all_fin_len = jnp.concatenate([s.fin_len, pos + 1])
-            fin_tokens = all_fin_tokens[fin_idx]
-            fin_len = all_fin_len[fin_idx]
-
-            # 5. refill alive with best non-eos candidates
-            alive_cand = jnp.where(is_eos, NEG_INF, cand_score).reshape(-1)
-            new_score, flat_idx = jax.lax.top_k(alive_cand, K)
+            # 4. espnet-exact selection (beam_search.py:316 + post_process:500):
+            # top-K over ALL candidates first (eos included, competing on raw
+            # score); THEN the selected eos hyps retire into the finished
+            # buffer (if past minlen) and their beam slots die for this step.
+            # Retiring best-eos-candidates unconditionally (even when they
+            # would not survive the beam) admits hypotheses the reference
+            # prunes — caught by the golden hypothesis-parity test.
+            new_score, flat_idx = jax.lax.top_k(cand_score.reshape(-1), K)
             parent = flat_idx // W
             cidx = flat_idx % W
             token = cand[parent, cidx]
-            new_tokens = s.alive_tokens[parent]
             ins = s.alive_len[parent]
+            new_tokens = s.alive_tokens[parent]
             new_tokens = jnp.where(
                 jnp.arange(lmax)[None, :] == ins[:, None], token[:, None], new_tokens
             )
             new_len = ins + 1
+            is_eos_sel = token == self.eos
+
+            # finished-buffer merge (only eos hyps at/after minlen retire;
+            # below-minlen eos hyps are dropped entirely, like the reference)
+            fin_cand = jnp.where(is_eos_sel & (s.step >= minlen), new_score, NEG_INF)
+            all_fin_scores = jnp.concatenate([s.fin_score, fin_cand])
+            all_fin_tokens = jnp.concatenate([s.fin_tokens, new_tokens])
+            all_fin_len = jnp.concatenate([s.fin_len, new_len])
+            fin_top, fin_idx = jax.lax.top_k(all_fin_scores, K)
+            fin_tokens = all_fin_tokens[fin_idx]
+            fin_len = all_fin_len[fin_idx]
+
+            # 5. alive beam: eos slots are dead for the rest of the search
+            new_score = jnp.where(is_eos_sel, NEG_INF, new_score)
             new_ctc = ctc_prefix_select(r_new, psi, cand, parent, cidx)
             att_state = self.att_scorer.select(att_state, parent)
 

@@ -167,6 +167,9 @@ def ctc_prefix_scores(
     if eos_id >= 0:
         is_eos = cand == eos_id
         psi = jnp.where(is_eos, final_sum[:, None], psi)
+    # blank is never a label of a collapsed sequence: log-zero, exactly like
+    # the reference (ctc_prefix_score.py: log_psi[:, self.blank] = logzero)
+    psi = jnp.where(cand == blank_id, NEG_INF, psi)
     return psi, r_new
 
 
