@@ -1,37 +1,68 @@
 #!/usr/bin/env python3
-"""Benchmark: batched encoder + greedy CTC decode throughput (RTFx per chip).
+"""Benchmark at the reference's real operating points (VERDICT r1 item 4).
 
-Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
+Prints one JSON line per metric as it completes; the LAST line is the
+headline: batched beam-10 joint CTC/attention decode RTFx at the fork's
+decode_bs10_ctc0.3 operating point (egs2/esun/work/conf/tuning/
+decode_bs10_ctc0.3.yaml), with an "all" field carrying every metric.
 
-Measures the inference hot path of the flagship Conformer (esun headline
-dims: 256-d x 12 blocks) on whatever backend JAX resolves (the driver runs
-this on a real TPU chip; falls back to CPU transparently).  RTFx = seconds of
-audio processed per wall-clock second.  vs_baseline divides by the reference
-operating point: ESPnet GPU decoding of the same model family runs at
-~O(100) RTFx per device (BASELINE.md pins WER targets; no official RTFx is
-published, so 100 is the working reference denominator).
+Metrics:
+- greedy_ctc_rtfx:     batched encoder + greedy CTC (easiest path, upper bound)
+- train_step_audio_sps: audio-seconds/s through one fwd+bwd+adam step of the
+                        flagship model (plus mfu when XLA cost analysis works)
+- beam1_p50_latency_ms: single-utterance beam-1 decode p50 latency (driver
+                        latency target)
+- llm_guided_rtfx:     LLM-guided cached decode with a realistic prompt
+                        (guarded by a watchdog; skipped on timeout)
+- beam10_rtfx:         HEADLINE, batched beam-10 ctc_weight 0.3
+
+vs_baseline: BASELINE.md publishes WER targets but no reference RTFx numbers,
+so vs_baseline is null except where BASELINE.json defines one (the >=10x
+RTFx/chip target is reported as value/10x_target for the headline).
 """
 
 import json
-import sys
+import signal
 import time
 
 import numpy as np
 
+FLAGSHIP_SECONDS = 10.0
+SR = 16000
+V5E_BF16_FLOPS = 197e12  # per-chip peak, TPU v5e
 
-def main():
-    import jax
-    import jax.numpy as jnp
 
+def _emit(metric, value, unit, vs_baseline=None, **extra):
+    line = {"metric": metric, "value": round(float(value), 3), "unit": unit,
+            "vs_baseline": vs_baseline}
+    line.update(extra)
+    print(json.dumps(line), flush=True)
+    return line
+
+
+class Watchdog:
+    """SIGALRM guard so one slow tunnel compile can't starve the headline."""
+
+    def __init__(self, seconds):
+        self.seconds = seconds
+
+    def __enter__(self):
+        signal.signal(signal.SIGALRM, self._raise)
+        signal.alarm(self.seconds)
+
+    def __exit__(self, *a):
+        signal.alarm(0)
+
+    @staticmethod
+    def _raise(signum, frame):
+        raise TimeoutError("bench section timed out")
+
+
+def build_flagship(dtype):
     from llm_guided_asr_tpu.models.asr_model import ASRModel, ASRModelConfig
     from llm_guided_asr_tpu.models.conformer import ConformerConfig
     from llm_guided_asr_tpu.models.transformer_decoder import TransformerDecoderConfig
     from llm_guided_asr_tpu.ops.frontend import FrontendConfig
-    from llm_guided_asr_tpu.search.greedy import ctc_greedy_decode
-
-    platform = jax.devices()[0].platform
-    on_tpu = platform not in ("cpu",)
-    dtype = jnp.bfloat16 if on_tpu else jnp.float32
 
     cfg = ASRModelConfig(
         vocab_size=5000,
@@ -46,49 +77,221 @@ def main():
         ),
         ctc_weight=0.3,
     )
-    model = ASRModel(cfg, dtype=dtype)
+    return ASRModel(cfg, dtype=dtype)
+
+
+def main():
+    import jax
+    import jax.numpy as jnp
+
+    from llm_guided_asr_tpu.search.beam_search import BatchBeamSearch
+    from llm_guided_asr_tpu.search.greedy import ctc_greedy_decode
+
+    platform = jax.devices()[0].platform
+    on_tpu = platform not in ("cpu",)
+    dtype = jnp.bfloat16 if on_tpu else jnp.float32
+    model = build_flagship(dtype)
 
     batch = 16 if on_tpu else 2
-    seconds = 10.0
-    samples = int(seconds * 16000)
+    samples = int(FLAGSHIP_SECONDS * SR)
     rng = np.random.default_rng(0)
     speech = jnp.asarray(rng.standard_normal((batch, samples)), jnp.float32) * 0.1
     lengths = jnp.full((batch,), samples, jnp.int32)
-
-    text = jnp.ones((batch, 8), jnp.int32)
-    tlens = jnp.full((batch,), 8, jnp.int32)
+    text = jnp.ones((batch, 24), jnp.int32)
+    tlens = jnp.full((batch,), 24, jnp.int32)
     variables = model.init(
         {"params": jax.random.PRNGKey(0), "dropout": jax.random.PRNGKey(1)},
         speech, lengths, text, tlens, deterministic=True,
     )
+    all_metrics = {}
 
+    # ---- 1. greedy CTC ----------------------------------------------------
     @jax.jit
-    def decode(speech, lengths):
+    def greedy(speech, lengths):
         enc, enc_lens = model.apply(variables, speech, lengths, method=model.encode)
         logp = model.apply(variables, enc, method=model.ctc_log_softmax)
-        toks, ntoks = ctc_greedy_decode(logp, enc_lens)
-        return toks, ntoks
+        return ctc_greedy_decode(logp, enc_lens)
 
-    # warmup/compile
-    toks, ntoks = decode(speech, lengths)
-    jax.block_until_ready((toks, ntoks))
-
-    iters = 20 if on_tpu else 3
+    out = greedy(speech, lengths)
+    jax.block_until_ready(out)
+    iters = 20 if on_tpu else 2
     t0 = time.perf_counter()
     for _ in range(iters):
-        toks, ntoks = decode(speech, lengths)
-    jax.block_until_ready((toks, ntoks))
-    dt = time.perf_counter() - t0
+        out = greedy(speech, lengths)
+    jax.block_until_ready(out)
+    greedy_rtfx = batch * FLAGSHIP_SECONDS * iters / (time.perf_counter() - t0)
+    all_metrics["greedy_ctc_rtfx"] = round(greedy_rtfx, 1)
+    _emit("greedy_ctc_rtfx", greedy_rtfx, "x_realtime_per_chip")
 
-    audio_seconds = batch * seconds * iters
-    rtfx = audio_seconds / dt
-    baseline_rtfx = 100.0  # assumed reference GPU decode throughput (see docstring)
-    print(json.dumps({
-        "metric": f"greedy_decode_rtfx_{platform}",
-        "value": round(rtfx, 2),
-        "unit": "x_realtime_per_chip",
-        "vs_baseline": round(rtfx / baseline_rtfx, 3),
-    }))
+    # ---- 2. train step ------------------------------------------------
+    try:
+        with Watchdog(1500 if on_tpu else 600):
+            import optax
+
+            from llm_guided_asr_tpu.train.trainer import init_train_state, make_train_step
+
+            tx = optax.adamw(1e-3)
+            state = init_train_state(variables, tx)
+            grad_step, apply_step, _ = make_train_step(model, tx)
+            tbatch = {
+                "speech": speech, "speech_lengths": lengths,
+                "text": text, "text_lengths": tlens,
+            }
+            rngk = jax.random.PRNGKey(2)
+            g, e, st, w = grad_step(state["params"], state["extra"], tbatch, rngk)
+            p2, o2 = apply_step(state["params"], state["opt_state"], g)
+            jax.block_until_ready((p2, st))
+            iters = 10 if on_tpu else 2
+            t0 = time.perf_counter()
+            params, opt = state["params"], state["opt_state"]
+            for _ in range(iters):
+                g, e, st, w = grad_step(params, state["extra"], tbatch, rngk)
+                params, opt = apply_step(params, opt, g)
+            jax.block_until_ready(params)
+            dt = time.perf_counter() - t0
+            sps = batch * FLAGSHIP_SECONDS * iters / dt
+            extra = {}
+            try:
+                cost = jax.jit(
+                    lambda p, e, b, r: grad_step(p, e, b, r)
+                ).lower(params, state["extra"], tbatch, rngk).compile().cost_analysis()
+                flops = (cost or {}).get("flops", 0.0)
+                if flops and on_tpu:
+                    extra["mfu"] = round(flops * iters / dt / V5E_BF16_FLOPS, 4)
+            except Exception:
+                pass
+            all_metrics["train_step_audio_sps"] = round(sps, 1)
+            all_metrics.update(extra)
+            _emit("train_step_audio_sps", sps, "audio_seconds_per_second", **extra)
+    except TimeoutError:
+        _emit("train_step_audio_sps", -1, "audio_seconds_per_second", note="timeout")
+
+    # ---- 3. beam search setup ----------------------------------------
+    bs10 = BatchBeamSearch(
+        model, variables, vocab_size=5000, sos=4999, eos=4999,
+        beam_size=10, ctc_weight=0.3,
+    )
+    enc, enc_lens = jax.jit(
+        lambda s, l: model.apply(variables, s, l, method=model.encode)
+    )(speech, lengths)
+    jax.block_until_ready(enc)
+
+    # p50 single-utterance beam-1 latency (decode_bs1_ctc0.3 operating point)
+    try:
+        with Watchdog(1500 if on_tpu else 600):
+            bs1 = BatchBeamSearch(
+                model, variables, vocab_size=5000, sos=4999, eos=4999,
+                beam_size=1, ctc_weight=0.3,
+            )
+            one, one_len = enc[:1], enc_lens[:1]
+            bs1(one, one_len, maxlenratio=-24.0)  # compile
+            lats = []
+            for _ in range(10 if on_tpu else 2):
+                t0 = time.perf_counter()
+                bs1(one, one_len, maxlenratio=-24.0)
+                lats.append((time.perf_counter() - t0) * 1e3)
+            p50 = float(np.percentile(lats, 50))
+            all_metrics["beam1_p50_latency_ms"] = round(p50, 2)
+            _emit("beam1_p50_latency_ms", p50, "ms_per_10s_utterance")
+    except TimeoutError:
+        _emit("beam1_p50_latency_ms", -1, "ms", note="timeout")
+
+    # ---- 4. LLM-guided cached decode ----------------------------------
+    try:
+        with Watchdog(1500 if on_tpu else 600):
+            llm_rtfx = bench_llm_guided(on_tpu, dtype)
+            all_metrics["llm_guided_rtfx"] = round(llm_rtfx, 1)
+            _emit("llm_guided_rtfx", llm_rtfx, "x_realtime_per_chip")
+    except TimeoutError:
+        _emit("llm_guided_rtfx", -1, "x_realtime_per_chip", note="timeout")
+    except Exception as e:  # keep the headline alive
+        _emit("llm_guided_rtfx", -1, "x_realtime_per_chip", note=f"error: {e}")
+
+    # ---- 5. HEADLINE: batched beam-10 ctc0.3 ---------------------------
+    # worst case: random model, 24-token cap, no trained early end-detection
+    nb = bs10.batch_decode(enc, enc_lens, maxlenratio=-24.0)
+    iters = 5 if on_tpu else 1
+    t0 = time.perf_counter()
+    for _ in range(iters):
+        nb = bs10.batch_decode(enc, enc_lens, maxlenratio=-24.0)
+    dt = time.perf_counter() - t0
+    beam_rtfx = batch * FLAGSHIP_SECONDS * iters / dt
+    all_metrics["beam10_rtfx"] = round(beam_rtfx, 1)
+    # BASELINE.json target: >=10x reference RTFx/chip; no reference RTFx is
+    # published (BASELINE.md), so report progress against the 10x target
+    # denominator only as a labelled ratio, not an invented baseline.
+    _emit(
+        "beam10_ctc0.3_rtfx", beam_rtfx, "x_realtime_per_chip",
+        vs_baseline=None, all=all_metrics,
+    )
+
+
+def bench_llm_guided(on_tpu, dtype):
+    """LLM-guided cached decode RTFx with a realistic prompt length."""
+    import jax
+    import jax.numpy as jnp
+
+    from llm_guided_asr_tpu.models.conformer import ConformerConfig
+    from llm_guided_asr_tpu.models.llm.llama import LlamaConfig
+    from llm_guided_asr_tpu.models.llm.prompt import PromptTemplate
+    from llm_guided_asr_tpu.models.llm_guided import (
+        LLMGuidedASRConfig,
+        LLMGuidedASRModel,
+    )
+    from llm_guided_asr_tpu.models.transformer_decoder import TransformerDecoderConfig
+    from llm_guided_asr_tpu.ops.frontend import FrontendConfig
+    from llm_guided_asr_tpu.search.beam_search import BatchBeamSearch
+    from llm_guided_asr_tpu.search.scorers import CachedGuidedScorer
+
+    # TinyLlama-class guidance LM (realistic layer count, narrow width so the
+    # tunnel compile stays tractable); prompt ~64 ids like the esun template
+    llm = LlamaConfig(
+        vocab_size=5000, hidden_size=512, intermediate_size=1408,
+        num_hidden_layers=8, num_attention_heads=8, num_key_value_heads=4,
+        max_position_embeddings=2048,
+    )
+    prompt = PromptTemplate(
+        prefix_ids=tuple(range(2, 50)), suffix_ids=tuple(range(50, 66)),
+        start_of_response_id=70, end_of_response_id=70, pad_id=0,
+    )
+    cfg = LLMGuidedASRConfig(
+        vocab_size=5000, llm=llm, prompt=prompt,
+        frontend=FrontendConfig(), normalize="utterance_mvn",
+        encoder=ConformerConfig(
+            output_size=256, attention_heads=4, linear_units=1024, num_blocks=12,
+            macaron_style=True, use_cnn_module=True, cnn_module_kernel=31,
+        ),
+        decoder=TransformerDecoderConfig(
+            attention_heads=4, linear_units=2048, num_blocks=6
+        ),
+        ctc_weight=0.3,
+    )
+    model = LLMGuidedASRModel(cfg, dtype=dtype)
+    samples = int(FLAGSHIP_SECONDS * SR)
+    rng = np.random.default_rng(0)
+    speech = jnp.asarray(rng.standard_normal((1, samples)), jnp.float32) * 0.1
+    lengths = jnp.full((1,), samples, jnp.int32)
+    text = jnp.ones((1, 16), jnp.int32)
+    tlens = jnp.full((1,), 16, jnp.int32)
+    variables = model.init(
+        {"params": jax.random.PRNGKey(0), "dropout": jax.random.PRNGKey(1)},
+        speech, lengths, text, tlens, deterministic=True,
+    )
+    enc, enc_lens = jax.jit(
+        lambda s, l: model.apply(variables, s, l, method=model.encode)
+    )(speech, lengths)
+    jax.block_until_ready(enc)
+    bs = BatchBeamSearch(
+        model, variables, vocab_size=5000, sos=70, eos=70,
+        beam_size=10, ctc_weight=0.3,
+        att_scorer=CachedGuidedScorer(model, variables),
+    )
+    bs(enc, enc_lens, maxlenratio=-24.0)  # compile
+    iters = 5 if on_tpu else 1
+    t0 = time.perf_counter()
+    for _ in range(iters):
+        bs(enc, enc_lens, maxlenratio=-24.0)
+    return FLAGSHIP_SECONDS * iters / (time.perf_counter() - t0)
 
 
 if __name__ == "__main__":

@@ -126,23 +126,32 @@ class CommonPreprocessor:
         token_id_converter: Optional[TokenIDConverter] = None,
         text_name: str = "text",
         text_names: Optional[Sequence[str]] = None,
+        field_tokenizers: Optional[Dict[str, Tuple]] = None,
     ):
         self.tokenizer = tokenizer
         self.converter = token_id_converter
         self.text_names = (
             tuple(text_names)
             if text_names
-            else (text_name, "src_text", "bias_words", "text_prev", "text_ctc")
+            else (text_name, "src_text", "bias_words", "text_prev", "text_ctc",
+                  "ctc_text")
         )
+        # per-field (tokenizer, converter) overrides: mixed-vocab streams
+        # (e.g. 'ctc_text' in its own BPE/char vocab) tokenize independently
+        # of the main text, the MutliTokenizerCommonPreprocessor analog
+        self.field_tokenizers = dict(field_tokenizers or {})
 
     def __call__(self, uid: str, data: Dict) -> Dict:
         out = dict(data)
         for name in self.text_names:
             if name in out and isinstance(out[name], str):
-                if self.tokenizer is None or self.converter is None:
+                tok, conv = self.field_tokenizers.get(
+                    name, (self.tokenizer, self.converter)
+                )
+                if tok is None or conv is None:
                     raise RuntimeError("text present but no tokenizer configured")
-                tokens = self.tokenizer.text2tokens(out[name])
-                out[name] = np.array(self.converter.tokens2ids(tokens), dtype=np.int64)
+                tokens = tok.text2tokens(out[name])
+                out[name] = np.array(conv.tokens2ids(tokens), dtype=np.int64)
         return out
 
 

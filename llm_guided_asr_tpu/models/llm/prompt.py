@@ -190,6 +190,62 @@ def pack_prompt(
     return ids, valid, starts[:, -1]
 
 
+def expand_token_ids(
+    map_ids: jnp.ndarray,  # [Vc, M] per-CTC-token LLM-id expansions
+    map_lens: jnp.ndarray,  # [Vc]
+    hyp: jnp.ndarray,  # [B, H] CTC-vocab ids (left-aligned)
+    hyp_lengths: jnp.ndarray,  # [B]
+    pad_id: int,
+) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """Mixed-vocab bridge: expand CTC-vocab hyp ids to LLM-vocab ids on device.
+
+    The reference detokenizes the BPE hyp to text and re-tokenizes with the
+    LLM tokenizer on the host inside the training step
+    (transformer_decoder.py:1002-1010,1029-1034); here the mapping
+    CTC-token -> LLM-token-ids is precomputed once (build_ctc_to_llm_map) and
+    applied as a gather + scatter, keeping the whole step on-chip. Per-token
+    expansion equals full-string retokenization whenever BPE pieces
+    retokenize independently (exact for word-boundary pieces; boundary merges
+    across pieces are the documented approximation).
+
+    Returns (ids [B, H*M], lengths [B]).
+    """
+    b, hmax = hyp.shape
+    m = map_ids.shape[1]
+    out_w = hmax * m
+    tok_valid = jnp.arange(hmax)[None, :] < hyp_lengths[:, None]
+    safe = jnp.clip(hyp, 0, map_ids.shape[0] - 1)
+    exp = map_ids[safe]  # [B, H, M]
+    lens = jnp.where(tok_valid, map_lens[safe], 0)  # [B, H]
+    starts = jnp.cumsum(lens, axis=1) - lens
+    pos = starts[:, :, None] + jnp.arange(m)[None, None, :]  # [B, H, M]
+    ok = jnp.arange(m)[None, None, :] < lens[:, :, None]
+    pos = jnp.where(ok, pos, out_w)  # out-of-range -> dropped by scatter
+    out = jnp.full((b, out_w), pad_id, jnp.int32)
+    bidx = jnp.broadcast_to(jnp.arange(b)[:, None, None], pos.shape)
+    out = out.at[bidx, pos].set(exp.astype(jnp.int32), mode="drop")
+    return out, jnp.sum(lens, axis=1).astype(jnp.int32)
+
+
+def build_ctc_to_llm_map(ctc_token_list, tokenizer, max_expand: int = 8):
+    """Precompute the CTC-token -> LLM-token-ids table (host side, once).
+
+    Sentencepiece-style word markers are converted to spaces; special tokens
+    (<blank>, <unk>, <sos/eos>, ...) expand to nothing.
+    """
+    vc = len(ctc_token_list)
+    ids = np.zeros((vc, max_expand), np.int32)
+    lens = np.zeros((vc,), np.int32)
+    for i, tok in enumerate(ctc_token_list):
+        if tok.startswith("<") and tok.endswith(">"):
+            continue
+        text = tok.replace("▁", " ").replace("Ġ", " ")
+        e = tokenizer(text, add_special_tokens=False)["input_ids"][:max_expand]
+        ids[i, : len(e)] = e
+        lens[i] = len(e)
+    return ids, lens
+
+
 def gather_response(
     hidden: jnp.ndarray,  # [B, total, D]
     resp_start: jnp.ndarray,  # [B]

@@ -82,6 +82,12 @@ class LLMGuidedASRConfig:
     length_normalized_loss: bool = False
     ignore_id: int = -1
     blank_id: int = 0  # llm_guided_asr_model.py:78-80
+    # mixed-vocab CTC (the reference's ctc_vocab_path,
+    # transformer_decoder.py:1002-1010 + tasks/asr.py:625-632): CTC over its
+    # own (BPE) vocab; greedy hyps are expanded to LLM ids on device via a
+    # precomputed map stored in the 'ctc_map' variable collection.
+    ctc_vocab_size: Optional[int] = None
+    ctc_map_width: int = 8  # max LLM ids per CTC token
 
     @property
     def sos_id(self) -> int:
@@ -102,7 +108,16 @@ class LLMGuidedASRModel(nn.Module):
         from llm_guided_asr_tpu.models.conformer import make_encoder
 
         self.encoder = make_encoder(cfg.encoder_type, cfg.encoder, self.dtype, name="encoder")
-        self.ctc_head = nn.Dense(cfg.vocab_size, dtype=self.dtype, name="ctc_head")
+        ctc_dim = cfg.ctc_vocab_size or cfg.vocab_size
+        self.ctc_head = nn.Dense(ctc_dim, dtype=self.dtype, name="ctc_head")
+        if cfg.ctc_vocab_size:
+            w = cfg.ctc_map_width
+            self.ctc_map_ids = self.variable(
+                "ctc_map", "ids", lambda: jnp.zeros((ctc_dim, w), jnp.int32)
+            )
+            self.ctc_map_lens = self.variable(
+                "ctc_map", "lens", lambda: jnp.zeros((ctc_dim,), jnp.int32)
+            )
         self.llm = LlamaModel(cfg.llm, dtype=self.llm_dtype, name="llm")
         # Linear(llm_hidden -> enc_dim) installed as decoder embed
         self.embed = nn.Dense(cfg.encoder.output_size, dtype=self.dtype, name="embed")
@@ -169,10 +184,7 @@ class LLMGuidedASRModel(nn.Module):
     ):
         """First-pass CTC -> prompt pack -> frozen LLM -> response hidden states."""
         cfg = self.cfg
-        ctc_lp = self.ctc_log_softmax(encoder_out)
-        hyp, hyp_lengths = ctc_greedy_decode(
-            ctc_lp, encoder_out_lengths, blank_id=cfg.blank_id, pad_id=cfg.prompt.pad_id
-        )
+        hyp, hyp_lengths = self._first_pass_hyp(encoder_out, encoder_out_lengths)
         ids, valid, resp_start = pack_prompt(
             cfg.prompt, hyp, hyp_lengths, ys_in, ys_in_lengths,
             bias=bias_words, bias_lengths=bias_words_lengths,
@@ -184,6 +196,23 @@ class LLMGuidedASRModel(nn.Module):
         resp_hidden = gather_response(hidden, resp_start, ys_in.shape[1])
         resp_valid = make_valid_mask(ys_in_lengths, ys_in.shape[1])
         return jnp.where(resp_valid[..., None], resp_hidden.astype(self.dtype), 0.0)
+
+    def _first_pass_hyp(self, encoder_out, encoder_out_lengths):
+        """Greedy CTC hyp in LLM-vocab ids (mixed vocab: expand via ctc_map,
+        the on-chip analog of detokenize+retokenize)."""
+        cfg = self.cfg
+        ctc_lp = self.ctc_log_softmax(encoder_out)
+        hyp, hyp_lengths = ctc_greedy_decode(
+            ctc_lp, encoder_out_lengths, blank_id=cfg.blank_id, pad_id=cfg.prompt.pad_id
+        )
+        if cfg.ctc_vocab_size:
+            from llm_guided_asr_tpu.models.llm.prompt import expand_token_ids
+
+            hyp, hyp_lengths = expand_token_ids(
+                self.ctc_map_ids.value, self.ctc_map_lens.value,
+                hyp, hyp_lengths, cfg.prompt.pad_id,
+            )
+        return hyp, hyp_lengths
 
     def decoder_logits(
         self,
@@ -223,10 +252,7 @@ class LLMGuidedASRModel(nn.Module):
         static offsets.  Returns the scorer state pytree.
         """
         cfg = self.cfg
-        ctc_lp = self.ctc_log_softmax(encoder_out)
-        hyp, hyp_lengths = ctc_greedy_decode(
-            ctc_lp, encoder_out_lengths, blank_id=cfg.blank_id, pad_id=cfg.prompt.pad_id
-        )
+        hyp, hyp_lengths = self._first_pass_hyp(encoder_out, encoder_out_lengths)
         b = encoder_out.shape[0]
         empty_resp = jnp.zeros((b, 0), jnp.int32)
         ids, valid, _ = pack_prompt(
@@ -336,6 +362,8 @@ class LLMGuidedASRModel(nn.Module):
         text_lengths,
         bias_words=None,  # [B, W] per-utterance biasing tokens (optional)
         bias_words_lengths=None,
+        ctc_text=None,  # [B, Lc] CTC-vocab targets (mixed-vocab mode only)
+        ctc_text_lengths=None,
         deterministic: bool = True,
     ) -> Tuple[jnp.ndarray, Dict[str, jnp.ndarray], jnp.ndarray]:
         cfg = self.cfg
@@ -345,8 +373,15 @@ class LLMGuidedASRModel(nn.Module):
         stats: Dict[str, jnp.ndarray] = {}
         loss_ctc = jnp.asarray(0.0, jnp.float32)
         if cfg.ctc_weight > 0.0:
+            if cfg.ctc_vocab_size and ctc_text is None:
+                raise ValueError(
+                    "mixed-vocab model needs a 'ctc_text' data stream (CTC-vocab "
+                    "targets); the LLM-vocab 'text' ids exceed the CTC head dim"
+                )
+            tgt = ctc_text if ctc_text is not None else text
+            tgt_lens = ctc_text_lengths if ctc_text is not None else text_lengths
             loss_ctc = ctc_loss(
-                self.ctc_logits(enc_out), enc_lens, text, text_lengths, cfg.blank_id
+                self.ctc_logits(enc_out), enc_lens, tgt, tgt_lens, cfg.blank_id
             )
             stats["loss_ctc"] = loss_ctc
 
@@ -404,11 +439,33 @@ def build_llm_guided_model(config: Dict[str, Any], dtype=jnp.float32) -> LLMGuid
         ctc_weight=float(model_conf.get("ctc_weight", 0.3)),
         lsm_weight=float(model_conf.get("lsm_weight", 0.0)),
         length_normalized_loss=bool(model_conf.get("length_normalized_loss", False)),
+        # mixed vocab: a separate CTC token list (ctc_vocab_path analog)
+        ctc_vocab_size=(
+            len(_read_ctc_token_list(config)) if config.get("ctc_token_list") else None
+        ),
+        ctc_map_width=int(model_conf.get("ctc_map_width", 8)),
     )
     llm_dtype = {"bfloat16": jnp.bfloat16, "float32": jnp.float32, "float16": jnp.bfloat16}[
         llm_conf.get("dtype", "float32")
     ]
     return LLMGuidedASRModel(cfg, dtype=dtype, llm_dtype=llm_dtype)
+
+
+def _read_ctc_token_list(config: Dict[str, Any]):
+    from llm_guided_asr_tpu.utils.config import read_token_list
+
+    return read_token_list(config["ctc_token_list"])
+
+
+def build_ctc_map_variables(config: Dict[str, Any]) -> Dict:
+    """Precompute the CTC-vocab -> LLM-ids table for the 'ctc_map' collection."""
+    from llm_guided_asr_tpu.models.llm.prompt import build_ctc_to_llm_map
+
+    tokens = _read_ctc_token_list(config)
+    spec = _resolve_llm_spec(dict(config.get("llm_conf", {}) or {}))
+    width = int((config.get("model_conf") or {}).get("ctc_map_width", 8))
+    ids, lens = build_ctc_to_llm_map(tokens, spec["tokenizer"], max_expand=width)
+    return {"ids": jnp.asarray(ids), "lens": jnp.asarray(lens)}
 
 
 _LLM_SPEC_CACHE: Dict[str, Dict] = {}

@@ -103,6 +103,11 @@ ASR_DEFAULTS: Dict[str, Any] = {
     "wandb_project": None,
     "wandb_name": None,
     "report_cer": False,
+    # mixed-vocab CTC (reference ctc_vocab_path, transformer_decoder.py:1002):
+    # separate CTC token list + tokenizer for the 'ctc_text' data stream
+    "ctc_token_list": None,
+    "ctc_token_type": "char",
+    "ctc_bpemodel": None,
     # parallelism (DDP analog, espnet2/train/trainer.py:262-293):
     # data_parallel: None=off, 0=all devices, N=N-way batch sharding
     "data_parallel": None,
@@ -216,9 +221,13 @@ def init_model_variables(
         dummy_lens = jnp.asarray([16, 16], jnp.int32)
     dummy_text = jnp.asarray([[1, 2, -1], [1, -1, -1]], jnp.int32)
     dummy_tlens = jnp.asarray([2, 1], jnp.int32)
+    kwargs = {}
+    if config.get("model") == "llm_guided_asr" and config.get("ctc_token_list"):
+        kwargs = {"ctc_text": dummy_text, "ctc_text_lengths": dummy_tlens}
     variables = model.init(
         {"params": jax.random.PRNGKey(seed), "dropout": jax.random.PRNGKey(seed + 1)},
         dummy_speech, dummy_lens, dummy_text, dummy_tlens, deterministic=True,
+        **kwargs,
     )
     variables = dict(variables)
     stats_file = (config.get("normalize_conf") or {}).get("stats_file")
@@ -228,6 +237,10 @@ def init_model_variables(
         from llm_guided_asr_tpu.models.llm_guided import load_llm_params
 
         variables["params"] = {**variables["params"], "llm": load_llm_params(config)}
+    if config.get("model") == "llm_guided_asr" and config.get("ctc_token_list"):
+        from llm_guided_asr_tpu.models.llm_guided import build_ctc_map_variables
+
+        variables["ctc_map"] = build_ctc_map_variables(config)
     return variables
 
 
@@ -304,7 +317,15 @@ def build_text_converter(config: Dict[str, Any]):
 
 def build_preprocess_fn(config: Dict[str, Any]) -> CommonPreprocessor:
     tokenizer, converter = build_text_converter(config)
-    return CommonPreprocessor(tokenizer, converter)
+    field_tokenizers = None
+    if config.get("ctc_token_list"):
+        # mixed-vocab CTC: 'ctc_text' tokenizes in its own vocab
+        ctc_tok = build_tokenizer(
+            config.get("ctc_token_type", "char"), bpemodel=config.get("ctc_bpemodel")
+        )
+        ctc_conv = TokenIDConverter(read_token_list(config["ctc_token_list"]))
+        field_tokenizers = {"ctc_text": (ctc_tok, ctc_conv)}
+    return CommonPreprocessor(tokenizer, converter, field_tokenizers=field_tokenizers)
 
 
 def build_dataset(config: Dict[str, Any], triples: Sequence) -> ESPnetDataset:
@@ -509,12 +530,21 @@ class ASRTask:
             model_parallel=int(config.get("model_parallel", 1)),
         )
         data_names = {t[1] for t in config["train_data_path_and_name_and_type"]}
-        if "bias_words" in data_names:
-            # per-utterance contextual biasing text (transformer_decoder_new)
-            options.batch_args = (
-                "speech", "speech_lengths", "text", "text_lengths",
-                "bias_words", "bias_words_lengths",
-            )
+        has_bias = "bias_words" in data_names  # contextual biasing (decoder_new)
+        has_ctc_text = "ctc_text" in data_names  # mixed-vocab CTC targets
+        if has_bias or has_ctc_text:
+            base = ("speech", "speech_lengths", "text", "text_lengths")
+            bias_keys = ("bias_words", "bias_words_lengths")
+            ctc_keys = ("ctc_text", "ctc_text_lengths")
+            if has_bias and has_ctc_text:
+                options.batch_args = base + bias_keys + ctc_keys
+            elif has_bias:
+                options.batch_args = base + bias_keys
+            else:
+                # bias slots are positional in the model signature: fill None
+                options.batch_args = lambda b: tuple(
+                    [b[k] for k in base] + [None, None] + [b[k] for k in ctc_keys]
+                )
         return Trainer.run(model, variables, tx, train_iter, valid_iter, output_dir, options)
 
     @classmethod
