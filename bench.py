@@ -123,7 +123,28 @@ def main():
     all_metrics["greedy_ctc_rtfx"] = round(greedy_rtfx, 1)
     _emit("greedy_ctc_rtfx", greedy_rtfx, "x_realtime_per_chip")
 
-    # ---- 2. train step ------------------------------------------------
+    # ---- 2. HEADLINE EARLY: batched beam-10 ctc0.3 ---------------------
+    # measured before the slow-compiling optional sections so a driver
+    # timeout can never lose it; re-emitted last with the full summary
+    bs10 = BatchBeamSearch(
+        model, variables, vocab_size=5000, sos=4999, eos=4999,
+        beam_size=10, ctc_weight=0.3,
+    )
+    enc, enc_lens = jax.jit(
+        lambda s, l: model.apply(variables, s, l, method=model.encode)
+    )(speech, lengths)
+    jax.block_until_ready(enc)
+    nb = bs10.batch_decode(enc, enc_lens, maxlenratio=-24.0)  # compile
+    iters = 5 if on_tpu else 1
+    t0 = time.perf_counter()
+    for _ in range(iters):
+        nb = bs10.batch_decode(enc, enc_lens, maxlenratio=-24.0)
+    dt = time.perf_counter() - t0
+    beam_rtfx = batch * FLAGSHIP_SECONDS * iters / dt
+    all_metrics["beam10_rtfx"] = round(beam_rtfx, 1)
+    _emit("beam10_ctc0.3_rtfx", beam_rtfx, "x_realtime_per_chip")
+
+    # ---- 3. train step ------------------------------------------------
     try:
         with Watchdog(1500 if on_tpu else 600):
             import optax
@@ -166,17 +187,7 @@ def main():
     except TimeoutError:
         _emit("train_step_audio_sps", -1, "audio_seconds_per_second", note="timeout")
 
-    # ---- 3. beam search setup ----------------------------------------
-    bs10 = BatchBeamSearch(
-        model, variables, vocab_size=5000, sos=4999, eos=4999,
-        beam_size=10, ctc_weight=0.3,
-    )
-    enc, enc_lens = jax.jit(
-        lambda s, l: model.apply(variables, s, l, method=model.encode)
-    )(speech, lengths)
-    jax.block_until_ready(enc)
-
-    # p50 single-utterance beam-1 latency (decode_bs1_ctc0.3 operating point)
+    # ---- 4. p50 single-utterance beam-1 latency (decode_bs1_ctc0.3) ----
     try:
         with Watchdog(1500 if on_tpu else 600):
             bs1 = BatchBeamSearch(
@@ -207,21 +218,12 @@ def main():
     except Exception as e:  # keep the headline alive
         _emit("llm_guided_rtfx", -1, "x_realtime_per_chip", note=f"error: {e}")
 
-    # ---- 5. HEADLINE: batched beam-10 ctc0.3 ---------------------------
-    # worst case: random model, 24-token cap, no trained early end-detection
-    nb = bs10.batch_decode(enc, enc_lens, maxlenratio=-24.0)
-    iters = 5 if on_tpu else 1
-    t0 = time.perf_counter()
-    for _ in range(iters):
-        nb = bs10.batch_decode(enc, enc_lens, maxlenratio=-24.0)
-    dt = time.perf_counter() - t0
-    beam_rtfx = batch * FLAGSHIP_SECONDS * iters / dt
-    all_metrics["beam10_rtfx"] = round(beam_rtfx, 1)
+    # ---- 6. headline re-emit with the full summary ---------------------
     # BASELINE.json target: >=10x reference RTFx/chip; no reference RTFx is
-    # published (BASELINE.md), so report progress against the 10x target
-    # denominator only as a labelled ratio, not an invented baseline.
+    # published (BASELINE.md), so vs_baseline stays null rather than an
+    # invented denominator.
     _emit(
-        "beam10_ctc0.3_rtfx", beam_rtfx, "x_realtime_per_chip",
+        "beam10_ctc0.3_rtfx", all_metrics["beam10_rtfx"], "x_realtime_per_chip",
         vs_baseline=None, all=all_metrics,
     )
 

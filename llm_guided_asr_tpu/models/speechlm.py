@@ -13,6 +13,7 @@ from __future__ import annotations
 import dataclasses
 from typing import Any, Dict, Optional, Tuple
 
+import flax.linen as nn
 import jax
 import jax.numpy as jnp
 import numpy as np
@@ -77,3 +78,35 @@ class SpeechLM:
                 nxt = jax.random.categorical(sub, nxt_logits)
             units = jnp.concatenate([units, nxt[:, None].astype(units.dtype)], 1)
         return units[:, prompt.shape[1]:]
+
+
+class SpeechLMModel(nn.Module):
+    """Trainer-contract wrapper: next-unit LM over precomputed codec units.
+
+    Makes the speechlm domain trainable through the generic task CLI
+    (espnet2/tasks/speechlm.py analog): __call__(units, units_lengths) ->
+    (loss, stats, weight). Units come from a codec tokenizer offline (or
+    SpeechLM.tokenize); the sos id is unit_vocab_size (one extra row).
+    """
+
+    cfg: SpeechLMConfig
+    dtype: Any = jnp.float32
+
+    def setup(self):
+        self.lm = TransformerLM(self.cfg.resolve_lm(), dtype=self.dtype, name="lm")
+
+    def __call__(self, units, units_lengths, deterministic: bool = True):
+        b, t = units.shape
+        sos = self.cfg.unit_vocab_size
+        units = jnp.maximum(units, 0)  # -1 pads -> 0 (masked by lengths)
+        x = jnp.concatenate([jnp.full((b, 1), sos, units.dtype), units[:, :-1]], 1)
+        logits = self.lm(x, units_lengths, deterministic)
+        logp = jax.nn.log_softmax(logits.astype(jnp.float32), -1)
+        valid = jnp.arange(t)[None, :] < units_lengths[:, None]
+        nll = -jnp.take_along_axis(logp, units[..., None], -1)[..., 0]
+        n = jnp.maximum(jnp.sum(valid), 1)
+        loss = jnp.sum(jnp.where(valid, nll, 0.0)) / n
+        acc = jnp.sum(jnp.where(valid, jnp.argmax(logits, -1) == units, False)) / n
+        return loss, {"loss": loss, "acc": acc, "ppl": jnp.exp(loss)}, jnp.asarray(
+            b, jnp.float32
+        )

@@ -219,6 +219,159 @@ def _build_mt(config):
     return model, names, dummy
 
 
+def _build_slu(config):
+    from llm_guided_asr_tpu.models.slu import SLUConfig, SLUModel
+    from llm_guided_asr_tpu.tasks.asr import build_model_config
+
+    mc = dict(config.get("model_conf", {}) or {})
+    cfg = SLUConfig(
+        asr=build_model_config(config),
+        n_intents=int(mc.get("n_intents", 10)),
+        intent_weight=float(mc.get("intent_weight", 0.3)),
+    )
+    model = SLUModel(cfg)
+    names = ("speech", "speech_lengths", "text", "text_lengths", "intent")
+    dummy = (
+        jnp.zeros((2, 4000), jnp.float32), jnp.asarray([4000, 4000]),
+        jnp.ones((2, 3), jnp.int32), jnp.asarray([3, 2]),
+        jnp.zeros((2, 1), jnp.int32),
+    )
+    return model, names, dummy
+
+
+def _build_asvspoof(config):
+    from llm_guided_asr_tpu.models.slu import ASVSpoofConfig, ASVSpoofModel
+    from llm_guided_asr_tpu.ops.frontend import FrontendConfig
+
+    mc = dict(config.get("model_conf", {}) or {})
+    cfg = ASVSpoofConfig(
+        frontend=FrontendConfig.from_dict(config.get("frontend_conf", {}) or {}),
+        adim=int(mc.get("adim", 64)),
+        layers=int(mc.get("layers", 2)),
+    )
+    model = ASVSpoofModel(cfg)
+    names = ("speech", "speech_lengths", "label", "label_lengths")
+    dummy = (
+        jnp.zeros((2, 4000), jnp.float32), jnp.asarray([4000, 4000]),
+        jnp.zeros((2, 1), jnp.int32), jnp.asarray([1, 1]),
+    )
+    return model, names, dummy
+
+
+def _build_s2st(config):
+    from llm_guided_asr_tpu.models.s2st import S2STConfig, S2STModel
+    from llm_guided_asr_tpu.tasks.asr import build_model_config
+
+    mc = dict(config.get("model_conf", {}) or {})
+    cfg = S2STConfig(
+        base=build_model_config(config),
+        unit_vocab_size=int(mc.get("unit_vocab_size", 200)),
+        st_weight=float(mc.get("st_weight", 0.3)),
+    )
+    model = S2STModel(cfg)
+    names = (
+        "speech", "speech_lengths", "tgt_units", "tgt_units_lengths",
+        "text", "text_lengths",
+    )
+    dummy = (
+        jnp.zeros((2, 4000), jnp.float32), jnp.asarray([4000, 4000]),
+        jnp.ones((2, 5), jnp.int32), jnp.asarray([5, 3]),
+        jnp.ones((2, 3), jnp.int32), jnp.asarray([3, 2]),
+    )
+    return model, names, dummy
+
+
+def _build_svs(config):
+    from llm_guided_asr_tpu.models.svs import SVSConfig, SVSModel
+    from llm_guided_asr_tpu.models.tts import FastSpeech2Config
+
+    mc = dict(config.get("model_conf", {}) or {})
+    vocab = len(read_token_list(config["token_list"])) if config.get("token_list") else int(
+        mc.get("vocab_size", 100)
+    )
+    tts_cfg = FastSpeech2Config(
+        vocab_size=vocab,
+        n_mels=int(mc.get("n_mels", 80)),
+        adim=int(mc.get("adim", 128)),
+        heads=int(mc.get("heads", 2)),
+        eunits=int(mc.get("eunits", 256)),
+        elayers=int(mc.get("elayers", 2)),
+        dlayers=int(mc.get("dlayers", 2)),
+    )
+    cfg = SVSConfig(tts=tts_cfg, n_midi=int(mc.get("n_midi", 129)))
+    model = SVSModel(cfg)
+
+    def adapter(batch):
+        return (
+            batch["text"], batch["text_lengths"],
+            batch["speech"], batch["speech_lengths"],
+            batch["durations"], batch.get("durations_lengths"),
+            batch.get("midi"), batch.get("midi_lengths"),
+        )
+
+    dummy = (
+        jnp.ones((2, 4), jnp.int32), jnp.asarray([4, 3]),
+        jnp.zeros((2, 12, tts_cfg.n_mels), jnp.float32), jnp.asarray([12, 9]),
+        jnp.full((2, 4), 3, jnp.int32), jnp.asarray([4, 3]),
+        jnp.ones((2, 4), jnp.int32), jnp.asarray([4, 3]),
+    )
+    return model, adapter, dummy
+
+
+def _build_codec(config):
+    from llm_guided_asr_tpu.models.codec import CodecConfig, CodecModel
+
+    cfg = CodecConfig.from_dict(config.get("model_conf", {}) or {}) if hasattr(
+        CodecConfig, "from_dict"
+    ) else CodecConfig(**{
+        k: v for k, v in (config.get("model_conf") or {}).items()
+        if k in CodecConfig.__dataclass_fields__
+    })
+    model = CodecModel(cfg)
+    names = ("speech", "speech_lengths")
+    dummy = (jnp.zeros((2, 2048), jnp.float32), jnp.asarray([2048, 1024]))
+    return model, names, dummy
+
+
+def _build_speechlm(config):
+    from llm_guided_asr_tpu.models.lm import TransformerLMConfig
+    from llm_guided_asr_tpu.models.speechlm import SpeechLMConfig, SpeechLMModel
+
+    mc = dict(config.get("model_conf", {}) or {})
+    unit_vocab = int(mc.get("unit_vocab_size", 256))
+    lm_cfg = TransformerLMConfig(
+        vocab_size=unit_vocab + 1,
+        embed_unit=int(mc.get("embed_unit", 128)),
+        att_unit=int(mc.get("att_unit", 256)),
+        head=int(mc.get("head", 2)),
+        unit=int(mc.get("unit", 512)),
+        layer=int(mc.get("layer", 2)),
+        dropout_rate=float(mc.get("dropout_rate", 0.1)),
+    )
+    model = SpeechLMModel(SpeechLMConfig(unit_vocab_size=unit_vocab, lm=lm_cfg))
+    names = ("units", "units_lengths")
+    dummy = (jnp.ones((2, 10), jnp.int32), jnp.asarray([10, 7]))
+    return model, names, dummy
+
+
+def _build_tts2(config):
+    from llm_guided_asr_tpu.models.tts2 import TTS2Config, TTS2Model
+
+    mc = dict(config.get("model_conf", {}) or {})
+    vocab = len(read_token_list(config["token_list"])) if config.get("token_list") else int(
+        mc.get("vocab_size", 100)
+    )
+    known = {f for f in TTS2Config.__dataclass_fields__} - {"vocab_size"}
+    cfg = TTS2Config(vocab_size=vocab, **{k: v for k, v in mc.items() if k in known})
+    model = TTS2Model(cfg)
+    names = ("text", "text_lengths", "units", "units_lengths")
+    dummy = (
+        jnp.ones((2, 4), jnp.int32), jnp.asarray([4, 3]),
+        jnp.ones((2, 8), jnp.int32), jnp.asarray([8, 5]),
+    )
+    return model, names, dummy
+
+
 TASK_BUILDERS: Dict[str, Callable] = {
     "enh": _build_enh,
     "spk": _build_spk,
@@ -227,7 +380,86 @@ TASK_BUILDERS: Dict[str, Callable] = {
     "s2t": _build_s2t,
     "diar": _build_diar,
     "mt": _build_mt,
+    "slu": _build_slu,
+    "asvspoof": _build_asvspoof,
+    "s2st": _build_s2st,
+    "svs": _build_svs,
+    "codec": _build_codec,
+    "speechlm": _build_speechlm,
+    "tts2": _build_tts2,
 }
+
+# GAN-trained tasks (uasr adversarial phone mapping; gan_tts/gan_codec train
+# their discriminators likewise): routed through the two-optimizer loop in
+# train/gan_trainer.py instead of the standard Trainer.
+GAN_TASK_BUILDERS: Dict[str, Callable] = {}
+
+
+def _build_uasr(config):
+    """UASR (wav2vec-U style GAN ASR, espnet2/uasr/): generator maps features
+    to phone distributions; discriminator separates them from real phone
+    sequences (one-hot). Returns the gan_trainer contract."""
+    from llm_guided_asr_tpu.models.uasr import (
+        UASRConfig,
+        UASRDiscriminator,
+        UASRGenerator,
+        uasr_d_loss,
+        uasr_g_losses,
+    )
+    from llm_guided_asr_tpu.ops.frontend import FrontendConfig, default_frontend
+
+    mc = dict(config.get("model_conf", {}) or {})
+    n_phones = (
+        len(read_token_list(config["token_list"]))
+        if config.get("token_list")
+        else int(mc.get("n_phones", 40))
+    )
+    fcfg = FrontendConfig.from_dict(config.get("frontend_conf", {}) or {})
+    cfg = UASRConfig(
+        n_phones=n_phones,
+        feat_dim=fcfg.n_mels,
+        hidden=int(mc.get("hidden", 128)),
+        kernel=int(mc.get("kernel", 4)),
+        stride=int(mc.get("stride", 2)),
+    )
+    gen = UASRGenerator(cfg)
+    disc = UASRDiscriminator(cfg)
+    smooth_w = float(mc.get("smooth_weight", 0.5))
+    div_w = float(mc.get("diversity_weight", 0.3))
+
+    def feats_of(batch):
+        f = fcfg
+        return default_frontend(
+            batch["speech"], batch["speech_lengths"], fs=f.fs, n_fft=f.n_fft,
+            hop_length=f.hop_length, n_mels=f.n_mels,
+        )
+
+    def g_loss_fn(g_params, d_params, batch, rng):
+        feats, flens = feats_of(batch)
+        logits, lens = gen.apply({"params": g_params}, feats, flens)
+        probs = jax.nn.softmax(logits, axis=-1)
+        d_fake = disc.apply({"params": d_params}, probs, lens)
+        parts = uasr_g_losses(logits, lens, d_fake)
+        loss = parts["adv"] + smooth_w * parts["smooth"] + div_w * parts["diversity"]
+        return loss, {"loss": loss, **{k: v for k, v in parts.items()}}
+
+    def d_loss_fn(d_params, g_params, batch, rng):
+        feats, flens = feats_of(batch)
+        logits, lens = gen.apply({"params": g_params}, feats, flens)
+        fake = jax.lax.stop_gradient(jax.nn.softmax(logits, axis=-1))
+        text = jnp.maximum(batch["text"], 0)
+        real = jax.nn.one_hot(text, cfg.n_phones)
+        d_fake = disc.apply({"params": d_params}, fake, lens)
+        d_real = disc.apply({"params": d_params}, real, batch["text_lengths"])
+        loss = uasr_d_loss(d_real, d_fake)
+        return loss, {"loss": loss}
+
+    g_dummy = (jnp.zeros((2, 16, cfg.feat_dim), jnp.float32), jnp.asarray([16, 12]))
+    d_dummy = (jnp.zeros((2, 16, cfg.n_phones), jnp.float32), jnp.asarray([16, 12]))
+    return gen, disc, g_loss_fn, d_loss_fn, g_dummy, d_dummy
+
+
+GAN_TASK_BUILDERS["uasr"] = _build_uasr
 
 
 class GenericTask:
@@ -253,6 +485,8 @@ class GenericTask:
 
         config = build_config(cmd, cls.get_default_config())
         resolve_device(config.get("device"))
+        if config.get("task") in GAN_TASK_BUILDERS:
+            return cls._gan_main(config)
         output_dir = Path(config["output_dir"])
         output_dir.mkdir(parents=True, exist_ok=True)
         logging.basicConfig(level=logging.INFO, format="%(asctime)s %(levelname)s %(message)s")
@@ -291,6 +525,63 @@ class GenericTask:
             batch_args=batch_args,
         )
         return Trainer.run(model, variables, tx, train_iter, valid_iter, output_dir, options)
+
+    @classmethod
+    def _gan_main(cls, config: Dict[str, Any]):
+        """Two-optimizer adversarial training (gan_trainer.py contract);
+        used by uasr (and the gan_tts/gan_codec discriminator phases)."""
+        from llm_guided_asr_tpu.tasks.asr import build_dataset, build_iter_factory
+        from llm_guided_asr_tpu.train.checkpoint import save_pytree
+        from llm_guided_asr_tpu.train.gan_trainer import make_gan_steps
+        from llm_guided_asr_tpu.train.reporter import Reporter
+
+        output_dir = Path(config["output_dir"])
+        output_dir.mkdir(parents=True, exist_ok=True)
+        logging.basicConfig(level=logging.INFO, format="%(asctime)s %(levelname)s %(message)s")
+        gen, disc, g_loss_fn, d_loss_fn, g_dummy, d_dummy = GAN_TASK_BUILDERS[
+            config["task"]
+        ](config)
+        dump_yaml(config, output_dir / "config.yaml")
+        if config.get("dry_run"):
+            return None
+        seed = int(config.get("seed", 0))
+        g_params = gen.init(jax.random.PRNGKey(seed), *g_dummy)["params"]
+        d_params = disc.init(jax.random.PRNGKey(seed + 1), *d_dummy)["params"]
+        oc = dict(config.get("optim_conf", {}) or {})
+        import optax
+
+        g_tx = optax.adam(float(oc.get("g_lr", oc.get("lr", 2e-4))))
+        d_tx = optax.adam(float(oc.get("d_lr", oc.get("lr", 2e-4))))
+        g_opt, d_opt = g_tx.init(g_params), d_tx.init(d_params)
+        g_step, d_step = make_gan_steps(g_loss_fn, d_loss_fn, g_tx, d_tx)
+
+        train_ds = build_dataset(config, config["train_data_path_and_name_and_type"])
+        train_iter = build_iter_factory(config, train_ds, shuffle=True)
+        reporter = Reporter()
+        rng = jax.random.PRNGKey(seed)
+        for epoch in range(1, int(config.get("max_epoch", 40)) + 1):
+            reporter.set_epoch(epoch)
+            sub = reporter.start_phase("train")
+            for it, batch in enumerate(train_iter(epoch)):
+                batch = {k: v for k, v in batch.items() if not k.startswith("_")}
+                it_rng = jax.random.fold_in(jax.random.fold_in(rng, epoch), it)
+                d_params, d_opt, d_loss, d_stats = d_step(
+                    g_params, d_params, d_opt, batch, it_rng
+                )
+                g_params, g_opt, g_loss, g_stats = g_step(
+                    g_params, d_params, g_opt, batch, it_rng
+                )
+                sub.register(
+                    {**{f"g_{k}": float(v) for k, v in g_stats.items()},
+                     **{f"d_{k}": float(v) for k, v in d_stats.items()}}
+                )
+                sub.log_interval(int(config.get("log_interval", 100)))
+            reporter.finish_phase(sub)
+            reporter.log_epoch()
+            save_pytree(output_dir / "checkpoint.msgpack",
+                        {"generator": g_params, "discriminator": d_params})
+        reporter.dump(output_dir / "reporter.json")
+        return {"generator": g_params, "discriminator": d_params}
 
     @classmethod
     def build_model_from_file(cls, config_file, model_file=None):

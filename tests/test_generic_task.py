@@ -108,3 +108,158 @@ def test_generic_task_builders(task, tmp_path):
     import numpy as np
 
     assert np.isfinite(float(loss)), f"{task}: {stats}"
+
+
+@pytest.mark.parametrize(
+    "task", ["slu", "asvspoof", "s2st", "svs", "codec", "speechlm", "tts2"]
+)
+def test_new_domain_builders(task, tmp_path):
+    """Round-2 domains (VERDICT r1 item 6): build + init + finite forward."""
+    from llm_guided_asr_tpu.tasks.generic import GenericTask
+
+    tokens = tmp_path / "tokens.txt"
+    tokens.write_text("\n".join(["<blank>", "<unk>", "a", "b", "<sos/eos>"]) + "\n")
+    config = {
+        **GenericTask.get_default_config(),
+        "task": task,
+        "token_list": str(tokens),
+        "model_conf": {
+            "slu": {"n_intents": 3, "intent_weight": 0.3, "ctc_weight": 0.3},
+            "asvspoof": {"adim": 16, "layers": 1},
+            "s2st": {"unit_vocab_size": 8, "st_weight": 0.3},
+            "svs": {"n_mels": 20, "adim": 16, "heads": 2, "eunits": 24,
+                    "elayers": 1, "dlayers": 1, "n_midi": 10},
+            "codec": {"channels": 8, "latent_dim": 8, "strides": [2, 2],
+                      "n_quantizers": 2, "codebook_size": 8},
+            "speechlm": {"unit_vocab_size": 16, "embed_unit": 8, "att_unit": 16,
+                         "head": 2, "unit": 24, "layer": 1},
+            "tts2": {"unit_vocab_size": 8, "adim": 16, "heads": 2, "units": 24,
+                     "elayers": 1},
+        }[task],
+        "frontend_conf": {"n_fft": 256, "hop_length": 128, "n_mels": 23},
+        "encoder_conf": {"output_size": 16, "attention_heads": 2,
+                         "linear_units": 24, "num_blocks": 1, "use_cnn_module": False},
+        "decoder_conf": {"attention_heads": 2, "linear_units": 24, "num_blocks": 1},
+    }
+    import jax
+
+    model, batch_args, dummy = GenericTask.build(config)
+    variables = model.init(
+        {"params": jax.random.PRNGKey(0), "dropout": jax.random.PRNGKey(1),
+         "mask": jax.random.PRNGKey(2)},
+        *dummy, deterministic=True,
+    )
+    loss, stats, w = model.apply(variables, *dummy, deterministic=True)
+    assert np.isfinite(float(loss)), f"{task}: {stats}"
+
+
+def _write_scp_ints(path, rows):
+    with open(path, "w") as f:
+        for uid, seq in rows:
+            f.write(f"{uid} {' '.join(str(int(x)) for x in seq)}\n")
+
+
+def _write_wavs(d, n=4, samples=4000):
+    d.mkdir(parents=True, exist_ok=True)
+    rng = np.random.default_rng(0)
+    with open(d / "wav.scp", "w") as f:
+        for i in range(n):
+            p = d / f"u{i}.wav"
+            write_wav(p, SR, 0.3 * rng.standard_normal(samples).astype(np.float32))
+            f.write(f"u{i} {p}\n")
+    return [f"u{i}" for i in range(n)]
+
+
+@pytest.mark.parametrize(
+    "task", ["slu", "asvspoof", "s2st", "svs", "codec", "speechlm", "tts2", "uasr"]
+)
+def test_new_domain_trains_from_yaml(task, tmp_path):
+    """One-epoch train of every new domain via the task CLI (espnet2/tasks/*
+    parity: each domain trains from a YAML)."""
+    from llm_guided_asr_tpu.tasks.generic import GenericTask
+
+    rng = np.random.default_rng(1)
+    tokens = tmp_path / "tokens.txt"
+    tokens.write_text("\n".join(["<blank>", "<unk>", "a", "b", "<sos/eos>"]) + "\n")
+    data = {}
+    for split in ("train", "valid"):
+        d = tmp_path / split
+        n = 4 if split == "train" else 2
+        uids = _write_wavs(d, n=n)
+        with open(d / "text", "w") as f:
+            for u in uids:
+                f.write(f"{u} {'ab'[:rng.integers(1, 3)]}\n")
+        _write_scp_ints(d / "units", [(u, rng.integers(0, 8, 6)) for u in uids])
+        _write_scp_ints(d / "intent", [(u, [int(rng.integers(0, 3))]) for u in uids])
+        _write_scp_ints(d / "label", [(u, [int(rng.integers(0, 2))]) for u in uids])
+        _write_scp_ints(d / "durations", [(u, [3, 3, 3, 3]) for u in uids])
+        _write_scp_ints(d / "midi", [(u, rng.integers(0, 10, 4)) for u in uids])
+        (d / "svs_text").write_text("\n".join(f"{u} abab" for u in uids) + "\n")
+        # mel targets for svs as npy
+        mel_scp = open(d / "mel.scp", "w")
+        for u in uids:
+            arr = rng.standard_normal((12, 20)).astype(np.float32)
+            np.save(d / f"{u}_mel.npy", arr)
+            mel_scp.write(f"{u} {d / f'{u}_mel.npy'}\n")
+        mel_scp.close()
+        data[split] = d
+
+    def streams(split):
+        d = data[split]
+        return {
+            "slu": [[str(d / "wav.scp"), "speech", "sound"],
+                    [str(d / "text"), "text", "text"],
+                    [str(d / "intent"), "intent", "text_int"]],
+            "asvspoof": [[str(d / "wav.scp"), "speech", "sound"],
+                         [str(d / "label"), "label", "text_int"]],
+            "s2st": [[str(d / "wav.scp"), "speech", "sound"],
+                     [str(d / "units"), "tgt_units", "text_int"],
+                     [str(d / "text"), "text", "text"]],
+            "svs": [[str(d / "svs_text"), "text", "text"],
+                    [str(d / "mel.scp"), "speech", "npy"],
+                    [str(d / "durations"), "durations", "text_int"],
+                    [str(d / "midi"), "midi", "text_int"]],
+            "codec": [[str(d / "wav.scp"), "speech", "sound"]],
+            "speechlm": [[str(d / "units"), "units", "text_int"]],
+            "tts2": [[str(d / "text"), "text", "text"],
+                     [str(d / "units"), "units", "text_int"]],
+            "uasr": [[str(d / "wav.scp"), "speech", "sound"],
+                     [str(d / "text"), "text", "text"]],
+        }[task]
+
+    exp = tmp_path / "exp"
+    config = {
+        "task": task,
+        "token_list": str(tokens),
+        "model_conf": {
+            "slu": {"n_intents": 3, "ctc_weight": 0.3},
+            "asvspoof": {"adim": 16, "layers": 1},
+            "s2st": {"unit_vocab_size": 8, "st_weight": 0.3},
+            "svs": {"n_mels": 20, "adim": 16, "heads": 2, "eunits": 24,
+                    "elayers": 1, "dlayers": 1, "n_midi": 10},
+            "codec": {"channels": 8, "latent_dim": 8, "strides": [2, 2],
+                      "n_quantizers": 2, "codebook_size": 8},
+            "speechlm": {"unit_vocab_size": 16, "embed_unit": 8, "att_unit": 16,
+                         "head": 2, "unit": 24, "layer": 1},
+            "tts2": {"unit_vocab_size": 8, "adim": 16, "heads": 2, "units": 24,
+                     "elayers": 1},
+            "uasr": {"hidden": 16, "kernel": 4, "stride": 2},
+        }[task],
+        "frontend_conf": {"n_fft": 256, "hop_length": 128, "n_mels": 23},
+        "encoder_conf": {"output_size": 16, "attention_heads": 2,
+                         "linear_units": 24, "num_blocks": 1,
+                         "use_cnn_module": False},
+        "decoder_conf": {"attention_heads": 2, "linear_units": 24, "num_blocks": 1},
+        "optim": "adam", "optim_conf": {"lr": 0.001}, "scheduler": "none",
+        "batch_type": "unsorted", "batch_size": 4, "max_epoch": 1,
+        "keep_nbest_models": 1, "log_interval": 50,
+        "speech_pad_multiple": 4000, "text_pad_multiple": 4,
+        "train_data_path_and_name_and_type": streams("train"),
+        "valid_data_path_and_name_and_type": streams("valid"),
+        "output_dir": str(exp),
+    }
+    cfg_file = tmp_path / f"{task}.yaml"
+    cfg_file.write_text(yaml.safe_dump(config))
+    GenericTask.main(["--config", str(cfg_file)])
+    assert (exp / "config.yaml").exists()
+    assert (exp / "checkpoint.msgpack").exists()
