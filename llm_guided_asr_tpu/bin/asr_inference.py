@@ -310,6 +310,7 @@ def inference(
     asr_train_config: str,
     asr_model_file: Optional[str] = None,
     biasing_words_file: Optional[str] = None,
+    batch_size: int = 1,
     **kwargs,
 ):
     """Batch decode a wav.scp into <output_dir>/1best_recog/{text,token,score}
@@ -330,14 +331,35 @@ def inference(
     if wav_path is None:
         raise ValueError("need a ('<wav.scp>', 'speech', 'sound') triple")
     reader = SoundScpReader(wav_path)
+
+    def write_result(writer, uid, results):
+        text, tokens, ids, hyp = results[0]
+        writer["text"][uid] = text
+        writer["token"][uid] = " ".join(tokens)
+        writer["score"][uid] = str(float(hyp.score))
+        # per-scorer breakdown (reference writes one scp per scorer via the
+        # DatadirWriter hierarchy; nbest post_process merge_scores)
+        for name, val in (hyp.scores or {}).items():
+            writer[f"score_{name}"][uid] = str(val)
+
     with DatadirWriter(Path(output_dir) / "1best_recog") as writer:
-        for uid in reader.keys():
-            rate, wav = reader[uid]
-            results = s2t(wav, biasing_words=bias_table.get(uid))
-            text, tokens, ids, hyp = results[0]
-            writer["text"][uid] = text
-            writer["token"][uid] = " ".join(tokens)
-            writer["score"][uid] = str(float(hyp.score))
+        if batch_size > 1 and not bias_table:
+            # batched multi-utterance decode: sort by length so each batch
+            # shares padded shapes (NOTES.md credits batching for the big
+            # RTFx numbers; the reference decodes one-by-one)
+            uids = sorted(reader.keys())
+            wavs = {u: reader[u][1] for u in uids}
+            uids.sort(key=lambda u: len(wavs[u]))
+            for i in range(0, len(uids), batch_size):
+                chunk = uids[i : i + batch_size]
+                per_utt = s2t.batch_call([wavs[u] for u in chunk])
+                for uid, results in zip(chunk, per_utt):
+                    write_result(writer, uid, results)
+        else:
+            for uid in reader.keys():
+                rate, wav = reader[uid]
+                results = s2t(wav, biasing_words=bias_table.get(uid))
+                write_result(writer, uid, results)
     logger.info(f"decoded {len(reader)} utterances -> {output_dir}")
 
 
@@ -360,6 +382,7 @@ def main(cmd=None):
         "maxlenratio": 0.0,
         "minlenratio": 0.0,
         "nbest": 1,
+        "batch_size": 1,
         "biasing_words_file": None,
         "device": None,
     })
@@ -373,6 +396,7 @@ def main(cmd=None):
         config["asr_train_config"],
         config.get("asr_model_file"),
         biasing_words_file=config.get("biasing_words_file"),
+        batch_size=int(config.get("batch_size", 1)),
         lm_train_config=config.get("lm_train_config"),
         lm_file=config.get("lm_file"),
         lm_weight=float(config.get("lm_weight", 1.0)),

@@ -52,8 +52,11 @@ def _read_dir(d: Path):
 
 
 def stage3_format(data_dir: Path, out_dir: Path, cfg):
-    """Validate audio is readable; write normalized wav.scp/text."""
-    from llm_guided_asr_tpu.data.fileio import read_wav
+    """Validate audio is readable; write normalized wav.scp/text.
+
+    Entries may be wav/flac paths, 'cmd |' pipes, or ark:offset rxfilenames
+    (format_wav_scp analog, asr.sh:614)."""
+    from llm_guided_asr_tpu.data.fileio import read_audio
 
     wavs, texts = _read_dir(data_dir)
     out_dir.mkdir(parents=True, exist_ok=True)
@@ -62,7 +65,7 @@ def stage3_format(data_dir: Path, out_dir: Path, cfg):
         if uid not in texts:
             continue
         try:
-            rate, data = read_wav(path)
+            rate, data = read_audio(path)
         except Exception as e:
             logger.warning(f"stage3: dropping {uid}: {e}")
             continue

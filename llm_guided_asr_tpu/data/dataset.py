@@ -70,8 +70,15 @@ class _IntSeqAdapter:
         return len(self.data)
 
 
+def _kaldi_ark_adapter(path):
+    from llm_guided_asr_tpu.data.kaldi_ark import KaldiScpReader
+
+    return KaldiScpReader(path)
+
+
 DATA_TYPES: Dict[str, Callable] = {
     "sound": _SoundAdapter,
+    "kaldi_ark": _kaldi_ark_adapter,
     "npy": NpyScpReader,
     "text": _TextAdapter,
     "text_int": lambda p: _IntSeqAdapter(p, "text_int"),

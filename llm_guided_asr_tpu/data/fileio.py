@@ -1,10 +1,11 @@
 """Kaldi-style file IO: scp files, wav reading, shape files, datadir writer.
 
 Rebuild of espnet2/fileio/ (read_text.py, sound_scp.py, npy_scp.py,
-datadir_writer.py).  Audio loading uses scipy.io.wavfile (wav/pcm); flac and
-pipe-commands are not supported in this image — the recipe layer converts to
-wav first (the reference's format_wav_scp stage does the same normalization,
-asr.sh:614).
+datadir_writer.py).  Audio loading covers wav/pcm (scipy.io.wavfile), flac
+(self-contained decoder, data/flac.py), pipe-style wav.scp commands
+('cmd ... |' entries, run via subprocess like kaldiio), and Kaldi
+ark-embedded wave data ('file.ark:offset', data/kaldi_ark.py) — matching
+the reference's sound_scp.py + kaldiio surface.
 """
 
 from __future__ import annotations
@@ -49,6 +50,77 @@ def load_num_sequence_text(path: Union[Path, str], loader_type: str = "text_int"
     return {k: conv(v) for k, v in d.items()}
 
 
+def _to_float(data: np.ndarray) -> np.ndarray:
+    if data.dtype == np.int16:
+        return data.astype(np.float32) / 32768.0
+    if data.dtype == np.int32:
+        return data.astype(np.float32) / 2147483648.0
+    if data.dtype == np.uint8:
+        return (data.astype(np.float32) - 128.0) / 128.0
+    return data.astype(np.float32)
+
+
+def read_audio(rx: str, dtype=np.float32) -> Tuple[int, np.ndarray]:
+    """Resolve one wav.scp entry: wav path, flac path, 'cmd |', or ark:offset.
+
+    Mirrors the reference's sound loading surface (sound_scp.py + kaldiio's
+    pipe/offset handling in espnet2/train/dataset.py:49).
+    """
+    import io as _io
+
+    if rx.rstrip().endswith("|"):
+        # pipe-style entry: run the command, parse stdout as a RIFF stream
+        import subprocess
+
+        proc = subprocess.run(rx.rstrip().rstrip("|"), shell=True, capture_output=True)
+        if proc.returncode != 0:
+            raise RuntimeError(f"wav.scp pipe command failed ({proc.returncode}): {rx!r}\n{proc.stderr.decode(errors='replace')[:500]}")
+        payload = proc.stdout
+        if payload[:4] == b"fLaC":
+            from .flac import read_flac
+
+            rate, arr = read_flac(payload)
+        else:
+            from scipy.io import wavfile
+
+            with warnings.catch_warnings():
+                warnings.simplefilter("ignore")
+                rate, arr = wavfile.read(_io.BytesIO(payload))
+            arr = _to_float(arr)
+        return rate, arr.astype(dtype)
+    path, offset = rx, 0
+    if ":" in rx:
+        head, _, tail = rx.rpartition(":")
+        if tail.isdigit() and Path(head).exists() and not Path(rx).exists():
+            path, offset = head, int(tail)
+    if offset:
+        # Kaldi wav-ark entry: RIFF stream embedded at the offset
+        with open(path, "rb") as f:
+            f.seek(offset)
+            magic = f.read(4)
+            f.seek(offset)
+            if magic == b"fLaC":
+                from .flac import read_flac
+
+                rate, arr = read_flac(f.read())
+                return rate, arr.astype(dtype)
+            from scipy.io import wavfile
+
+            with warnings.catch_warnings():
+                warnings.simplefilter("ignore")
+                rate, arr = wavfile.read(f)
+            return rate, _to_float(arr).astype(dtype)
+    with open(path, "rb") as f:
+        magic = f.read(4)
+    if magic == b"fLaC":
+        from .flac import read_flac
+
+        rate, arr = read_flac(path)
+        return rate, arr.astype(dtype)
+    rate, arr = read_wav(path)
+    return rate, arr.astype(dtype)
+
+
 def read_wav(path: Union[Path, str]) -> Tuple[int, np.ndarray]:
     """wav -> (rate, float32 array in [-1, 1])."""
     from scipy.io import wavfile
@@ -83,11 +155,7 @@ class SoundScpReader:
         self.data = read_2columns_text(path)
 
     def __getitem__(self, key: str) -> Tuple[int, np.ndarray]:
-        wav_path = self.data[key]
-        if wav_path.endswith("|"):
-            raise NotImplementedError("pipe-style wav.scp entries are not supported")
-        rate, array = read_wav(wav_path)
-        return rate, array.astype(self.dtype)
+        return read_audio(self.data[key], dtype=self.dtype)
 
     def keys(self):
         return self.data.keys()

@@ -40,9 +40,9 @@ class ESPnetEZDataset:
     def __getitem__(self, uid: str) -> Dict[str, Any]:
         item = dict(self.data[uid])
         if isinstance(item.get("speech"), (str, Path)):
-            from llm_guided_asr_tpu.data.fileio import read_wav
+            from llm_guided_asr_tpu.data.fileio import read_audio
 
-            _, item["speech"] = read_wav(item["speech"])
+            _, item["speech"] = read_audio(str(item["speech"]))
         if self.preprocess is not None:
             item = self.preprocess(uid, item)
         return item

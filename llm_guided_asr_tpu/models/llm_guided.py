@@ -88,6 +88,11 @@ class LLMGuidedASRConfig:
     # precomputed map stored in the 'ctc_map' variable collection.
     ctc_vocab_size: Optional[int] = None
     ctc_map_width: int = 8  # max LLM ids per CTC token
+    # decode-time LLM scoring mode (llama.py:240,259-262 'log_softmax'):
+    # 'hidden'      — LLM last hidden states feed the guided decoder (default)
+    # 'log_softmax' — the LLM's own next-token log-probs ARE the scores;
+    #                 the guided decoder is bypassed (pure LM scoring)
+    llm_score_mode: str = "hidden"
 
     @property
     def sos_id(self) -> int:
@@ -304,13 +309,19 @@ class LLMGuidedASRModel(nn.Module):
         positions = jnp.broadcast_to(
             (state["prompt_nvalid"] + step)[None, None], (beam, 1)
         )
-        hidden, new_kv = self.llm(
+        use_lm_logits = cfg.llm_score_mode == "log_softmax"
+        llm_out = self.llm(
             last_token[:, None],
             jnp.ones((beam, 1), bool),
             cache=cache,
             cache_valid=state["kv_valid"],
             positions=positions,
+            return_logits=use_lm_logits,
         )
+        if use_lm_logits:
+            hidden, lm_logits, new_kv = llm_out
+        else:
+            hidden, new_kv = llm_out
         hidden = jax.lax.stop_gradient(hidden)
         write = tp + step
         for i, (k, v) in enumerate(new_kv["layers"]):
@@ -321,14 +332,21 @@ class LLMGuidedASRModel(nn.Module):
             state["resp_states"], hidden.astype(jnp.float32), (0, step, 0)
         )
 
-        # guided decoder over the response buffer (cheap: enc_dim x resp_max)
-        lens = jnp.full((beam,), step + 1, jnp.int32)
-        enc_k = jnp.broadcast_to(encoder_out[0], (beam,) + encoder_out.shape[1:])
-        enc_lens_k = jnp.full((beam,), encoder_out_lengths[0], jnp.int32)
-        last_logits = self._guided_decode_from_states(
-            resp_states.astype(self.dtype), lens, enc_k, enc_lens_k, at_position=step
-        )  # [K, V]: vocab projection on the current position only
-        logp = jax.nn.log_softmax(last_logits.astype(jnp.float32), axis=-1)
+        if use_lm_logits:
+            # 'log_softmax' mode: the LLM's next-token distribution is the
+            # score — guided decoder bypassed (llama.py:259-262)
+            logp = jax.nn.log_softmax(
+                jax.lax.stop_gradient(lm_logits[:, -1]).astype(jnp.float32), axis=-1
+            )
+        else:
+            # guided decoder over the response buffer (cheap: enc_dim x resp_max)
+            lens = jnp.full((beam,), step + 1, jnp.int32)
+            enc_k = jnp.broadcast_to(encoder_out[0], (beam,) + encoder_out.shape[1:])
+            enc_lens_k = jnp.full((beam,), encoder_out_lengths[0], jnp.int32)
+            last_logits = self._guided_decode_from_states(
+                resp_states.astype(self.dtype), lens, enc_k, enc_lens_k, at_position=step
+            )  # [K, V]: vocab projection on the current position only
+            logp = jax.nn.log_softmax(last_logits.astype(jnp.float32), axis=-1)
         new_state = {
             "k": k_buf,
             "v": v_buf,
@@ -444,6 +462,7 @@ def build_llm_guided_model(config: Dict[str, Any], dtype=jnp.float32) -> LLMGuid
             len(_read_ctc_token_list(config)) if config.get("ctc_token_list") else None
         ),
         ctc_map_width=int(model_conf.get("ctc_map_width", 8)),
+        llm_score_mode=str(model_conf.get("llm_score_mode", "hidden")),
     )
     llm_dtype = {"bfloat16": jnp.bfloat16, "float32": jnp.float32, "float16": jnp.bfloat16}[
         llm_conf.get("dtype", "float32")

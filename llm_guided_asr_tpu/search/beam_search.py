@@ -51,10 +51,12 @@ class BeamState(NamedTuple):
     alive_tokens: jnp.ndarray  # [K, Lmax] (sos at 0)
     alive_len: jnp.ndarray  # [K]
     alive_score: jnp.ndarray  # [K]
+    alive_parts: jnp.ndarray  # [K, 4] unweighted (decoder, ctc, lm, length_bonus)
     ctc: CTCPrefixState
     fin_tokens: jnp.ndarray  # [K, Lmax]
     fin_len: jnp.ndarray  # [K]
     fin_score: jnp.ndarray  # [K]
+    fin_parts: jnp.ndarray  # [K, 4]
 
 
 class BatchBeamSearch:
@@ -132,10 +134,12 @@ class BatchBeamSearch:
             alive_tokens=jnp.full((K, lmax), self.sos, jnp.int32),
             alive_len=jnp.ones((K,), jnp.int32),
             alive_score=jnp.where(jnp.arange(K) == 0, 0.0, NEG_INF),
+            alive_parts=jnp.zeros((K, 4)),
             ctc=ctc_prefix_init(ctc_logp, enc_len, K, self.blank_id),
             fin_tokens=jnp.zeros((K, lmax), jnp.int32),
             fin_len=jnp.zeros((K,), jnp.int32),
             fin_score=jnp.full((K,), NEG_INF),
+            fin_parts=jnp.zeros((K, 4)),
         )
 
         def cond(carry):
@@ -151,10 +155,10 @@ class BatchBeamSearch:
                 enc, enc_len, att_state, s.alive_tokens, s.alive_len, s.step
             )
             full = self.att_weight * att_logp
+            lm_logp = None
             if self.lm_score_fn is not None and self.lm_weight != 0.0:
-                full = full + self.lm_weight * self.lm_score_fn(
-                    s.alive_tokens, s.alive_len
-                )
+                lm_logp = self.lm_score_fn(s.alive_tokens, s.alive_len)
+                full = full + self.lm_weight * lm_logp
             # 2. pre-beam
             top_full, cand = jax.lax.top_k(full, W)  # [K, W]
             # 3. partial scorer: CTC prefix
@@ -199,15 +203,28 @@ class BatchBeamSearch:
             new_len = ins + 1
             is_eos_sel = token == self.eos
 
+            # per-scorer breakdown (espnet Hypothesis.scores: raw unweighted
+            # cumulative score per scorer, beam_search.py merge_scores:263)
+            att_part = att_logp[parent, token]
+            ctc_part = (
+                local_ctc[parent, cidx] if self.ctc_weight != 0.0 else jnp.zeros((K,))
+            )
+            lm_part = lm_logp[parent, token] if lm_logp is not None else jnp.zeros((K,))
+            new_parts = s.alive_parts[parent] + jnp.stack(
+                [att_part, ctc_part, lm_part, jnp.ones((K,))], axis=1
+            )
+
             # finished-buffer merge (only eos hyps at/after minlen retire;
             # below-minlen eos hyps are dropped entirely, like the reference)
             fin_cand = jnp.where(is_eos_sel & (s.step >= minlen), new_score, NEG_INF)
             all_fin_scores = jnp.concatenate([s.fin_score, fin_cand])
             all_fin_tokens = jnp.concatenate([s.fin_tokens, new_tokens])
             all_fin_len = jnp.concatenate([s.fin_len, new_len])
+            all_fin_parts = jnp.concatenate([s.fin_parts, new_parts])
             fin_top, fin_idx = jax.lax.top_k(all_fin_scores, K)
             fin_tokens = all_fin_tokens[fin_idx]
             fin_len = all_fin_len[fin_idx]
+            fin_parts = all_fin_parts[fin_idx]
 
             # 5. alive beam: eos slots are dead for the rest of the search
             new_score = jnp.where(is_eos_sel, NEG_INF, new_score)
@@ -220,10 +237,12 @@ class BatchBeamSearch:
                     alive_tokens=new_tokens,
                     alive_len=new_len,
                     alive_score=new_score,
+                    alive_parts=new_parts,
                     ctc=new_ctc,
                     fin_tokens=fin_tokens,
                     fin_len=fin_len,
                     fin_score=fin_top,
+                    fin_parts=fin_parts,
                 ),
                 att_state,
             )
@@ -241,8 +260,9 @@ class BatchBeamSearch:
         all_scores = jnp.concatenate([final.fin_score, final.alive_score])
         all_tokens = jnp.concatenate([final.fin_tokens, alive_rows])
         all_len = jnp.concatenate([final.fin_len, final.alive_len + 1])
+        all_parts = jnp.concatenate([final.fin_parts, final.alive_parts])
         top, idx = jax.lax.top_k(all_scores, self.K)
-        return all_tokens[idx], all_len[idx], top
+        return all_tokens[idx], all_len[idx], top, all_parts[idx]
 
     # -- public API -----------------------------------------------------
     def __call__(
@@ -264,10 +284,10 @@ class BatchBeamSearch:
             maxlen = jnp.maximum(1, (maxlenratio * enc_len).astype(jnp.int32))
         minlen = (minlenratio * enc_len).astype(jnp.int32)
         lmax = self._lmax(t_enc, maxlenratio)
-        tokens, lens, scores = self._search_jit(
+        tokens, lens, scores, parts = self._search_jit(
             enc, enc_len, maxlen, minlen, scorer_ctx, lmax=lmax
         )
-        return self._to_hyps(tokens, lens, scores, nbest)
+        return self._to_hyps(tokens, lens, scores, nbest, parts)
 
     @staticmethod
     def _lmax(t_enc: int, maxlenratio: float) -> int:
@@ -280,19 +300,29 @@ class BatchBeamSearch:
             bound = min(bound, int(maxlenratio * t_enc) + 1)
         return bound + 2
 
-    def _to_hyps(self, tokens, lens, scores, nbest: int) -> List[Hypothesis]:
+    def _to_hyps(self, tokens, lens, scores, nbest: int, parts=None) -> List[Hypothesis]:
         tokens = np.asarray(tokens)
         lens = np.asarray(lens)
         scores = np.asarray(scores)
+        parts = np.asarray(parts) if parts is not None else None
         out = []
         for k in range(min(nbest, self.K)):
             if scores[k] <= NEG_INF / 2:
                 continue
+            breakdown = {}
+            if parts is not None:
+                breakdown = {"decoder": float(parts[k, 0])}
+                if self.ctc_weight != 0.0:
+                    breakdown["ctc"] = float(parts[k, 1])
+                if self.lm_score_fn is not None and self.lm_weight != 0.0:
+                    breakdown["lm"] = float(parts[k, 2])
+                if self.penalty != 0.0:
+                    breakdown["length_bonus"] = float(parts[k, 3])
             out.append(
                 Hypothesis(
                     yseq=[int(t) for t in tokens[k, : lens[k]]],
                     score=float(scores[k]),
-                    scores={},
+                    scores=breakdown,
                 )
             )
         if not out:
@@ -316,10 +346,10 @@ class BatchBeamSearch:
         else:
             maxlens = jnp.maximum(1, (maxlenratio * enc_lens).astype(jnp.int32))
         minlens = (minlenratio * enc_lens).astype(jnp.int32)
-        tokens, lens, scores = self._batch_search_jit(
+        tokens, lens, scores, parts = self._batch_search_jit(
             encs, enc_lens, maxlens, minlens, lmax=self._lmax(t_enc, maxlenratio)
         )
         return [
-            self._to_hyps(tokens[b], lens[b], scores[b], nbest)
+            self._to_hyps(tokens[b], lens[b], scores[b], nbest, parts[b])
             for b in range(encs.shape[0])
         ]
