@@ -26,7 +26,7 @@ from llm_guided_asr_tpu.data.fileio import DatadirWriter, SoundScpReader
 from llm_guided_asr_tpu.search.greedy import ctc_greedy_decode
 from llm_guided_asr_tpu.tasks.asr import ASRTask
 from llm_guided_asr_tpu.text.tokenizers import TokenIDConverter, build_tokenizer
-from llm_guided_asr_tpu.utils.config import read_token_list
+from llm_guided_asr_tpu.utils.config import normalize_triples, read_token_list
 
 logger = logging.getLogger(__name__)
 
@@ -392,7 +392,7 @@ def main(cmd=None):
     resolve_device(config.get("device"))
     inference(
         config["output_dir"],
-        [tuple(t) for t in config["data_path_and_name_and_type"]],
+        normalize_triples(config["data_path_and_name_and_type"]),
         config["asr_train_config"],
         config.get("asr_model_file"),
         biasing_words_file=config.get("biasing_words_file"),

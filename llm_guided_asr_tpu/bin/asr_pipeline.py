@@ -7,10 +7,13 @@ the reference's stage numbering where the stage exists here:
   stage 3   wav format/validation (format_wav_scp: resolve+check audio)
   stage 4   remove long/short utterances (asr.sh:799)
   stage 5   token list generation (char; asr.sh:877-968)
+  stage 6-7 LM training on the corpus text (asr.sh:1007-1159; --use_lm true)
+  stage 8   LM perplexity on valid text (asr.sh:1160)
+  stage 9   ngram ARPA training (asr.sh:1179; --use_ngram true)
   stage 10  collect stats (asr.sh:1189)
   stage 11  ASR training (asr.sh:1308)
-  stage 12  decoding (asr.sh:1480)
-  stage 13  scoring (asr.sh:1621)
+  stage 12  decoding (asr.sh:1480; shallow-fuses the stage-6 LM when trained)
+  stage 13  scoring + per-utterance alignment report (asr.sh:1621)
 
 Usage:
   python -m llm_guided_asr_tpu.bin.asr_pipeline --config conf/train.yaml \
@@ -41,6 +44,11 @@ DEFAULTS = {
     "nbest": 1,
     "beam_size": 10,
     "ctc_weight": 0.3,
+    "use_lm": False,
+    "lm_config": None,   # YAML for LMTask (lm_conf etc.); defaults used if None
+    "lm_weight": 0.3,
+    "use_ngram": False,
+    "ngram_order": 3,
     "device": None,
 }
 
@@ -176,6 +184,51 @@ def main(cmd=None):
 
     from llm_guided_asr_tpu.tasks.asr import ASRTask
 
+    lm_exp = expdir / "lm"
+    if cfg.get("use_lm") and stage <= 7 <= stop:
+        # stages 6-7: LM stats + LM training on the corpus text (asr.sh:1007)
+        from llm_guided_asr_tpu.tasks.lm import LMTask
+
+        lm_args = ["--token_list", str(token_file)]
+        if cfg.get("lm_config"):
+            lm_args += ["--config", str(cfg["lm_config"])]
+        if cfg.get("device"):
+            lm_args += ["--device", str(cfg["device"])]
+        LMTask.main(lm_args + [
+            "--train_data_path_and_name_and_type",
+            json.dumps([[str(work / "train" / "text"), "text", "text"]]),
+            "--valid_data_path_and_name_and_type",
+            json.dumps([[str(work / "valid" / "text"), "text", "text"]]),
+            "--output_dir", str(lm_exp),
+        ])
+    if cfg.get("use_lm") and stage <= 8 <= stop:
+        # stage 8: perplexity on the valid text (asr.sh:1160)
+        from llm_guided_asr_tpu.tasks.lm import calc_perplexity
+
+        lm_model = next(lm_exp.glob("valid.*.ave_*best.msgpack"), None) or (
+            lm_exp / "latest.msgpack"
+        )
+        ppl = calc_perplexity(
+            lm_exp / "config.yaml", lm_model,
+            [(str(work / "valid" / "text"), "text", "text")],
+        )
+        (lm_exp / "perplexity_valid").write_text(f"{ppl}\n")
+        logger.info(f"stage8: valid perplexity = {ppl:.2f}")
+    ngram_file = expdir / "ngram" / f"{cfg.get('ngram_order', 3)}gram.arpa"
+    if cfg.get("use_ngram") and stage <= 9 <= stop:
+        # stage 9: count-based ngram in ARPA format (asr.sh:1179 lmplz analog)
+        from llm_guided_asr_tpu.data.fileio import read_2columns_text
+        from llm_guided_asr_tpu.search.ngram import build_arpa
+
+        texts = read_2columns_text(work / "train" / "text")
+        if cfg["token_type"] == "char":
+            sents = [list(t.replace(" ", "")) for t in texts.values()]
+        else:
+            sents = [t.split() for t in texts.values()]
+        ngram_file.parent.mkdir(parents=True, exist_ok=True)
+        build_arpa(sents, ngram_file, order=int(cfg.get("ngram_order", 3)))
+        logger.info(f"stage9: wrote {ngram_file}")
+
     if stage <= 10 <= stop:
         ASRTask.main(train_args + data_args + [
             "--collect_stats", "true", "--output_dir", str(stats_dir),
@@ -192,6 +245,16 @@ def main(cmd=None):
             train_exp / "latest.msgpack"
         )
         test_split = "test" if "test" in dirs else "valid"
+        fusion = {}
+        if cfg.get("use_lm") and (lm_exp / "config.yaml").exists():
+            lm_model = next(lm_exp.glob("valid.*.ave_*best.msgpack"), None) or (
+                lm_exp / "latest.msgpack"
+            )
+            fusion = dict(
+                lm_train_config=str(lm_exp / "config.yaml"),
+                lm_file=str(lm_model),
+                lm_weight=float(cfg.get("lm_weight", 0.3)),
+            )
         inference(
             str(expdir / "decode" / test_split),
             [(str(work / test_split / "wav.scp"), "speech", "sound")],
@@ -200,6 +263,7 @@ def main(cmd=None):
             beam_size=int(cfg["beam_size"]),
             ctc_weight=float(cfg["ctc_weight"]),
             nbest=int(cfg["nbest"]),
+            **fusion,
         )
     if stage <= 13 <= stop:
         from llm_guided_asr_tpu.bin.score import score

@@ -39,10 +39,51 @@ def score(
     )
     result["metric"] = "WER" if token_type == "word" else "CER"
     if output_dir:
+        from llm_guided_asr_tpu.utils.metrics import align
+
         out = Path(output_dir)
         out.mkdir(parents=True, exist_ok=True)
         with open(out / "result.json", "w") as f:
             json.dump(result, f, indent=1)
+        # per-utterance alignment report (sclite `-o all` result.txt analog,
+        # asr.sh:1694): REF/HYP rows with errors capitalized/starred,
+        # per-utterance counts, worst utterances ranked
+        per_utt = []
+        with open(out / "result.txt", "w", encoding="utf-8") as f:
+            for u in uids:
+                ops = align(split(refs[u]), split(hyps[u]))
+                n_err = sum(op != "C" for op, _, _ in ops)
+                n_ref = sum(op != "I" for op, _, _ in ops)
+                per_utt.append((u, n_err, n_ref))
+                rrow, hrow = [], []
+                for op, r, h in ops:
+                    r = "" if r is None else str(r)
+                    h = "" if h is None else str(h)
+                    w = max(len(r), len(h), 1)
+                    if op == "C":
+                        rrow.append(r.ljust(w))
+                        hrow.append(h.ljust(w))
+                    elif op == "S":
+                        rrow.append(r.upper().ljust(w))
+                        hrow.append(h.upper().ljust(w))
+                    elif op == "D":
+                        rrow.append(r.upper().ljust(w))
+                        hrow.append(("*" * len(r)).ljust(w))
+                    else:
+                        rrow.append(("*" * len(h)).ljust(w))
+                        hrow.append(h.upper().ljust(w))
+                counts = {k: sum(op == k for op, _, _ in ops) for k in "CSDI"}
+                f.write(f"id: ({u})\n")
+                f.write(
+                    f"Scores: (#C #S #D #I) {counts['C']} {counts['S']} "
+                    f"{counts['D']} {counts['I']}\n"
+                )
+                f.write("REF:  " + " ".join(rrow) + "\n")
+                f.write("HYP:  " + " ".join(hrow) + "\n\n")
+        with open(out / "per_utt.txt", "w", encoding="utf-8") as f:
+            for u, n_err, n_ref in sorted(per_utt, key=lambda x: -x[1]):
+                rate = 100.0 * n_err / max(n_ref, 1)
+                f.write(f"{u} {n_err} {n_ref} {rate:.2f}\n")
     return result
 
 

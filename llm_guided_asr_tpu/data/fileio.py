@@ -121,6 +121,64 @@ def read_audio(rx: str, dtype=np.float32) -> Tuple[int, np.ndarray]:
     return rate, arr.astype(dtype)
 
 
+def _peek_wav_samples(f) -> Optional[int]:
+    """Sample count from a RIFF header without reading audio data."""
+    import struct
+
+    if f.read(4) != b"RIFF":
+        return None
+    f.read(4)
+    if f.read(4) != b"WAVE":
+        return None
+    channels = bits = None
+    while True:
+        hdr = f.read(8)
+        if len(hdr) < 8:
+            return None
+        cid, size = hdr[:4], struct.unpack("<I", hdr[4:])[0]
+        if cid == b"fmt ":
+            fmt = f.read(size)
+            channels = struct.unpack("<H", fmt[2:4])[0]
+            bits = struct.unpack("<H", fmt[14:16])[0]
+        elif cid == b"data":
+            if channels is None or not bits:
+                return None
+            return size // (channels * (bits // 8))
+        else:
+            f.seek(size + (size & 1), 1)
+
+
+def peek_audio_length(rx: str) -> Optional[int]:
+    """Sample count of a wav.scp entry WITHOUT decoding audio (header-only
+    for wav / flac STREAMINFO; None when only a full read can tell, e.g.
+    pipe commands).  Speeds the shape-file-less batch-sampler fallback."""
+    import struct
+
+    if rx.rstrip().endswith("|"):
+        return None
+    path, offset = rx, 0
+    if ":" in rx:
+        head, _, tail = rx.rpartition(":")
+        if tail.isdigit() and Path(head).exists() and not Path(rx).exists():
+            path, offset = head, int(tail)
+    try:
+        with open(path, "rb") as f:
+            f.seek(offset)
+            magic = f.read(4)
+            if magic == b"fLaC":
+                f.read(4)  # block header
+                body = f.read(34)  # STREAMINFO is always first, 34 bytes
+                hi = struct.unpack(">I", body[10:14])[0]
+                total = (hi & 0xF) << 32 | struct.unpack(">I", body[14:18])[0]
+                return total or None
+            if magic == b"RIFF":
+                f.seek(offset)
+                return _peek_wav_samples(f)
+    except Exception:
+        return None
+    return None
+
+
 def read_wav(path: Union[Path, str]) -> Tuple[int, np.ndarray]:
     """wav -> (rate, float32 array in [-1, 1])."""
     from scipy.io import wavfile
@@ -178,6 +236,9 @@ class NpyScpReader:
 
     def __getitem__(self, key: str) -> np.ndarray:
         return np.load(self.data[key])
+
+    def peek_length(self, key: str) -> int:
+        return int(np.load(self.data[key], mmap_mode="r").shape[0])
 
     def keys(self):
         return self.data.keys()

@@ -146,6 +146,25 @@ class KaldiScpReader:
     def __getitem__(self, key: str) -> np.ndarray:
         return load_mat(self.data[key])
 
+    def peek_length(self, key: str):
+        """Row count from the binary header only (no matrix read)."""
+        path, offset = parse_rxfilename(self.data[key])
+        try:
+            with open(path, "rb") as f:
+                f.seek(offset)
+                if f.read(2) != b"\x00B":
+                    return None  # text / wave entries need a full read
+                tok = _read_token(f)
+                if tok in ("CM", "CM2", "CM3"):
+                    f.read(8)  # min, range
+                    rows = int(np.frombuffer(f.read(4), "<i4")[0])
+                    return rows
+                if tok in ("FM", "DM", "FV", "DV"):
+                    return _expect_basic_type(f, 4)
+        except Exception:
+            return None
+        return None
+
     def keys(self):
         return self.data.keys()
 

@@ -34,16 +34,22 @@ class EnhConfig:
     num_spk: int = 2
     n_fft: int = 512
     hop_length: int = 128
-    separator_type: str = "rnn"  # rnn | tcn
+    separator_type: str = "rnn"  # rnn | tcn | dprnn | skim | tfgridnet
     hidden: int = 256
     layers: int = 3
     kernel_size: int = 3
     mask_nonlinear: str = "relu"  # relu | sigmoid
+    # dual-path separators (dprnn/skim): frames per chunk/segment
+    chunk_size: int = 25
+    # tfgridnet: embedding channels + full-band attention heads
+    tf_channels: int = 16
+    attn_heads: int = 2
 
     @classmethod
     def from_dict(cls, d: dict) -> "EnhConfig":
-        known = {f.name for f in dataclasses.fields(cls)}
-        return cls(**{k: v for k, v in d.items() if k in known})
+        from llm_guided_asr_tpu.utils.config import filter_known_fields
+
+        return cls(**filter_known_fields(cls, d, "enh_conf"))
 
 
 class RNNSeparator(nn.Module):
@@ -97,6 +103,172 @@ class TCNSeparator(nn.Module):
         return jax.nn.relu(masks)
 
 
+def _bilstm(x: jnp.ndarray, hidden: int, name: str) -> jnp.ndarray:
+    """[..., L, D] -> [..., L, 2*hidden] bidirectional LSTM over the -2 axis."""
+    fwd = nn.RNN(nn.OptimizedLSTMCell(hidden), name=f"{name}_f")(x)
+    bwd = nn.RNN(nn.OptimizedLSTMCell(hidden), reverse=True, keep_order=True,
+                 name=f"{name}_b")(x)
+    return jnp.concatenate([fwd, bwd], axis=-1)
+
+
+def _segment(x: jnp.ndarray, k: int) -> Tuple[jnp.ndarray, int]:
+    """[B, T, D] -> ([B, n, k, D] half-overlapping chunks, original T)."""
+    b, t, d = x.shape
+    hop = k // 2
+    n = max(-(-(t - k) // hop) + 1, 1) if t > k else 1
+    pad = (n - 1) * hop + k - t
+    x = jnp.pad(x, ((0, 0), (0, pad), (0, 0)))
+    idx = jnp.arange(n)[:, None] * hop + jnp.arange(k)[None, :]
+    return x[:, idx], t
+
+
+def _merge(chunks: jnp.ndarray, t: int, k: int) -> jnp.ndarray:
+    """Overlap-add inverse of :func:`_segment` -> [B, T, D]."""
+    b, n, _, d = chunks.shape
+    hop = k // 2
+    total = (n - 1) * hop + k
+    out = jnp.zeros((b, total, d))
+    norm = jnp.zeros((total,))
+    idx = (jnp.arange(n)[:, None] * hop + jnp.arange(k)[None, :]).reshape(-1)
+    out = out.at[:, idx].add(chunks.reshape(b, -1, d))
+    norm = norm.at[idx].add(1.0)
+    return (out / jnp.maximum(norm, 1.0)[None, :, None])[:, :t]
+
+
+class DPRNNSeparator(nn.Module):
+    """Dual-path RNN masking separator (enh/separator/dprnn_separator.py):
+    alternating intra-chunk and inter-chunk BiLSTMs over half-overlapping
+    chunks (Luo et al. 2020)."""
+
+    cfg: EnhConfig
+    dtype: Dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, feat: jnp.ndarray, deterministic: bool = True) -> jnp.ndarray:
+        cfg = self.cfg
+        d = cfg.hidden
+        x = nn.Dense(d, dtype=self.dtype, name="in_proj")(feat)
+        chunks, t = _segment(x, cfg.chunk_size)  # [B, n, K, D]
+        b, n, k, _ = chunks.shape
+        for i in range(cfg.layers):
+            # intra-chunk: sequence axis = K, batch = B*n
+            h = _bilstm(chunks.reshape(b * n, k, d), d // 2, f"intra_{i}")
+            h = nn.Dense(d, dtype=self.dtype, name=f"intra_proj_{i}")(h)
+            chunks = nn.LayerNorm(name=f"intra_ln_{i}")(chunks + h.reshape(b, n, k, d))
+            # inter-chunk: sequence axis = n, batch = B*K
+            y = jnp.moveaxis(chunks, 1, 2).reshape(b * k, n, d)
+            h = _bilstm(y, d // 2, f"inter_{i}")
+            h = nn.Dense(d, dtype=self.dtype, name=f"inter_proj_{i}")(h)
+            y = nn.LayerNorm(name=f"inter_ln_{i}")(y + h)
+            chunks = jnp.moveaxis(y.reshape(b, k, n, d), 1, 2)
+        x = _merge(chunks, t, cfg.chunk_size)
+        x = jax.nn.relu(x)
+        masks = nn.Dense(feat.shape[-1] * cfg.num_spk, dtype=self.dtype, name="mask")(x)
+        masks = masks.reshape(*feat.shape[:-1], cfg.num_spk, feat.shape[-1])
+        masks = jnp.moveaxis(masks, -2, 0)
+        if cfg.mask_nonlinear == "sigmoid":
+            return jax.nn.sigmoid(masks)
+        return jax.nn.relu(masks)
+
+
+class SkiMSeparator(nn.Module):
+    """Skipping-memory LSTM separator (enh/separator/skim_separator.py):
+    local segment LSTMs whose boundary states are carried across segments by
+    a memory LSTM (Li et al. 2022) — linear-time alternative to DPRNN."""
+
+    cfg: EnhConfig
+    dtype: Dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, feat: jnp.ndarray, deterministic: bool = True) -> jnp.ndarray:
+        cfg = self.cfg
+        d = cfg.hidden
+        k = cfg.chunk_size
+        x = nn.Dense(d, dtype=self.dtype, name="in_proj")(feat)
+        b, t, _ = x.shape
+        n = -(-t // k)
+        x = jnp.pad(x, ((0, 0), (0, n * k - t), (0, 0)))
+        segs = x.reshape(b, n, k, d)
+        for i in range(cfg.layers):
+            cell = nn.OptimizedLSTMCell(d, name=f"seg_lstm_{i}")
+            mem_cell = nn.OptimizedLSTMCell(d, name=f"mem_lstm_{i}")
+            rnn = nn.RNN(cell, return_carry=True, name=f"seg_rnn_{i}")
+            outs = []
+            carry = cell.initialize_carry(jax.random.PRNGKey(0), (b, d))
+            mem_carry = mem_cell.initialize_carry(jax.random.PRNGKey(0), (b, d))
+            for j in range(n):  # segment chain (static unroll over segments)
+                carry, seg_out = rnn(segs[:, j], initial_carry=carry)
+                outs.append(seg_out)
+                # memory LSTM transforms the boundary hidden state into the
+                # next segment's initial state ("skipping" the details)
+                mem_carry, mem_h = mem_cell(mem_carry, carry[1])
+                carry = (carry[0], mem_h)
+            h = jnp.stack(outs, axis=1)  # [B, n, k, D]
+            h = nn.Dense(d, dtype=self.dtype, name=f"proj_{i}")(h)
+            segs = nn.LayerNorm(name=f"ln_{i}")(segs + h)
+        x = segs.reshape(b, n * k, d)[:, :t]
+        masks = nn.Dense(feat.shape[-1] * cfg.num_spk, dtype=self.dtype, name="mask")(x)
+        masks = masks.reshape(*feat.shape[:-1], cfg.num_spk, feat.shape[-1])
+        masks = jnp.moveaxis(masks, -2, 0)
+        if cfg.mask_nonlinear == "sigmoid":
+            return jax.nn.sigmoid(masks)
+        return jax.nn.relu(masks)
+
+
+class TFGridNetSeparator(nn.Module):
+    """TF-GridNet (enh/separator/tfgridnet_separator.py, Wang et al. 2023):
+    gridded intra-frame (frequency) BiLSTM, sub-band temporal BiLSTM, and
+    full-band frame self-attention over the complex spectrogram; estimates
+    the complex spectrum of each source directly (no mask)."""
+
+    cfg: EnhConfig
+    dtype: Dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, spec: jnp.ndarray, deterministic: bool = True) -> jnp.ndarray:
+        """[B, T, F] complex mixture -> [S, B, T, F] complex estimates."""
+        cfg = self.cfg
+        d = cfg.tf_channels
+        b, t, f = spec.shape
+        x = jnp.stack([jnp.real(spec), jnp.imag(spec)], axis=-1)  # [B,T,F,2]
+        x = nn.Conv(d, (3, 3), padding="SAME", dtype=self.dtype, name="embed")(x)
+        for i in range(cfg.layers):
+            # intra-frame: BiLSTM across frequency per frame
+            h = nn.LayerNorm(name=f"freq_ln_{i}")(x)
+            h = _bilstm(h.reshape(b * t, f, d), d // 2, f"freq_lstm_{i}")
+            h = nn.Dense(d, dtype=self.dtype, name=f"freq_proj_{i}")(h)
+            x = x + h.reshape(b, t, f, d)
+            # sub-band: BiLSTM across time per frequency
+            h = nn.LayerNorm(name=f"time_ln_{i}")(x)
+            h = jnp.moveaxis(h, 2, 1).reshape(b * f, t, d)
+            h = _bilstm(h, d // 2, f"time_lstm_{i}")
+            h = nn.Dense(d, dtype=self.dtype, name=f"time_proj_{i}")(h)
+            x = x + jnp.moveaxis(h.reshape(b, f, t, d), 1, 2)
+            # full-band self-attention across frames
+            frames = nn.LayerNorm(name=f"attn_ln_{i}")(x).reshape(b, t, f * d)
+            e = max(d, 8) * cfg.attn_heads
+            q = nn.Dense(e, dtype=self.dtype, name=f"q_{i}")(frames)
+            kk = nn.Dense(e, dtype=self.dtype, name=f"k_{i}")(frames)
+            v = nn.Dense(e, dtype=self.dtype, name=f"v_{i}")(frames)
+            hh = cfg.attn_heads
+            hd = e // hh
+            q = q.reshape(b, t, hh, hd)
+            kk = kk.reshape(b, t, hh, hd)
+            v = v.reshape(b, t, hh, hd)
+            att = jax.nn.softmax(
+                (jnp.einsum("bqhd,bkhd->bhqk", q, kk) / (hd ** 0.5)).astype(jnp.float32),
+                axis=-1,
+            ).astype(self.dtype)
+            o = jnp.einsum("bhqk,bkhd->bqhd", att, v).reshape(b, t, e)
+            o = nn.Dense(f * d, dtype=self.dtype, name=f"attn_out_{i}")(o)
+            x = x + o.reshape(b, t, f, d)
+        out = nn.Conv(2 * cfg.num_spk, (3, 3), padding="SAME", dtype=self.dtype,
+                      name="deconv")(x)  # [B, T, F, 2S]
+        out = out.reshape(b, t, f, cfg.num_spk, 2)
+        est = out[..., 0] + 1j * out[..., 1]  # [B, T, F, S]
+        return jnp.moveaxis(est, -1, 0)  # [S, B, T, F]
+
+
 def si_snr(ref: jnp.ndarray, est: jnp.ndarray, lengths: jnp.ndarray, eps: float = 1e-8) -> jnp.ndarray:
     """Scale-invariant SNR per example [B] (enh/loss/criterions/time_domain.py)."""
     valid = make_valid_mask(lengths, ref.shape[1]).astype(ref.dtype)
@@ -139,7 +311,13 @@ class ESPnetEnhancementModel(nn.Module):
     dtype: Dtype = jnp.float32
 
     def setup(self):
-        sep_cls = RNNSeparator if self.cfg.separator_type == "rnn" else TCNSeparator
+        sep_cls = {
+            "rnn": RNNSeparator,
+            "tcn": TCNSeparator,
+            "dprnn": DPRNNSeparator,
+            "skim": SkiMSeparator,
+            "tfgridnet": TFGridNetSeparator,
+        }[self.cfg.separator_type]
         self.separator = sep_cls(self.cfg, dtype=self.dtype, name="separator")
 
     def separate(
@@ -149,13 +327,17 @@ class ESPnetEnhancementModel(nn.Module):
         """[B, N] mixture -> ([S, B, N] estimates, frame lengths)."""
         cfg = self.cfg
         spec = stft(speech_mix, n_fft=cfg.n_fft, hop_length=cfg.hop_length)  # [B,T,F]
-        mag = jnp.abs(spec)
-        masks = self.separator(mag.astype(self.dtype), deterministic)  # [S,B,T,F]
+        if cfg.separator_type == "tfgridnet":
+            # complex-spectrum estimation (no masking)
+            est_specs = self.separator(spec, deterministic)  # [S,B,T,F] complex
+        else:
+            mag = jnp.abs(spec)
+            masks = self.separator(mag.astype(self.dtype), deterministic)  # [S,B,T,F]
+            est_specs = spec[None] * masks.astype(spec.dtype)
         ests = []
         for i in range(cfg.num_spk):
-            est_spec = spec * masks[i].astype(spec.dtype)
             wav = istft(
-                est_spec, n_fft=cfg.n_fft, hop_length=cfg.hop_length,
+                est_specs[i], n_fft=cfg.n_fft, hop_length=cfg.hop_length,
                 length=speech_mix.shape[1],
             )
             ests.append(wav)

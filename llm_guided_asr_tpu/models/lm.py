@@ -39,8 +39,11 @@ class TransformerLMConfig:
 
     @classmethod
     def from_dict(cls, d: dict, vocab_size: int) -> "TransformerLMConfig":
-        known = {f.name for f in dataclasses.fields(cls)} - {"vocab_size"}
-        return cls(vocab_size=vocab_size, **{k: v for k, v in d.items() if k in known})
+        from llm_guided_asr_tpu.utils.config import filter_known_fields
+
+        d = filter_known_fields(cls, d, "lm_conf")
+        d.pop("vocab_size", None)
+        return cls(vocab_size=vocab_size, **d)
 
 
 class TransformerLM(nn.Module):
@@ -81,8 +84,11 @@ class SequentialRNNLMConfig:
 
     @classmethod
     def from_dict(cls, d: dict, vocab_size: int) -> "SequentialRNNLMConfig":
-        known = {f.name for f in dataclasses.fields(cls)} - {"vocab_size"}
-        return cls(vocab_size=vocab_size, **{k: v for k, v in d.items() if k in known})
+        from llm_guided_asr_tpu.utils.config import filter_known_fields
+
+        d = filter_known_fields(cls, d, "lm_conf")
+        d.pop("vocab_size", None)
+        return cls(vocab_size=vocab_size, **d)
 
 
 class SequentialRNNLM(nn.Module):

@@ -120,13 +120,37 @@ class ContextualBlockLayer(nn.Module):
 
 
 class ContextualBlockConformerEncoder(nn.Module):
-    """[B, T, F] -> [B, T', D] with block-causal receptive field."""
+    """[B, T, F] -> [B, T', D] with block-causal receptive field.
+
+    Because attention is restricted to [forward context | current block],
+    encoder outputs depend only on past blocks — so the same parameters
+    support *true incremental* encoding via :meth:`encode_chunk`: feed new
+    feature frames with the carried per-layer contexts and get outputs
+    bit-equal to the offline pass (the online path of
+    contextual_block_conformer_encoder.py, minus re-encoding)."""
 
     cfg: ConformerConfig
     block_size: int = 40
     dtype: Dtype = jnp.float32
 
-    @nn.compact
+    def setup(self):
+        cfg = self.cfg
+        if cfg.input_layer == "conv2d":
+            self.embed = Conv2dSubsampling(cfg.output_size, dtype=self.dtype, name="embed")
+        elif cfg.input_layer == "linear":
+            self.embed = nn.Dense(cfg.output_size, dtype=self.dtype, name="embed")
+        else:
+            self.embed = None
+        self.pos_enc = PositionalEncoding(
+            cfg.positional_dropout_rate, dtype=self.dtype, name="pos_enc"
+        )
+        self.layers = [
+            ContextualBlockLayer(cfg, dtype=self.dtype, name=f"layer_{i}")
+            for i in range(cfg.num_blocks)
+        ]
+        if cfg.normalize_before:
+            self.after_norm = LayerNorm(dtype=self.dtype, name="after_norm")
+
     def __call__(
         self,
         feats: jnp.ndarray,
@@ -135,16 +159,14 @@ class ContextualBlockConformerEncoder(nn.Module):
     ) -> Tuple[jnp.ndarray, jnp.ndarray]:
         cfg = self.cfg
         if cfg.input_layer == "conv2d":
-            x = Conv2dSubsampling(cfg.output_size, dtype=self.dtype, name="embed")(feats)
+            x = self.embed(feats)
             out_lengths = sub4_lengths(feats_lengths, feats.shape[1])
         elif cfg.input_layer == "linear":
-            x = nn.Dense(cfg.output_size, dtype=self.dtype, name="embed")(feats)
+            x = self.embed(feats)
             out_lengths = feats_lengths
         else:
             x, out_lengths = feats, feats_lengths
-        x = PositionalEncoding(cfg.positional_dropout_rate, dtype=self.dtype, name="pos_enc")(
-            x, deterministic
-        )
+        x = self.pos_enc(x, deterministic)
         b, t, d = x.shape
         s = self.block_size
         n = -(-t // s)
@@ -154,16 +176,57 @@ class ContextualBlockConformerEncoder(nn.Module):
         blocks = x.reshape(b, n, s, d)
         bvalid = valid.reshape(b, n, s)
 
-        for i in range(cfg.num_blocks):
+        for layer in self.layers:
             # fresh zero context per layer: context may only flow forward
             # WITHIN a layer (passing layer i's final context to layer i+1
             # would leak future blocks into past outputs)
             ctx0 = jnp.zeros((b, d), self.dtype)
-            blocks, _ = ContextualBlockLayer(cfg, dtype=self.dtype, name=f"layer_{i}")(
-                blocks, bvalid, ctx0, deterministic
-            )
+            blocks, _ = layer(blocks, bvalid, ctx0, deterministic)
         x = blocks.reshape(b, n * s, d)[:, :t]
         if cfg.normalize_before:
-            x = LayerNorm(dtype=self.dtype, name="after_norm")(x)
+            x = self.after_norm(x)
         x = jnp.where(make_valid_mask(out_lengths, t)[..., None], x, 0.0)
         return x, out_lengths
+
+    def encode_chunk(
+        self,
+        feats: jnp.ndarray,  # [B, 4*m + 6, F] raw (MVN'd) feature frames
+        ctxs: jnp.ndarray,  # [num_layers, B, D] carried per-layer contexts
+        pos_offset: jnp.ndarray,  # scalar: index of the first produced sub-frame
+        n_valid: jnp.ndarray,  # scalar: valid sub-frames in this chunk (<= m)
+        deterministic: bool = True,
+    ) -> Tuple[jnp.ndarray, jnp.ndarray]:
+        """Incremental encode: the feats slice must start at input frame
+        4*pos_offset so the Conv2dSubsampling windows tile identically to the
+        offline pass (subsampled frame i reads input frames [4i, 4i+6]); m
+        must be a multiple of block_size.  Returns ([B, m, D], new ctxs)."""
+        cfg = self.cfg
+        if cfg.input_layer != "conv2d":
+            raise NotImplementedError("streaming encode_chunk requires conv2d input")
+        x = self.embed(feats)  # [B, m, D] exactly (VALID convs on 4m+6 frames)
+        b, m, d = x.shape
+        s = self.block_size
+        if m % s != 0:
+            raise ValueError(f"chunk produces {m} sub-frames, not a multiple of block_size {s}")
+        # offline applies absolute sinusoidal PE over the whole sequence; the
+        # chunk's frames sit at positions [pos_offset, pos_offset + m)
+        import math
+
+        from llm_guided_asr_tpu.models.transformer import sinusoidal_pos_enc
+
+        pe = jnp.asarray(sinusoidal_pos_enc(self.pos_enc.max_len, d)).astype(self.dtype)
+        pos = jnp.clip(pos_offset + jnp.arange(m), 0, pe.shape[0] - 1)
+        x = x * math.sqrt(d) + pe[pos][None]
+        n = m // s
+        valid = jnp.arange(m) < n_valid
+        blocks = x.reshape(b, n, s, d)
+        bvalid = jnp.broadcast_to(valid.reshape(1, n, s), (b, n, s))
+        new_ctxs = []
+        for i, layer in enumerate(self.layers):
+            blocks, ctx_i = layer(blocks, bvalid, ctxs[i], deterministic)
+            new_ctxs.append(ctx_i)
+        x = blocks.reshape(b, m, d)
+        if cfg.normalize_before:
+            x = self.after_norm(x)
+        x = jnp.where(valid[None, :, None], x, 0.0)
+        return x, jnp.stack(new_ctxs)

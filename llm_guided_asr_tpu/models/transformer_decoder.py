@@ -43,8 +43,9 @@ class TransformerDecoderConfig:
 
     @classmethod
     def from_dict(cls, d: dict) -> "TransformerDecoderConfig":
-        known = {f.name for f in dataclasses.fields(cls)}
-        return cls(**{k: v for k, v in d.items() if k in known})
+        from llm_guided_asr_tpu.utils.config import filter_known_fields
+
+        return cls(**filter_known_fields(cls, d, "decoder_conf"))
 
 
 class TransformerDecoder(nn.Module):

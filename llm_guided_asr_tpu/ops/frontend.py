@@ -49,8 +49,9 @@ class FrontendConfig:
 
     @classmethod
     def from_dict(cls, d: dict) -> "FrontendConfig":
-        known = {f.name for f in dataclasses.fields(cls)}
-        d = {k: v for k, v in d.items() if k in known}
+        from llm_guided_asr_tpu.utils.config import filter_known_fields
+
+        d = filter_known_fields(cls, d, "frontend_conf")
         if d.get("fmin") is None:
             d["fmin"] = 0.0
         return cls(**d)

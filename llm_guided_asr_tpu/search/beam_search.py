@@ -116,18 +116,8 @@ class BatchBeamSearch:
         return jax.vmap(one)(encs, enc_lens, maxlens, minlens)
 
     # -- core loop ------------------------------------------------------
-    def _search(self, enc, enc_len, maxlen, minlen, scorer_ctx, lmax: int):
-        K, W, V = self.K, self.W, self.vocab_size
-
-        if self.ctc_weight != 0.0:
-            ctc_logp = self.model.apply(
-                self.variables, enc, method=self.model.ctc_log_softmax
-            )[0]  # [T, V]
-        else:
-            # CTC-less models (MT, discrete-unit TTS): dummy uniform table,
-            # never scored (the ctc branch below is compiled out)
-            ctc_logp = jnp.zeros((enc.shape[1], V))
-
+    def _init_carry(self, ctc_logp, enc, enc_len, lmax: int, scorer_ctx=None):
+        K = self.K
         att_state0 = self.att_scorer.init(enc, enc_len, K, lmax, ctx=scorer_ctx)
         init = BeamState(
             step=jnp.asarray(0, jnp.int32),
@@ -141,6 +131,26 @@ class BatchBeamSearch:
             fin_score=jnp.full((K,), NEG_INF),
             fin_parts=jnp.zeros((K, 4)),
         )
+        return (init, att_state0)
+
+    def _ctc_table(self, enc):
+        if self.ctc_weight != 0.0:
+            return self.model.apply(
+                self.variables, enc, method=self.model.ctc_log_softmax
+            )[0]  # [T, V]
+        # CTC-less models (MT, discrete-unit TTS): dummy uniform table,
+        # never scored (the ctc branch is compiled out)
+        return jnp.zeros((enc.shape[1], self.vocab_size))
+
+    def _search(self, enc, enc_len, maxlen, minlen, scorer_ctx, lmax: int):
+        ctc_logp = self._ctc_table(enc)
+        carry = self._init_carry(ctc_logp, enc, enc_len, lmax, scorer_ctx)
+        final = self._run_loop(enc, enc_len, maxlen, minlen, carry, ctc_logp)[0]
+        return self._finalize(final)
+
+    def _run_loop(self, enc, enc_len, maxlen, minlen, carry, ctc_logp):
+        K, W, V = self.K, self.W, self.vocab_size
+        lmax = carry[0].alive_tokens.shape[1]
 
         def cond(carry):
             s, _ = carry
@@ -247,8 +257,9 @@ class BatchBeamSearch:
                 att_state,
             )
 
-        final, _ = jax.lax.while_loop(cond, body, (init, att_state0))
+        return jax.lax.while_loop(cond, body, carry)
 
+    def _finalize(self, final: BeamState):
         # merge still-alive hyps (maxlen reached) into finished (post_process
         # at last step, beam_search.py:500): append eos, keep raw score.
         alive_rows = jnp.where(
@@ -263,6 +274,56 @@ class BatchBeamSearch:
         all_parts = jnp.concatenate([final.fin_parts, final.alive_parts])
         top, idx = jax.lax.top_k(all_scores, self.K)
         return all_tokens[idx], all_len[idx], top, all_parts[idx]
+
+    # -- streaming continuation (batch_beam_search_online analog) --------
+    # The search state is a resumable pytree: each audio chunk extends the
+    # encoder buffer, the alive hypotheses' CTC DP rows are extended over the
+    # new frames (CTCPrefixScoreTH.extend_prob/extend_state,
+    # ctc_prefix_score.py:222-270), and the while_loop continues from where
+    # it stopped with a larger frame budget — no re-decoding of earlier
+    # tokens, no re-encoding of earlier audio.
+
+    def stream_start(self, ctc_logp, enc_buf, enc_len, lmax: int, scorer_ctx=None):
+        """Initial resumable carry over a partially-filled encoder buffer."""
+        if not hasattr(self, "_stream_start_jit"):
+            self._stream_start_jit = jax.jit(
+                lambda ctc_logp, enc, enc_len, scorer_ctx, lmax: self._init_carry(
+                    ctc_logp, enc, enc_len, lmax, scorer_ctx
+                ),
+                static_argnames=("lmax",),
+            )
+        return self._stream_start_jit(ctc_logp, enc_buf, enc_len, scorer_ctx, lmax=lmax)
+
+    def stream_step(
+        self, enc_buf, enc_len_old, enc_len_new, maxlen, minlen, carry, ctc_logp
+    ):
+        """Extend CTC state over the new frames, then continue the search."""
+        if not hasattr(self, "_stream_step_jit"):
+            def _step(enc_buf, old, new, maxlen, minlen, carry, ctc_logp):
+                from llm_guided_asr_tpu.search.ctc_prefix import ctc_prefix_extend
+
+                state, att = carry
+                if self.ctc_weight != 0.0:
+                    state = state._replace(
+                        ctc=ctc_prefix_extend(
+                            state.ctc, ctc_logp, old, new, self.blank_id
+                        )
+                    )
+                return self._run_loop(
+                    enc_buf, new, maxlen, minlen, (state, att), ctc_logp
+                )
+
+            self._stream_step_jit = jax.jit(_step)
+        return self._stream_step_jit(
+            enc_buf, enc_len_old, enc_len_new, maxlen, minlen, carry, ctc_logp
+        )
+
+    def stream_hyps(self, carry, nbest: int = 1) -> List[Hypothesis]:
+        """Current best hypotheses (partial or final) from a resumable carry."""
+        if not hasattr(self, "_finalize_jit"):
+            self._finalize_jit = jax.jit(self._finalize)
+        tokens, lens, scores, parts = self._finalize_jit(carry[0])
+        return self._to_hyps(tokens, lens, scores, nbest, parts)
 
     # -- public API -----------------------------------------------------
     def __call__(

@@ -173,6 +173,39 @@ def ctc_prefix_scores(
     return psi, r_new
 
 
+def ctc_prefix_extend(
+    state: CTCPrefixState,
+    logp: jnp.ndarray,  # [T, V] CTC log-softmax table (rows >= new_len unused)
+    old_len: jnp.ndarray,  # scalar: frames the state was computed over
+    new_len: jnp.ndarray,  # scalar: frames now available
+    blank_id: int = 0,
+) -> CTCPrefixState:
+    """Streaming extension of alive-hypothesis DP rows over new frames.
+
+    Matches CTCPrefixScoreTH.extend_state (ctc_prefix_score.py:244-270): only
+    the blank row continues — r_b[t] = r_b[t-1] + x[t, blank] for the new
+    frames; r_nb stays log-zero there (paths emitting the prefix's last label
+    inside the new frames are recovered by the candidate rescoring, not the
+    carried state).  psi/last/empty are unchanged (s_prev kept).
+    """
+    t_max = logp.shape[0]
+    tpos = jnp.arange(t_max)
+    ext = (tpos >= old_len) & (tpos < new_len)  # frames to fill in
+    xb = jnp.where(ext, logp[:, blank_id], 0.0)
+    cum = jnp.cumsum(xb)  # sum of blank logp over ext frames up to t
+    base_idx = jnp.clip(old_len - 1, 0, t_max - 1)
+    r_b_base = state.r[:, base_idx, 1]  # [K]
+    r_b_ext = r_b_base[:, None] + cum[None, :]  # valid where ext
+    r_nb = jnp.where(ext[None, :], NEG_INF, state.r[..., 0])
+    r_b = jnp.where(ext[None, :], r_b_ext, state.r[..., 1])
+    return CTCPrefixState(
+        r=jnp.stack([r_nb, r_b], axis=-1),
+        psi=state.psi,
+        last=state.last,
+        empty=state.empty,
+    )
+
+
 def ctc_prefix_select(
     state_r_new: jnp.ndarray,  # [K, W, T, 2]
     psi: jnp.ndarray,  # [K, W]

@@ -150,3 +150,94 @@ class DenseNgramScorer:
             )
 
         return score
+
+
+def build_arpa(
+    sentences: Sequence[Sequence[str]],
+    path: Union[str, Path],
+    order: int = 3,
+    bos: str = "<s>",
+    eos: str = "</s>",
+    unk: str = "<unk>",
+):
+    """Train a backoff n-gram LM and write it in ARPA format (the asr.sh
+    stage-9 `lmplz` analog, asr.sh:1179; consumed by ArpaLM/DenseNgramScorer).
+
+    Witten-Bell interpolated smoothing: for history h with count c(h) and
+    T(h) distinct continuation types,
+        p(w|h) = (c(hw) + T(h) * p(w|h')) / (c(h) + T(h))
+        bow(h) = T(h) / (c(h) + T(h))
+    which is normalized and needs no count thresholds (robust on the small
+    corpora recipes train ngrams on).
+    """
+    from collections import Counter, defaultdict
+
+    path = Path(path)
+    counts = [Counter() for _ in range(order + 1)]  # counts[k]: k-gram tuples
+    followers = [defaultdict(set) for _ in range(order)]  # followers[k]: h(len k) -> {w}
+    for sent in sentences:
+        toks = [bos] + list(sent) + [eos]
+        for i in range(1, len(toks)):
+            for k in range(1, order + 1):
+                if i - k + 1 < 0:
+                    continue
+                gram = tuple(toks[i - k + 1 : i + 1])
+                counts[k][gram] += 1
+                followers[k - 1][gram[:-1]].add(gram[-1])
+    # history counts: c(h) = sum over continuations (so <s> histories work)
+    hist_count = [Counter() for _ in range(order)]
+    for k in range(1, order + 1):
+        for gram, c in counts[k].items():
+            hist_count[k - 1][gram[:-1]] += c
+
+    vocab = sorted({g[0] for g in counts[1]} | {unk})
+    v = len(vocab)
+
+    probs: List[Dict[Tuple[str, ...], float]] = [dict() for _ in range(order + 1)]
+    # unigrams interpolate with the uniform distribution
+    t0 = len(followers[0][()])
+    c0 = hist_count[0][()]
+    for w in vocab:
+        c = counts[1].get((w,), 0)
+        probs[1][(w,)] = (c + t0 * (1.0 / v)) / (c0 + t0)
+    for k in range(2, order + 1):
+        for gram, c in counts[k].items():
+            h = gram[:-1]
+            t = len(followers[k - 1][h])
+            ch = hist_count[k - 1][h]
+            lower = probs[k - 1].get(gram[1:], 1.0 / v)
+            probs[k][gram] = (c + t * lower) / (ch + t)
+
+    def bow(h: Tuple[str, ...]) -> float:
+        k = len(h)
+        t = len(followers[k][h]) if h in followers[k] else 0
+        ch = hist_count[k].get(h, 0)
+        return t / (ch + t) if (ch + t) > 0 else 1.0
+
+    def lg(x: float) -> float:
+        return math.log10(max(x, 1e-99))
+
+    with open(path, "w", encoding="utf-8") as f:
+        f.write("\\data\\\n")
+        n_uni = v + 1  # + <s> (prob entry with -99 like standard tools)
+        f.write(f"ngram 1={n_uni}\n")
+        for k in range(2, order + 1):
+            f.write(f"ngram {k}={len(counts[k])}\n")
+        f.write("\n\\1-grams:\n")
+        f.write(f"-99\t{bos}\t{lg(bow((bos,)))}\n")
+        for w in vocab:
+            b = lg(bow((w,))) if order > 1 else 0.0
+            if order > 1:
+                f.write(f"{lg(probs[1][(w,)])}\t{w}\t{b}\n")
+            else:
+                f.write(f"{lg(probs[1][(w,)])}\t{w}\n")
+        for k in range(2, order + 1):
+            f.write(f"\n\\{k}-grams:\n")
+            for gram in sorted(counts[k]):
+                p = lg(probs[k][gram])
+                if k < order:
+                    f.write(f"{p}\t{' '.join(gram)}\t{lg(bow(gram))}\n")
+                else:
+                    f.write(f"{p}\t{' '.join(gram)}\n")
+        f.write("\n\\end\\\n")
+    return path

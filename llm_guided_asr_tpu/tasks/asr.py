@@ -140,7 +140,8 @@ def build_model_config(config: Dict[str, Any]) -> ASRModelConfig:
     encoder_type = config.get("encoder", "conformer")
     known_encoders = (
         "conformer", "transformer", "e_branchformer", "branchformer",
-        "contextual_block_conformer",
+        "contextual_block_conformer", "whisper_style",
+        "wav2vec2_hf", "hubert_hf", "whisper_hf",
     )
     if encoder_type not in known_encoders:
         raise ValueError(f"unknown encoder {encoder_type!r}; known: {known_encoders}")
@@ -215,6 +216,10 @@ def init_model_variables(
     if cfg.frontend is not None:
         dummy_speech = jnp.zeros((2, max(cfg.frontend.n_fft * 4, 2048)), jnp.float32)
         dummy_lens = jnp.asarray([dummy_speech.shape[1]] * 2, jnp.int32)
+    elif config.get("encoder") in ("wav2vec2_hf", "hubert_hf"):
+        # raw-waveform pretrained encoders (frontend: none, 1-D input)
+        dummy_speech = jnp.zeros((2, 4000), jnp.float32)
+        dummy_lens = jnp.asarray([4000, 4000], jnp.int32)
     else:
         dim = int(config.get("input_size") or 80)
         dummy_speech = jnp.zeros((2, 16, dim), jnp.float32)
@@ -241,6 +246,21 @@ def init_model_variables(
         from llm_guided_asr_tpu.models.llm_guided import build_ctc_map_variables
 
         variables["ctc_map"] = build_ctc_map_variables(config)
+    enc_type = config.get("encoder")
+    if (
+        enc_type in ("wav2vec2_hf", "hubert_hf", "whisper_hf")
+        and not config.get("_skip_pretrained_encoder")
+    ):
+        # inject converted HF weights at params.encoder.ssl (the reference's
+        # pretrained download_dir/from_pretrained path for hubert/whisper)
+        from llm_guided_asr_tpu.models.ssl_encoders import load_pretrained_encoder
+
+        name = (config.get("encoder_conf") or {}).get("model_name_or_path")
+        _, pre = load_pretrained_encoder(name, enc_type[: -len("_hf")])
+        enc_params = dict(variables["params"]["encoder"])
+        enc_params["ssl"] = pre
+        variables["params"] = {**variables["params"], "encoder": enc_params}
+        logger.info(f"loaded pretrained {enc_type} encoder weights from {name}")
     return variables
 
 
@@ -331,7 +351,9 @@ def build_preprocess_fn(config: Dict[str, Any]) -> CommonPreprocessor:
 def build_dataset(config: Dict[str, Any], triples: Sequence) -> ESPnetDataset:
     has_text = config.get("token_list") or config.get("token_type") == "hugging_face"
     pre = build_preprocess_fn(config) if has_text else None
-    return ESPnetDataset([tuple(t) for t in triples], preprocess=pre)
+    from llm_guided_asr_tpu.utils.config import normalize_triples
+
+    return ESPnetDataset(normalize_triples(triples), preprocess=pre)
 
 
 def build_iter_factory(
@@ -347,12 +369,9 @@ def build_iter_factory(
         lengths = {k: v[0] for k, v in read_shape_file(shape_files[0]).items()}
         lengths = {k: v for k, v in lengths.items() if k in set(dataset.keys)}
     elif config.get("batch_type", "numel") != "unsorted":
-        # fall back to loading lengths by peeking (fine for small corpora)
-        lengths = {}
-        for k in dataset.keys:
-            item = dataset[k]
-            first = next(iter(item.values()))
-            lengths[k] = int(np.asarray(first).shape[0])
+        # no shape files: peek lengths from headers (wav/flac/npy/ark) so
+        # the whole corpus is not decoded just to build batches
+        lengths = {k: dataset.peek_length(k) for k in dataset.keys}
     batches = build_batch_sampler(
         config.get("batch_type", "numel"),
         dataset.keys,
@@ -529,7 +548,11 @@ class ASRTask:
             data_parallel=config.get("data_parallel"),
             model_parallel=int(config.get("model_parallel", 1)),
         )
-        data_names = {t[1] for t in config["train_data_path_and_name_and_type"]}
+        from llm_guided_asr_tpu.utils.config import normalize_triples
+
+        data_names = {
+            t[1] for t in normalize_triples(config["train_data_path_and_name_and_type"])
+        }
         has_bias = "bias_words" in data_names  # contextual biasing (decoder_new)
         has_ctc_text = "ctc_text" in data_names  # mixed-vocab CTC targets
         if has_bias or has_ctc_text:

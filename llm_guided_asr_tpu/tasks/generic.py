@@ -105,12 +105,38 @@ def _build_spk(config):
 
 
 def _build_tts(config):
+    """--tts ClassChoices analog (espnet2/tasks/tts.py tts_choices):
+    fastspeech2 (default) | tacotron2."""
     from llm_guided_asr_tpu.models.tts import FastSpeech2, FastSpeech2Config
 
     mc = dict(config.get("model_conf", {}) or {})
     vocab = len(read_token_list(config["token_list"])) if config.get("token_list") else int(
         mc.get("vocab_size", 100)
     )
+    if config.get("tts") == "tacotron2":
+        from llm_guided_asr_tpu.models.tacotron2 import Tacotron2, Tacotron2Config
+
+        t2 = Tacotron2Config(
+            vocab_size=vocab,
+            n_mels=int(mc.get("n_mels", 80)),
+            embed_dim=int(mc.get("adim", 128)),
+            elstm_units=int(mc.get("elstm_units", 64)),
+            dlstm_units=int(mc.get("dlstm_units", 256)),
+            att_dim=int(mc.get("att_dim", 64)),
+        )
+        model = Tacotron2(t2)
+
+        def t2_adapter(batch):
+            return (
+                batch["text"], batch["text_lengths"],
+                batch["speech"], batch["speech_lengths"],
+            )
+
+        t2_dummy = (
+            jnp.ones((2, 4), jnp.int32), jnp.asarray([4, 3]),
+            jnp.zeros((2, 12, t2.n_mels), jnp.float32), jnp.asarray([12, 9]),
+        )
+        return model, t2_adapter, t2_dummy
     cfg = FastSpeech2Config(
         vocab_size=vocab,
         n_mels=int(mc.get("n_mels", 80)),

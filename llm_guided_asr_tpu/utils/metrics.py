@@ -101,6 +101,36 @@ def _edit_distance_py(ref: Sequence, hyp: Sequence) -> Tuple[int, int, int, int]
     return n_sub, n_del, n_ins, n_cor
 
 
+def align(ref: Sequence, hyp: Sequence) -> List[Tuple[str, object, object]]:
+    """Optimal alignment as [(op, ref_tok, hyp_tok)]; op in C/S/D/I.
+
+    Feeds the sclite-style per-utterance report (asr.sh:1694 writes
+    result.txt via sclite -i rm -o all)."""
+    n, m = len(ref), len(hyp)
+    d = np.zeros((n + 1, m + 1), dtype=np.int32)
+    d[:, 0] = np.arange(n + 1)
+    d[0, :] = np.arange(m + 1)
+    for i in range(1, n + 1):
+        for j in range(1, m + 1):
+            sub = d[i - 1, j - 1] + (ref[i - 1] != hyp[j - 1])
+            d[i, j] = min(sub, d[i - 1, j] + 1, d[i, j - 1] + 1)
+    ops: List[Tuple[str, object, object]] = []
+    i, j = n, m
+    while i > 0 or j > 0:
+        if i > 0 and j > 0 and d[i, j] == d[i - 1, j - 1] + (ref[i - 1] != hyp[j - 1]):
+            ops.append(
+                ("C" if ref[i - 1] == hyp[j - 1] else "S", ref[i - 1], hyp[j - 1])
+            )
+            i, j = i - 1, j - 1
+        elif i > 0 and d[i, j] == d[i - 1, j] + 1:
+            ops.append(("D", ref[i - 1], None))
+            i -= 1
+        else:
+            ops.append(("I", None, hyp[j - 1]))
+            j -= 1
+    return ops[::-1]
+
+
 def error_rate(refs: Iterable[Sequence], hyps: Iterable[Sequence]) -> Dict[str, float]:
     """Corpus-level error rate over pre-split sequences."""
     tot_s = tot_d = tot_i = tot_c = tot_ref = 0

@@ -1,5 +1,9 @@
 """Per-utterance contextual biasing through the ((BIAS)) template slot."""
 
+import pytest
+
+pytestmark = pytest.mark.slow
+
 from pathlib import Path
 
 import jax

@@ -1,5 +1,9 @@
 """KV-cached standard-decoder scorer == full recompute, step by step."""
 
+import pytest
+
+pytestmark = pytest.mark.slow
+
 import jax
 import jax.numpy as jnp
 import numpy as np

@@ -1,5 +1,9 @@
 """Cached LLM-guided scoring == uncached full recompute (step-by-step)."""
 
+import pytest
+
+pytestmark = pytest.mark.slow
+
 from pathlib import Path
 
 import jax

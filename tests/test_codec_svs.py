@@ -1,5 +1,9 @@
 """Neural codec (RVQ) and SVS models."""
 
+import pytest
+
+pytestmark = pytest.mark.slow
+
 import jax
 import jax.numpy as jnp
 import numpy as np

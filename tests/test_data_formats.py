@@ -142,3 +142,28 @@ def test_flac_fixed_predictor_roundtrip(tmp_path):
     rate, out = read_flac(p)
     assert rate == 16000 and out.shape == wav.shape
     np.testing.assert_allclose(out, wav, atol=2.0 / 32768)
+
+
+def test_peek_audio_length(tmp_path):
+    from llm_guided_asr_tpu.data.fileio import peek_audio_length
+
+    wav = np.sin(np.linspace(0, 10, 1234, dtype=np.float32)) * 0.2
+    w = tmp_path / "p.wav"
+    write_wav(w, 16000, wav)
+    assert peek_audio_length(str(w)) == 1234
+    f = tmp_path / "p.flac"
+    write_flac(f, 16000, wav)
+    assert peek_audio_length(str(f)) == 1234
+    assert peek_audio_length(f"cat {w} |") is None  # pipes need a full read
+
+
+def test_dataset_peek_length(tmp_path):
+    rng = np.random.default_rng(5)
+    mats = {f"u{i}": rng.normal(size=(9 + i, 4)).astype(np.float32) for i in range(3)}
+    ark, scp = tmp_path / "f.ark", tmp_path / "f.scp"
+    with kaldi_ark.KaldiArkWriter(ark, scp) as w:
+        for k, m in mats.items():
+            w[k] = m
+    ds = ESPnetDataset([(str(scp), "speech", "kaldi_ark")])
+    for i in range(3):
+        assert ds.peek_length(f"u{i}") == 9 + i

@@ -1,5 +1,9 @@
 """EEND-style diarization: PIT-BCE learns a two-tone alternating mixture."""
 
+import pytest
+
+pytestmark = pytest.mark.slow
+
 import jax
 import jax.numpy as jnp
 import numpy as np

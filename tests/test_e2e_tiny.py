@@ -6,6 +6,10 @@ exercises the real build path: YAML config -> ASRTask.main -> checkpoints ->
 Speech2Text from the config.yaml artifact -> greedy + beam decode -> CER.
 """
 
+import pytest
+
+pytestmark = pytest.mark.slow
+
 import sys
 from pathlib import Path
 

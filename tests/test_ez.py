@@ -1,5 +1,9 @@
 """espnetez-style high-level API: in-memory dataset -> train -> decode."""
 
+import pytest
+
+pytestmark = pytest.mark.slow
+
 from pathlib import Path
 
 import numpy as np

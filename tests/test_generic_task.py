@@ -1,5 +1,9 @@
 """Generic task CLI: enh real train; dry-run config artifacts for the rest."""
 
+import pytest
+
+pytestmark = pytest.mark.slow
+
 from pathlib import Path
 
 import numpy as np

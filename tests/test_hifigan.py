@@ -1,5 +1,9 @@
 """HiFiGAN vocoder + two-optimizer GAN trainer."""
 
+import pytest
+
+pytestmark = pytest.mark.slow
+
 import jax
 import jax.numpy as jnp
 import numpy as np

@@ -1,5 +1,9 @@
 """HuBERT-style SSL pretraining + OWSM-style S2T multitask model."""
 
+import pytest
+
+pytestmark = pytest.mark.slow
+
 import jax
 import jax.numpy as jnp
 import numpy as np

@@ -1,5 +1,9 @@
 """LLM-guided ASR model: prompt packing, forward, freezing, train+decode E2E."""
 
+import pytest
+
+pytestmark = pytest.mark.slow
+
 from pathlib import Path
 
 import jax

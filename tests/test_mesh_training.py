@@ -7,6 +7,10 @@ the tiny tone corpus must produce the same loss curve as the 1-device run
 (same seeds) — batch sharding + XLA's gradient psum must not change the math.
 """
 
+import pytest
+
+pytestmark = pytest.mark.slow
+
 import sys
 from pathlib import Path
 

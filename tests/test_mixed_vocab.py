@@ -7,6 +7,10 @@ table — the on-chip analog of the reference's host-side detokenize/retokenize
 consumes a separate 'ctc_text' stream tokenized in the CTC vocab.
 """
 
+import pytest
+
+pytestmark = pytest.mark.slow
+
 import sys
 from pathlib import Path
 

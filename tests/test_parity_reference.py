@@ -10,6 +10,10 @@ weights via models/espnet_ingest.py and asserts this package reproduces the
 reference numerics (BASELINE.md: "bit-compatible mini_an4 hypotheses").
 """
 
+import pytest
+
+pytestmark = pytest.mark.slow
+
 import json
 from pathlib import Path
 

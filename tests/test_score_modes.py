@@ -6,6 +6,10 @@
   (espnet beam_search.py merge_scores:263) — VERDICT weak #7.
 """
 
+import pytest
+
+pytestmark = pytest.mark.slow
+
 import sys
 from pathlib import Path
 

@@ -1,5 +1,9 @@
 """SLU (ASR + intent) and ASVSpoof (binary spoof detection) models."""
 
+import pytest
+
+pytestmark = pytest.mark.slow
+
 import jax
 import jax.numpy as jnp
 import numpy as np

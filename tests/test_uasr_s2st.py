@@ -1,5 +1,9 @@
 """UASR GAN mechanics and discrete-unit S2ST."""
 
+import pytest
+
+pytestmark = pytest.mark.slow
+
 import jax
 import jax.numpy as jnp
 import numpy as np
