@@ -338,13 +338,13 @@ class WhisperEncoder(nn.Module):
         x = x + pos[:t][None].astype(self.dtype)
         valid = make_valid_mask(out_lengths, t)
         for i in range(cfg.encoder_layers):
-            y = nn.LayerNorm(dtype=self.dtype, name=f"layers_{i}_self_attn_layer_norm")(x)
+            y = nn.LayerNorm(epsilon=1e-5, dtype=self.dtype, name=f"layers_{i}_self_attn_layer_norm")(x)
             x = x + _WhisperAttention(cfg, dtype=self.dtype, name=f"layers_{i}_self_attn")(y, valid)
-            y = nn.LayerNorm(dtype=self.dtype, name=f"layers_{i}_final_layer_norm")(x)
+            y = nn.LayerNorm(epsilon=1e-5, dtype=self.dtype, name=f"layers_{i}_final_layer_norm")(x)
             y = nn.Dense(cfg.encoder_ffn_dim, dtype=self.dtype, name=f"layers_{i}_fc1")(y)
             y = jax.nn.gelu(y, approximate=False)
             x = x + nn.Dense(cfg.d_model, dtype=self.dtype, name=f"layers_{i}_fc2")(y)
-        x = nn.LayerNorm(dtype=self.dtype, name="layer_norm")(x)
+        x = nn.LayerNorm(epsilon=1e-5, dtype=self.dtype, name="layer_norm")(x)
         return jnp.where(valid[..., None], x, 0.0), out_lengths
 
 

@@ -175,7 +175,9 @@ def _write_wavs(d, n=4, samples=4000):
 
 
 @pytest.mark.parametrize(
-    "task", ["slu", "asvspoof", "s2st", "svs", "codec", "speechlm", "tts2", "uasr"]
+    "task",
+    ["slu", "asvspoof", "s2st", "svs", "codec", "speechlm", "tts2", "uasr",
+     "gan_tts"],
 )
 def test_new_domain_trains_from_yaml(task, tmp_path):
     """One-epoch train of every new domain via the task CLI (espnet2/tasks/*
@@ -229,6 +231,8 @@ def test_new_domain_trains_from_yaml(task, tmp_path):
                      [str(d / "units"), "units", "text_int"]],
             "uasr": [[str(d / "wav.scp"), "speech", "sound"],
                      [str(d / "text"), "text", "text"]],
+            "gan_tts": [[str(d / "text"), "text", "text"],
+                        [str(d / "wav.scp"), "speech", "sound"]],
         }[task]
 
     exp = tmp_path / "exp"
@@ -248,6 +252,9 @@ def test_new_domain_trains_from_yaml(task, tmp_path):
             "tts2": {"unit_vocab_size": 8, "adim": 16, "heads": 2, "units": 24,
                      "elayers": 1},
             "uasr": {"hidden": 16, "kernel": 4, "stride": 2},
+            "gan_tts": {"hidden": 16, "text_layers": 1, "posterior_layers": 1,
+                        "flow_layers": 1, "segment_frames": 4, "n_fft": 256,
+                        "hop_length": 128, "n_mels": 20},
         }[task],
         "frontend_conf": {"n_fft": 256, "hop_length": 128, "n_mels": 23},
         "encoder_conf": {"output_size": 16, "attention_heads": 2,

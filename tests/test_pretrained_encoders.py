@@ -160,3 +160,74 @@ def test_asr_task_with_pretrained_hubert_encoder(tmp_path):
     assert np.isfinite(float(loss))
     gnorm = optax.global_norm(grads)
     assert np.isfinite(float(gnorm)) and float(gnorm) > 0
+
+
+def test_whisper_full_model_parity_and_decode():
+    """Full Whisper (encoder+decoder) import: logits match HF; greedy decode
+    over our beam-search-compatible decoder_logits reproduces HF greedy."""
+    from transformers import WhisperConfig as HFWhisperConfig
+    from transformers import WhisperForConditionalGeneration
+
+    import jax
+    import jax.numpy as jnp
+
+    from llm_guided_asr_tpu.models.whisper import (
+        WhisperASR,
+        WhisperConfig,
+        convert_hf_whisper_state_dict,
+    )
+
+    hf_cfg = HFWhisperConfig(
+        vocab_size=97, d_model=32, encoder_layers=2, encoder_attention_heads=2,
+        encoder_ffn_dim=48, decoder_layers=2, decoder_attention_heads=2,
+        decoder_ffn_dim=48, num_mel_bins=12, max_source_positions=32,
+        max_target_positions=24, pad_token_id=0, bos_token_id=1,
+        eos_token_id=2, decoder_start_token_id=1, suppress_tokens=None,
+        begin_suppress_tokens=None,
+    )
+    hf = WhisperForConditionalGeneration(hf_cfg)
+    hf.eval()
+    cfg = WhisperConfig.from_hf_config(hf_cfg)
+    params = convert_hf_whisper_state_dict(hf.model.state_dict(), cfg)
+    ours = WhisperASR(cfg)
+
+    rng = np.random.default_rng(0)
+    T = 2 * hf_cfg.max_source_positions
+    feats = rng.standard_normal((1, T, hf_cfg.num_mel_bins)).astype(np.float32)
+    ys = np.array([[5, 9, 11, 3]], np.int64)
+    with torch.no_grad():
+        want = hf(
+            input_features=torch.from_numpy(feats).transpose(1, 2),
+            decoder_input_ids=torch.from_numpy(ys),
+        ).logits.numpy()
+
+    enc, enc_lens = ours.apply(
+        {"params": params}, jnp.asarray(feats), jnp.asarray([T]),
+        method=ours.encode,
+    )
+    got = ours.apply(
+        {"params": params}, enc, enc_lens, jnp.asarray(ys, jnp.int32),
+        jnp.asarray([4], jnp.int32), method=ours.decoder_logits,
+    )
+    np.testing.assert_allclose(np.asarray(got), want, atol=3e-4, rtol=1e-3)
+
+    # greedy continuation parity over 5 steps
+    ids = [1]  # decoder start token
+    hf_ids = torch.tensor([ids])
+    for _ in range(5):
+        with torch.no_grad():
+            nxt = hf(
+                input_features=torch.from_numpy(feats).transpose(1, 2),
+                decoder_input_ids=hf_ids,
+            ).logits[0, -1].argmax().item()
+        hf_ids = torch.cat([hf_ids, torch.tensor([[nxt]])], dim=1)
+    ours_ids = list(ids)
+    for _ in range(5):
+        logits = ours.apply(
+            {"params": params}, enc, enc_lens,
+            jnp.asarray([ours_ids], jnp.int32),
+            jnp.asarray([len(ours_ids)], jnp.int32),
+            method=ours.decoder_logits, only_last=True,
+        )
+        ours_ids.append(int(jnp.argmax(logits[0])))
+    assert ours_ids == hf_ids[0].tolist()
