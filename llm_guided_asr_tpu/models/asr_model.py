@@ -51,6 +51,7 @@ class ASRModelConfig:
     normalize: str = "global_mvn"  # global_mvn | utterance_mvn | none
     encoder_type: str = "conformer"  # conformer | transformer
     encoder: ConformerConfig = ConformerConfig()
+    decoder_type: str = "transformer"  # transformer | rnn
     decoder: TransformerDecoderConfig = TransformerDecoderConfig()
     ctc_weight: float = 0.5
     interctc_weight: float = 0.0
@@ -80,9 +81,27 @@ class ASRModel(nn.Module):
 
         self.encoder = make_encoder(cfg.encoder_type, cfg.encoder, self.dtype, name="encoder")
         if cfg.ctc_weight < 1.0:
-            self.decoder = TransformerDecoder(
-                cfg.vocab_size, cfg.decoder, dtype=self.dtype, name="decoder"
-            )
+            if cfg.decoder_type == "rnn":
+                # espnet2/asr/decoder/rnn_decoder.py (--decoder rnn)
+                from llm_guided_asr_tpu.models.rnn_decoder import (
+                    RNNDecoder,
+                    RNNDecoderConfig,
+                )
+
+                self.decoder = RNNDecoder(
+                    RNNDecoderConfig(
+                        vocab_size=cfg.vocab_size,
+                        hidden=cfg.decoder.linear_units,
+                        layers=max(cfg.decoder.num_blocks, 1),
+                        embed_dim=min(cfg.encoder.output_size, 256),
+                        att_dim=cfg.encoder.output_size,
+                    ),
+                    dtype=self.dtype, name="decoder",
+                )
+            else:
+                self.decoder = TransformerDecoder(
+                    cfg.vocab_size, cfg.decoder, dtype=self.dtype, name="decoder"
+                )
         if cfg.ctc_weight > 0.0:
             self.ctc_head = nn.Dense(cfg.vocab_size, dtype=self.dtype, name="ctc_head")
         n_feat = cfg.frontend.n_mels if cfg.frontend is not None else None

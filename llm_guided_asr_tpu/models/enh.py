@@ -304,6 +304,127 @@ def pit_si_snr_loss(
     return -jnp.mean(best_score), perm_arr
 
 
+class TSEExtractor(nn.Module):
+    """Target-speaker extraction (enh/espnet_model_tse.py + extractor/
+    td_speakerbeam_extractor.py analog): an enrollment utterance is encoded
+    into a speaker embedding that conditions the mask estimator
+    (multiplicative FiLM-style fusion per frame)."""
+
+    cfg: EnhConfig
+    dtype: Dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, feat, enroll_feat, enroll_valid, deterministic=True):
+        """([B,T,F] mixture mag, [B,Te,F] enrollment mag) -> [B,T,F] mask."""
+        cfg = self.cfg
+        # speaker embedding: conv stack + masked mean pool
+        e = enroll_feat
+        for i in range(2):
+            e = nn.Conv(cfg.hidden, (3,), padding="SAME", dtype=self.dtype,
+                        name=f"spk_conv_{i}")(e)
+            e = jax.nn.relu(nn.LayerNorm(name=f"spk_ln_{i}")(e))
+            e = jnp.where(enroll_valid[..., None], e, 0.0)
+        denom = jnp.maximum(jnp.sum(enroll_valid, 1, keepdims=True), 1)
+        spk = jnp.sum(e, axis=1) / denom.astype(e.dtype)  # [B, H]
+
+        x = nn.Dense(cfg.hidden, dtype=self.dtype, name="in_proj")(feat)
+        gate = nn.Dense(cfg.hidden, dtype=self.dtype, name="spk_gate")(spk)
+        for i in range(cfg.layers):
+            h = nn.LayerNorm(name=f"ln_{i}")(x)
+            h = nn.Conv(cfg.hidden, (cfg.kernel_size,), kernel_dilation=(2**i,),
+                        padding="SAME", dtype=self.dtype, name=f"conv_{i}")(h)
+            x = x + jax.nn.relu(h) * jax.nn.sigmoid(gate)[:, None, :]
+        mask = nn.Dense(feat.shape[-1], dtype=self.dtype, name="mask")(x)
+        if cfg.mask_nonlinear == "sigmoid":
+            return jax.nn.sigmoid(mask)
+        return jax.nn.relu(mask)
+
+
+class ESPnetTSEModel(nn.Module):
+    """Target-speaker extraction model: mixture + enrollment -> target wav;
+    SI-SNR loss against the target reference (enh/espnet_model_tse.py)."""
+
+    cfg: EnhConfig
+    dtype: Dtype = jnp.float32
+
+    def setup(self):
+        self.extractor = TSEExtractor(self.cfg, dtype=self.dtype, name="extractor")
+
+    def extract(self, speech_mix, speech_lengths, enroll, enroll_lengths,
+                deterministic: bool = True):
+        cfg = self.cfg
+        spec = stft(speech_mix, n_fft=cfg.n_fft, hop_length=cfg.hop_length)
+        espec = stft(enroll, n_fft=cfg.n_fft, hop_length=cfg.hop_length)
+        elens = stft_out_lengths(enroll_lengths, cfg.n_fft, cfg.hop_length)
+        evalid = make_valid_mask(jnp.clip(elens, 0, espec.shape[1]), espec.shape[1])
+        mask = self.extractor(
+            jnp.abs(spec).astype(self.dtype), jnp.abs(espec).astype(self.dtype),
+            evalid, deterministic,
+        )
+        wav = istft(spec * mask.astype(spec.dtype), n_fft=cfg.n_fft,
+                    hop_length=cfg.hop_length, length=speech_mix.shape[1])
+        return wav
+
+    def collect_feats(self, speech_mix, speech_lengths, *a):
+        return {"feats": speech_mix, "feats_lengths": speech_lengths}
+
+    def __call__(self, speech_mix, speech_mix_lengths, enroll, enroll_lengths,
+                 speech_ref, deterministic: bool = True):
+        est = self.extract(speech_mix, speech_mix_lengths, enroll,
+                           enroll_lengths, deterministic)
+        snr = si_snr(speech_ref, est, speech_mix_lengths)
+        loss = -jnp.mean(snr)
+        return loss, {"loss": loss, "si_snr": -loss}, jnp.asarray(
+            speech_mix.shape[0], jnp.float32
+        )
+
+
+class ESPnetEnhS2TModel(nn.Module):
+    """Joint enhancement + ASR (enh/espnet_enh_s2t_model.py): the enh front
+    separates/denoises, the ASR model consumes the estimated waveform; loss =
+    asr_loss + enh_weight * enh_loss (permutation fixed to source 0 like the
+    reference's single-target joint recipe)."""
+
+    enh_cfg: EnhConfig
+    asr_model: Any  # an ASRModel module instance
+    enh_weight: float = 0.1
+    dtype: Dtype = jnp.float32
+
+    def setup(self):
+        self.enh = ESPnetEnhancementModel(self.enh_cfg, dtype=self.dtype, name="enh")
+
+    def collect_feats(self, speech_mix, speech_lengths, *a, **k):
+        return self.asr_model.collect_feats(speech_mix, speech_lengths)
+
+    def encode(self, speech_mix, speech_lengths, deterministic: bool = True):
+        ests, _ = self.enh.separate(speech_mix, speech_lengths, deterministic)
+        return self.asr_model.encode(ests[0], speech_lengths, deterministic)
+
+    def ctc_log_softmax(self, encoder_out):
+        return self.asr_model.ctc_log_softmax(encoder_out)
+
+    def decoder_logits(self, *a, **k):
+        return self.asr_model.decoder_logits(*a, **k)
+
+    def __call__(self, speech_mix, speech_mix_lengths, text, text_lengths,
+                 speech_ref=None, deterministic: bool = True):
+        ests, _ = self.enh.separate(speech_mix, speech_mix_lengths, deterministic)
+        est = ests[0]
+        stats = {}
+        loss_enh = jnp.asarray(0.0)
+        if speech_ref is not None:
+            loss_enh = -jnp.mean(si_snr(speech_ref, est, speech_mix_lengths))
+            stats["loss_enh"] = loss_enh
+        asr_loss, asr_stats, w = self.asr_model(
+            est, speech_mix_lengths, text, text_lengths,
+            deterministic=deterministic,
+        )
+        loss = asr_loss + self.enh_weight * loss_enh
+        stats.update({f"asr_{k}": v for k, v in asr_stats.items()})
+        stats["loss"] = loss
+        return loss, stats, w
+
+
 class ESPnetEnhancementModel(nn.Module):
     """enh/espnet_model.py analog: STFT -> mask -> iSTFT, PIT SI-SNR loss."""
 

@@ -148,6 +148,9 @@ def build_model_config(config: Dict[str, Any]) -> ASRModelConfig:
     encoder = ConformerConfig.from_dict(enc_conf)
 
     dec_conf = dict(config.get("decoder_conf", {}) or {})
+    decoder_type = config.get("decoder", "transformer")
+    if decoder_type not in ("transformer", "rnn"):
+        raise ValueError(f"unknown decoder {decoder_type!r}; known: transformer, rnn")
     decoder = TransformerDecoderConfig.from_dict(dec_conf)
 
     model_conf = dict(config.get("model_conf", {}) or {})
@@ -158,6 +161,7 @@ def build_model_config(config: Dict[str, Any]) -> ASRModelConfig:
         normalize=config.get("normalize") or "none",
         encoder_type=encoder_type,
         encoder=encoder,
+        decoder_type=decoder_type,
         decoder=decoder,
         ctc_weight=float(model_conf.get("ctc_weight", 0.5)),
         interctc_weight=float(model_conf.get("interctc_weight", 0.0)),

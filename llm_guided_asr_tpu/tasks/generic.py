@@ -415,6 +415,61 @@ TASK_BUILDERS: Dict[str, Callable] = {
     "tts2": _build_tts2,
 }
 
+
+def _build_enh_tse(config):
+    """enh_tse task (espnet2/tasks/enh_tse.py): target-speaker extraction."""
+    from llm_guided_asr_tpu.models.enh import EnhConfig, ESPnetTSEModel
+
+    cfg = EnhConfig.from_dict(
+        {**(config.get("model_conf") or {}), "num_spk": 1}
+    )
+    model = ESPnetTSEModel(cfg)
+
+    def adapter(batch):
+        return (
+            batch["speech_mix"], batch["speech_mix_lengths"],
+            batch["enroll"], batch["enroll_lengths"],
+            batch["speech_ref1"],
+        )
+
+    dummy = (
+        jnp.zeros((2, 2000), jnp.float32), jnp.asarray([2000, 1500]),
+        jnp.zeros((2, 1200), jnp.float32), jnp.asarray([1200, 900]),
+        jnp.zeros((2, 2000), jnp.float32),
+    )
+    return model, adapter, dummy
+
+
+def _build_enh_s2t(config):
+    """enh_s2t task (espnet2/tasks/enh_s2t.py): joint enhancement + ASR."""
+    from llm_guided_asr_tpu.models.enh import EnhConfig, ESPnetEnhS2TModel
+    from llm_guided_asr_tpu.tasks.asr import build_model as build_asr_model
+
+    mc = dict(config.get("model_conf", {}) or {})
+    enh_cfg = EnhConfig.from_dict({**(mc.get("enh_conf") or {}), "num_spk": 1})
+    asr = build_asr_model({**config, "model_conf": mc.get("asr_conf") or {}})
+    model = ESPnetEnhS2TModel(
+        enh_cfg, asr, enh_weight=float(mc.get("enh_weight", 0.1))
+    )
+
+    def adapter(batch):
+        return (
+            batch["speech_mix"], batch["speech_mix_lengths"],
+            batch["text"], batch["text_lengths"],
+            batch.get("speech_ref1"),
+        )
+
+    dummy = (
+        jnp.zeros((2, 2000), jnp.float32), jnp.asarray([2000, 1500]),
+        jnp.asarray([[1, 2, -1], [1, -1, -1]], jnp.int32), jnp.asarray([2, 1]),
+        jnp.zeros((2, 2000), jnp.float32),
+    )
+    return model, adapter, dummy
+
+
+TASK_BUILDERS["enh_tse"] = _build_enh_tse
+TASK_BUILDERS["enh_s2t"] = _build_enh_s2t
+
 # GAN-trained tasks (uasr adversarial phone mapping; gan_tts/gan_codec train
 # their discriminators likewise): routed through the two-optimizer loop in
 # train/gan_trainer.py instead of the standard Trainer.

@@ -127,3 +127,51 @@ def test_decode_long(tmp_path):
     long_wav = np.concatenate(wavs * 2)
     out = s2t.decode_long(long_wav, window_s=1.0, hop_s=1.0, separator="")
     assert isinstance(out, str)
+
+
+def test_rnn_decoder_hybrid_model_and_beam():
+    """--decoder rnn (espnet RNNDecoder): trains and beam-decodes."""
+    import jax
+    import jax.numpy as jnp
+    import optax
+
+    from llm_guided_asr_tpu.search.beam_search import BatchBeamSearch
+    from llm_guided_asr_tpu.tasks.asr import build_model
+
+    model = build_model({
+        "token_list": ["<blank>", "<unk>", "a", "b", "<sos/eos>"],
+        "token_type": "char",
+        "frontend_conf": {"n_fft": 256, "hop_length": 128, "n_mels": 20},
+        "normalize": "utterance_mvn",
+        "decoder": "rnn",
+        "encoder_conf": {"output_size": 16, "attention_heads": 2,
+                         "linear_units": 24, "num_blocks": 1,
+                         "use_cnn_module": False},
+        "decoder_conf": {"linear_units": 24, "num_blocks": 1},
+        "model_conf": {"ctc_weight": 0.5},
+    })
+    rng = np.random.default_rng(0)
+    speech = jnp.asarray(0.3 * rng.standard_normal((2, 3000)), jnp.float32)
+    lens = jnp.asarray([3000, 2500])
+    text = jnp.asarray([[2, 3, 2], [3, 2, -1]], jnp.int32)
+    tlens = jnp.asarray([3, 2])
+    variables = model.init(
+        {"params": jax.random.PRNGKey(0), "dropout": jax.random.PRNGKey(1)},
+        speech, lens, text, tlens, deterministic=True,
+    )
+    loss, stats, w = model.apply(variables, speech, lens, text, tlens,
+                                 deterministic=True)
+    assert np.isfinite(float(loss))
+    g = jax.grad(lambda p: model.apply({**variables, "params": p}, speech, lens,
+                                       text, tlens, deterministic=True)[0])(
+        variables["params"]
+    )
+    assert float(optax.global_norm(g)) > 0
+
+    enc, enc_lens = model.apply(variables, speech[:1], lens[:1], method=model.encode)
+    bs = BatchBeamSearch(
+        model, variables, vocab_size=model.cfg.vocab_size,
+        sos=model.cfg.sos_id, eos=model.cfg.eos_id, beam_size=2, ctc_weight=0.3,
+    )
+    hyps = bs(enc, enc_lens, maxlenratio=-5.0)
+    assert hyps and all(np.isfinite(h.score) for h in hyps)
