@@ -342,6 +342,10 @@ def inference(
         for name, val in (hyp.scores or {}).items():
             writer[f"score_{name}"][uid] = str(val)
 
+    import time as _time
+
+    total_audio_s, total_decode_s = 0.0, 0.0
+
     with DatadirWriter(Path(output_dir) / "1best_recog") as writer:
         if batch_size > 1 and not bias_table:
             # batched multi-utterance decode: sort by length so each batch
@@ -352,14 +356,29 @@ def inference(
             uids.sort(key=lambda u: len(wavs[u]))
             for i in range(0, len(uids), batch_size):
                 chunk = uids[i : i + batch_size]
+                t0 = _time.perf_counter()
                 per_utt = s2t.batch_call([wavs[u] for u in chunk])
+                total_decode_s += _time.perf_counter() - t0
+                total_audio_s += sum(len(wavs[u]) for u in chunk) / 16000.0
                 for uid, results in zip(chunk, per_utt):
                     write_result(writer, uid, results)
         else:
             for uid in reader.keys():
                 rate, wav = reader[uid]
+                t0 = _time.perf_counter()
                 results = s2t(wav, biasing_words=bias_table.get(uid))
+                total_decode_s += _time.perf_counter() - t0
+                total_audio_s += len(wav) / float(rate)
                 write_result(writer, uid, results)
+    # decode RTF report (utils/calculate_rtf.py analog; first-call compile
+    # time is included — warm numbers come from bench.py)
+    if total_decode_s > 0:
+        rtf = total_decode_s / max(total_audio_s, 1e-9)
+        (Path(output_dir) / "rtf").write_text(
+            f"decode_s {total_decode_s:.3f}\naudio_s {total_audio_s:.3f}\n"
+            f"RTF {rtf:.4f}\nRTFx {1.0 / max(rtf, 1e-9):.2f}\n"
+        )
+        logger.info(f"decode RTF={rtf:.4f} (RTFx={1.0 / max(rtf, 1e-9):.1f})")
     logger.info(f"decoded {len(reader)} utterances -> {output_dir}")
 
 

@@ -206,3 +206,68 @@ def maskctc_decode(
     pred = jnp.argmax(logits[..., : model.cfg.vocab_size], axis=-1)
     ys = jnp.where(ys == model.mask_id, pred, ys)
     return ys, n_tok
+
+
+def partially_ar_decode(
+    model: MaskCTCModel,
+    variables: Dict,
+    enc: jnp.ndarray,  # [1, T, D]
+    enc_lens: jnp.ndarray,
+    threshold: float = 0.999,
+    beam_size: int = 5,
+) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """Partially autoregressive decoding (espnet/nets/
+    beam_search_partially_AR.py + espnet2/asr/partially_AR_model.py):
+    greedy CTC fixes the high-confidence tokens; the low-confidence
+    (masked) positions are decoded LEFT-TO-RIGHT with a beam over the MLM
+    decoder, each choice conditioning later masked positions — instead of
+    maskctc's order-free argmax refill.  One jitted scan over positions,
+    beam and vocab axes vectorized.  Returns (tokens [1, U], n_tok)."""
+    logp = model.apply(variables, enc, method=model.ctc_log_softmax)
+    tokens, n_tok = ctc_greedy_decode(logp, enc_lens, blank_id=model.cfg.blank_id)
+
+    probs = jnp.exp(logp)
+    frame_best = jnp.max(probs, axis=-1)
+    y = jnp.argmax(logp, axis=-1)
+    prev = jnp.concatenate([jnp.full_like(y[:, :1], -1), y[:, :-1]], axis=1)
+    frames_valid = make_valid_mask(enc_lens, y.shape[1])
+    keep = (y != model.cfg.blank_id) & (y != prev) & frames_valid
+    pos = jnp.cumsum(keep.astype(jnp.int32), axis=1) - 1
+    pos = jnp.where(keep, pos, y.shape[1])
+    conf = jnp.ones_like(tokens, jnp.float32)
+    conf = conf.at[jnp.arange(y.shape[0])[:, None], pos].min(
+        jnp.where(keep, frame_best, 1.0), mode="drop"
+    )
+    u = tokens.shape[1]
+    tok_valid = jnp.arange(u)[None, :] < n_tok[:, None]
+    masked0 = ((conf < threshold) & tok_valid)[0]  # [U]
+    ys0 = jnp.where(masked0, model.mask_id, tokens[0])  # [U]
+
+    K = beam_size
+    V = model.cfg.vocab_size
+    beam_ys = jnp.broadcast_to(ys0, (K, u))
+    beam_score = jnp.where(jnp.arange(K) == 0, 0.0, -1.0e10)
+    enc_k = jnp.broadcast_to(enc[0], (K,) + enc.shape[1:])
+    lens_k = jnp.full((K,), n_tok[0], jnp.int32)
+
+    def step(carry, p):
+        beam_ys, beam_score = carry
+        logits = model.apply(
+            variables, enc_k, lens_k, beam_ys, lens_k, method=model.mlm_logits
+        )[:, p, :V]  # [K, V]
+        lp = jax.nn.log_softmax(logits.astype(jnp.float32), axis=-1)
+        cand = beam_score[:, None] + lp  # [K, V]
+        top, idx = jax.lax.top_k(cand.reshape(-1), K)
+        src, tok = idx // V, idx % V
+        new_ys = beam_ys[src].at[:, p].set(tok)
+        # unmasked positions: identity (keep beams and scores)
+        is_masked = masked0[p]
+        beam_ys = jnp.where(is_masked, new_ys, beam_ys)
+        beam_score = jnp.where(is_masked, top, beam_score)
+        return (beam_ys, beam_score), None
+
+    (beam_ys, beam_score), _ = jax.lax.scan(
+        step, (beam_ys, beam_score), jnp.arange(u)
+    )
+    best = jnp.argmax(beam_score)
+    return beam_ys[best][None], n_tok

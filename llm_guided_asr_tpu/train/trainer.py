@@ -457,25 +457,46 @@ class Trainer:
         # sync (the reference likewise only materializes at log_interval).
         stat_acc = DeviceStatAccumulator()
         t0 = time.perf_counter()
+        # phase timing (SubReporter.measure_time forward/backward/optim,
+        # reporter.py:255): under XLA, forward+backward are ONE fused graph,
+        # so the measurable phases are grad (fwd+bwd), optim, and data-iter.
+        # Timing every step would force a device sync per step; probe one
+        # synchronized step per log interval instead.
+        phase_times = {}
+        t_iter = time.perf_counter()
         for it, batch in enumerate(iterator):
+            iter_time = time.perf_counter() - t_iter
             it_rng = jax.random.fold_in(rng, it)
             batch = {k: v for k, v in batch.items() if not k.startswith("_")}
             if mesh is not None:
                 batch = shard_batch_padded(batch, mesh)
+            probe = (it + 1) % options.log_interval == 0
+            if probe:
+                jax.block_until_ready(params)
+                tg = time.perf_counter()
             grads, extra, stats, weight = grad_step(params, extra, batch, it_rng)
+            if probe:
+                jax.block_until_ready(grads)
+                phase_times["grad_time"] = time.perf_counter() - tg
             acc_grads = grads if acc_grads is None else accum_add(acc_grads, grads)
             n_acc += 1
             if n_acc == options.accum_grad:
+                if probe:
+                    to = time.perf_counter()
                 params, opt_state = apply_step(params, opt_state, acc_grads)
+                if probe:
+                    jax.block_until_ready(params)
+                    phase_times["optim_step_time"] = time.perf_counter() - to
                 acc_grads, n_acc = None, 0
                 step += 1
             stat_acc.add(stats, weight)
-            if (it + 1) % options.log_interval == 0:
+            if probe:
                 flushed = stat_acc.flush()
                 if flushed is not None:
                     means, w = flushed
-                    sub.register(means, w)
+                    sub.register({**means, **phase_times, "iter_time": iter_time}, w)
                     sub.log_interval(1, extra=f"(iter {it + 1}, step {step})")
+            t_iter = time.perf_counter()
         if acc_grads is not None and n_acc > 0:
             params, opt_state = apply_step(params, opt_state, acc_grads)
             step += 1

@@ -45,3 +45,47 @@ def test_wer_cer():
     assert wer(["a b c"], ["a b c"]) == 0.0
     assert wer(["a b c"], ["a x c"]) == 100.0 / 3
     assert cer(["abc"], ["ab"]) == 100.0 / 3
+
+
+def test_timesync_ctc_beam_search():
+    """Frame-synchronous CTC beam search (beam_search_timesync analog):
+    recovers the dominant collapsed sequence and sums path probabilities
+    (beats greedy on a merge-heavy table)."""
+    import jax
+    import jax.numpy as jnp
+
+    from llm_guided_asr_tpu.search.timesync import CTCBeamSearchTimesync
+
+    V = 5  # 0=blank
+    # frames: 'a a _ b' dominant, with some mass spread
+    probs = np.full((6, V), 0.02, np.float32)
+    probs[0, 1] = 0.9
+    probs[1, 1] = 0.8
+    probs[2, 0] = 0.9
+    probs[3, 2] = 0.7
+    probs[3, 3] = 0.25  # competing token keeps the beam honest
+    probs[4, 0] = 0.9
+    probs[5, 0] = 0.9
+    probs /= probs.sum(-1, keepdims=True)
+    logp = np.log(probs)
+
+    class Stub:
+        def apply(self, variables, enc, method=None, **kw):
+            return jnp.asarray(logp)[None]
+
+        def ctc_log_softmax(self, x):  # method identity only
+            pass
+
+    stub = Stub()
+    bs = CTCBeamSearchTimesync(
+        stub, {}, vocab_size=V, sos=V - 1, eos=V - 1, beam_size=4,
+        blank_id=0, ctc_weight=1.0, att_weight=0.0,
+    )
+    enc = jnp.zeros((1, 6, 3))
+    hyps = bs(enc, jnp.asarray([6]), nbest=3)
+    assert hyps[0].yseq == [1, 2], hyps
+    # scores are proper log path-sums: best < 0 and ranked
+    assert hyps[0].score < 0
+    assert all(hyps[i].score >= hyps[i + 1].score for i in range(len(hyps) - 1))
+    # the [1, 3] alternative should appear in the n-best
+    assert any(h.yseq == [1, 3] for h in hyps)

@@ -166,3 +166,44 @@ def test_streaming_speech2text_partial_then_final(tmp_path):
     final_text = partials[-1][0][0]
     offline_text = offline(wav)[0][0]
     assert final_text == offline_text
+
+
+def test_partially_ar_decode_matches_or_beats_maskctc():
+    """Partially-AR span decoding runs and fills every mask; scores finite."""
+    from llm_guided_asr_tpu.models.maskctc import (
+        MaskCTCModel,
+        maskctc_decode,
+        partially_ar_decode,
+    )
+    from llm_guided_asr_tpu.ops.frontend import FrontendConfig
+    from llm_guided_asr_tpu.models.transformer_decoder import TransformerDecoderConfig
+
+    cfg = ASRModelConfig(
+        vocab_size=10,
+        frontend=FrontendConfig(n_fft=128, hop_length=64, n_mels=20),
+        normalize="utterance_mvn",
+        encoder=enc_cfg(input_layer="conv2d"),
+        decoder=TransformerDecoderConfig(attention_heads=2, linear_units=24,
+                                         num_blocks=1, dropout_rate=0.0),
+        ctc_weight=0.3,
+    )
+    model = MaskCTCModel(cfg)
+    rng = np.random.default_rng(0)
+    speech = jnp.asarray(rng.standard_normal((1, 1600)), jnp.float32)
+    slens = jnp.asarray([1600])
+    text = jnp.asarray([[1, 2, 3]], jnp.int32)
+    tlens = jnp.asarray([3])
+    variables = model.init(
+        {"params": jax.random.PRNGKey(0), "dropout": jax.random.PRNGKey(1)},
+        speech, slens, text, tlens, deterministic=True,
+    )
+    enc, enc_lens = model.apply(variables, speech, slens, method=model.encode)
+    toks, n = partially_ar_decode(model, variables, enc, enc_lens,
+                                  threshold=0.99, beam_size=3)
+    assert toks.shape[0] == 1
+    out = np.asarray(toks)[0, : int(n[0])]
+    assert np.all(out != model.mask_id)  # every mask filled
+    assert np.all((out >= 0) & (out < cfg.vocab_size))
+    # same CTC skeleton as maskctc_decode where confident
+    toks2, n2 = maskctc_decode(model, variables, enc, enc_lens, threshold=0.99)
+    assert int(n2[0]) == int(n[0])
