@@ -81,7 +81,25 @@ class ASRModel(nn.Module):
 
         self.encoder = make_encoder(cfg.encoder_type, cfg.encoder, self.dtype, name="encoder")
         if cfg.ctc_weight < 1.0:
-            if cfg.decoder_type == "rnn":
+            if cfg.decoder_type == "s4":
+                # espnet2/asr/decoder/s4_decoder.py (--decoder s4)
+                from llm_guided_asr_tpu.models.s4_decoder import (
+                    S4Decoder,
+                    S4DecoderConfig,
+                )
+
+                self.decoder = S4Decoder(
+                    S4DecoderConfig(
+                        vocab_size=cfg.vocab_size,
+                        d_model=cfg.encoder.output_size,
+                        n_layers=max(cfg.decoder.num_blocks, 1),
+                        attention_heads=cfg.decoder.attention_heads,
+                        linear_units=cfg.decoder.linear_units,
+                        dropout_rate=cfg.decoder.dropout_rate,
+                    ),
+                    dtype=self.dtype, name="decoder",
+                )
+            elif cfg.decoder_type == "rnn":
                 # espnet2/asr/decoder/rnn_decoder.py (--decoder rnn)
                 from llm_guided_asr_tpu.models.rnn_decoder import (
                     RNNDecoder,

@@ -149,8 +149,10 @@ def build_model_config(config: Dict[str, Any]) -> ASRModelConfig:
 
     dec_conf = dict(config.get("decoder_conf", {}) or {})
     decoder_type = config.get("decoder", "transformer")
-    if decoder_type not in ("transformer", "rnn"):
-        raise ValueError(f"unknown decoder {decoder_type!r}; known: transformer, rnn")
+    if decoder_type not in ("transformer", "rnn", "s4"):
+        raise ValueError(
+            f"unknown decoder {decoder_type!r}; known: transformer, rnn, s4"
+        )
     decoder = TransformerDecoderConfig.from_dict(dec_conf)
 
     model_conf = dict(config.get("model_conf", {}) or {})
