@@ -50,6 +50,9 @@ class VITSConfig:
     hop_length: int = 128
     fs: int = 16000
     n_mels: int = 40
+    # gan_svs (VISinger, espnet2/gan_svs/vits/): midi-note conditioning added
+    # to the text encoder; None = plain TTS
+    n_midi: Optional[int] = None
     hifigan: HiFiGANConfig = HiFiGANConfig(
         n_mels=64, channels=64, upsample_rates=(8, 8, 2),
         upsample_kernels=(16, 16, 4), periods=(2, 3), scales=2,
@@ -62,11 +65,15 @@ class VITSTextEncoder(nn.Module):
     dtype: Dtype = jnp.float32
 
     @nn.compact
-    def __call__(self, text, text_lengths, deterministic=True):
+    def __call__(self, text, text_lengths, deterministic=True, midi=None):
         cfg = self.cfg
         x = nn.Embed(cfg.vocab_size, cfg.hidden, dtype=self.dtype, name="embed")(
             jnp.clip(text, 0, cfg.vocab_size - 1)
         ) * math.sqrt(cfg.hidden)
+        if cfg.n_midi is not None and midi is not None:
+            # VISinger: note-pitch embedding summed into the phone encoding
+            x = x + nn.Embed(cfg.n_midi, cfg.hidden, dtype=self.dtype,
+                             name="midi_embed")(jnp.clip(midi, 0, cfg.n_midi - 1))
         x = PositionalEncoding(0.1, dtype=self.dtype, name="pos")(x, deterministic)
         valid = make_valid_mask(text_lengths, text.shape[1])
         for i in range(cfg.text_layers):
@@ -158,10 +165,11 @@ class VITSGenerator(nn.Module):
         spec: jnp.ndarray,  # [B, T, spec_channels] magnitude spectrogram
         spec_lengths: jnp.ndarray,
         seg_rng: jax.Array,
+        midi: Optional[jnp.ndarray] = None,
     ):
         """Training forward -> (wav_seg_hat, seg_start_frames, aux losses)."""
         cfg = self.cfg
-        h_text, m_p, logs_p, t_valid = self.text_enc(text, text_lengths)
+        h_text, m_p, logs_p, t_valid = self.text_enc(text, text_lengths, midi=midi)
         s_valid = make_valid_mask(spec_lengths, spec.shape[1])
         m_q, logs_q = self.posterior(spec, s_valid)
         eps = jax.random.normal(jax.random.fold_in(seg_rng, 1), m_q.shape)
@@ -214,13 +222,13 @@ class VITSGenerator(nn.Module):
     def inference(
         self, text: jnp.ndarray, text_lengths: jnp.ndarray,
         noise_scale: float = 0.667, max_frames: int = 400,
-        rng: Optional[jax.Array] = None,
+        rng: Optional[jax.Array] = None, midi: Optional[jnp.ndarray] = None,
     ) -> Tuple[jnp.ndarray, jnp.ndarray]:
         """text -> (waveform [B, N], frame lengths)."""
         from llm_guided_asr_tpu.models.tts import length_regulate
 
         cfg = self.cfg
-        h_text, m_p, logs_p, t_valid = self.text_enc(text, text_lengths, True)
+        h_text, m_p, logs_p, t_valid = self.text_enc(text, text_lengths, True, midi=midi)
         log_dur = self.dur_proj(h_text)[..., 0]
         durations = jnp.where(
             t_valid, jnp.round(jnp.exp(log_dur) - 1.0), 0.0
@@ -268,6 +276,7 @@ def make_vits_loss_fns(
         wav_hat, starts, aux = gen.apply(
             {"params": g_params}, batch["text"], batch["text_lengths"],
             batch["spec"], batch["spec_lengths"], rng,
+            midi=batch.get("midi"),
         )
         wav_real = jax.vmap(
             lambda w, s: jax.lax.dynamic_slice_in_dim(w, s * hop, seg * hop, axis=0)

@@ -301,3 +301,38 @@ def default_frontend(
     olens = jnp.clip(olens, 0, feats.shape[1])
     feats = mask_fill(feats, make_valid_mask(olens, feats.shape[1]))
     return feats, olens
+
+
+def whisper_frontend(
+    speech: jnp.ndarray,  # [B, S] 16 kHz
+    speech_lengths: jnp.ndarray,
+    n_mels: int = 80,
+    chunk_seconds: float = 30.0,
+    fs: int = 16000,
+) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """Whisper's log-mel convention (asr/frontend/whisper.py WhisperFrontend):
+    n_fft 400, hop 160, slaney mel, log10 with dynamic-range clamp to 8 dB
+    below the max, then (x + 4) / 4; audio padded/trimmed to 30 s."""
+    n_fft, hop = 400, 160
+    target = int(chunk_seconds * fs)
+    b, s = speech.shape
+    if s < target:
+        speech = jnp.pad(speech, ((0, 0), (0, target - s)))
+    else:
+        speech = speech[:, :target]
+    spec = stft(speech.astype(jnp.float32), n_fft=n_fft, hop_length=hop,
+                center=True, window="hann")
+    # whisper drops the final frame
+    spec = spec[:, :-1]
+    power = jnp.real(spec) ** 2 + jnp.imag(spec) ** 2
+    melmat = jnp.asarray(mel_filterbank(fs, n_fft, n_mels, 0.0, None, htk=False))
+    mel = jnp.maximum(power @ melmat, 1e-10)
+    log_spec = jnp.log10(mel)
+    log_spec = jnp.maximum(
+        log_spec, jnp.max(log_spec, axis=(1, 2), keepdims=True) - 8.0
+    )
+    feats = (log_spec + 4.0) / 4.0
+    olens = jnp.clip(
+        jnp.minimum(speech_lengths, target) // hop, 0, feats.shape[1]
+    )
+    return feats, jnp.full_like(olens, feats.shape[1])

@@ -604,6 +604,69 @@ def _build_gan_tts(config):
 GAN_TASK_BUILDERS["gan_tts"] = _build_gan_tts
 
 
+def _build_gan_svs(config):
+    """gan_svs task (espnet2/tasks/gan_svs.py, VISinger): midi-conditioned
+    VITS generator + HiFiGAN discriminator."""
+    import optax
+
+    from llm_guided_asr_tpu.models.hifigan import HiFiGANDiscriminator
+    from llm_guided_asr_tpu.models.vits import (
+        VITSConfig,
+        VITSGenerator,
+        make_vits_loss_fns,
+    )
+    from llm_guided_asr_tpu.ops.frontend import stft, stft_out_lengths
+
+    mc = dict(config.get("model_conf", {}) or {})
+    vocab = (
+        len(read_token_list(config["token_list"]))
+        if config.get("token_list")
+        else int(mc.get("vocab_size", 100))
+    )
+    n_fft = int(mc.get("n_fft", 256))
+    hop = int(mc.get("hop_length", 128))
+    cfg = VITSConfig(
+        vocab_size=vocab,
+        spec_channels=n_fft // 2 + 1,
+        hidden=int(mc.get("hidden", 64)),
+        text_layers=int(mc.get("text_layers", 2)),
+        text_heads=int(mc.get("text_heads", 2)),
+        text_ffn=int(mc.get("text_ffn", 128)),
+        posterior_layers=int(mc.get("posterior_layers", 3)),
+        flow_layers=int(mc.get("flow_layers", 2)),
+        segment_frames=int(mc.get("segment_frames", 16)),
+        n_fft=n_fft,
+        hop_length=hop,
+        n_mels=int(mc.get("n_mels", 40)),
+        n_midi=int(mc.get("n_midi", 129)),
+    )
+    gen = VITSGenerator(cfg)
+    disc = HiFiGANDiscriminator(cfg.hifigan)
+    g_raw, d_raw = make_vits_loss_fns(gen, disc, cfg)
+
+    def with_spec(batch):
+        spec = jnp.abs(stft(batch["speech"], n_fft=n_fft, hop_length=hop))
+        spec_lens = stft_out_lengths(batch["speech_lengths"], n_fft, hop)
+        return {**batch, "spec": spec,
+                "spec_lengths": jnp.clip(spec_lens, 0, spec.shape[1]),
+                "midi": jnp.maximum(batch["midi"], 0)}
+
+    g_loss_fn = lambda gp, dp, b, r: g_raw(gp, dp, with_spec(b), r)
+    d_loss_fn = lambda dp, gp, b, r: d_raw(dp, gp, with_spec(b), r)
+    g_dummy = (
+        jnp.ones((2, 4), jnp.int32), jnp.asarray([4, 3]),
+        jnp.zeros((2, cfg.segment_frames * 2, cfg.spec_channels), jnp.float32),
+        jnp.asarray([cfg.segment_frames * 2] * 2),
+        jax.random.PRNGKey(0),
+        jnp.ones((2, 4), jnp.int32),
+    )
+    d_dummy = (jnp.zeros((2, cfg.segment_frames * hop), jnp.float32),)
+    return gen, disc, g_loss_fn, d_loss_fn, g_dummy, d_dummy
+
+
+GAN_TASK_BUILDERS["gan_svs"] = _build_gan_svs
+
+
 class GenericTask:
     defaults = GENERIC_DEFAULTS
 

@@ -231,3 +231,42 @@ def test_whisper_full_model_parity_and_decode():
         )
         ours_ids.append(int(jnp.argmax(logits[0])))
     assert ours_ids == hf_ids[0].tolist()
+
+
+def test_whisper_inference_prompt_seeded_beam():
+    """WhisperSpeech2Text: prompt-seeded CTC-less beam decode over a tiny
+    random Whisper; output is token ids past the prompt, ending cleanly."""
+    from transformers import WhisperConfig as HFWhisperConfig
+    from transformers import WhisperModel
+
+    import jax
+
+    from llm_guided_asr_tpu.bin.whisper_inference import WhisperSpeech2Text
+    from llm_guided_asr_tpu.models.whisper import (
+        WhisperASR,
+        WhisperConfig,
+        convert_hf_whisper_state_dict,
+    )
+
+    hf_cfg = HFWhisperConfig(
+        vocab_size=50, d_model=32, encoder_layers=1, encoder_attention_heads=2,
+        encoder_ffn_dim=48, decoder_layers=1, decoder_attention_heads=2,
+        decoder_ffn_dim=48, num_mel_bins=80, max_source_positions=1500,
+        max_target_positions=64, pad_token_id=0, bos_token_id=1,
+        eos_token_id=2, decoder_start_token_id=1, suppress_tokens=None,
+        begin_suppress_tokens=None,
+    )
+    hf = WhisperModel(hf_cfg)
+    cfg = WhisperConfig.from_hf_config(hf_cfg)
+    params = convert_hf_whisper_state_dict(hf.state_dict(), cfg)
+    model = WhisperASR(cfg)
+    s2t = WhisperSpeech2Text(
+        beam_size=3, maxlenratio=-8.0,
+        _preloaded=(model, {"params": params}, None, [1, 3], 2),
+    )
+    wav = np.sin(np.linspace(0, 100, 16000, dtype=np.float32)) * 0.3
+    ids = s2t(wav)
+    assert isinstance(ids, list)
+    assert all(0 <= i < 50 for i in ids)
+    assert 1 not in ids and 3 not in ids and 2 not in ids  # prompt/eot stripped
+    assert len(ids) <= 8
