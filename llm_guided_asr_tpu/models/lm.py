@@ -165,3 +165,32 @@ def make_lm_score_fn(lm_model, lm_variables):
         return jax.nn.log_softmax(last.astype(jnp.float32), axis=-1)
 
     return score
+
+
+def lm_rescore_nbest(
+    hyps,  # List[Hypothesis] with .yseq (incl. sos/eos) and .score
+    lm_model,
+    lm_variables,
+    weight: float = 0.5,
+    sos: int = 0,
+    eos: int = 0,
+):
+    """Neural-LM n-best rescoring (espnet2/fst/lm_rescore.py:nbest analog,
+    without the k2 lattice machinery): total = beam score + weight * LM
+    log-prob of the hypothesis; returns hyps re-sorted by the new total."""
+    import numpy as np
+
+    nll_fn = jax.jit(lambda t, l: lm_model.apply(lm_variables, t, l, method=lm_model.nll))
+    rescored = []
+    for h in hyps:
+        # the LM's nll wraps with its own <sos>/<eos>; strip the search's
+        ids = [i for i in h.yseq if i not in (sos, eos)]
+        arr = jnp.asarray([ids or [0]], jnp.int32)
+        lens = jnp.asarray([max(len(ids), 1)], jnp.int32)
+        nll, ntok = nll_fn(arr, lens)
+        lm_lp = -float(np.asarray(nll).sum())
+        total = h.score + weight * lm_lp
+        rescored.append(
+            h._replace(score=total, scores={**h.scores, "lm_rescore": lm_lp})
+        )
+    return sorted(rescored, key=lambda h: -h.score)

@@ -128,3 +128,60 @@ def test_shallow_fusion_changes_beam_scores(lm_exp, tmp_path):
     )(enc, enc_lens, nbest=1)
     assert np.isfinite(no_lm[0].score) and np.isfinite(with_lm[0].score)
     assert no_lm[0].score != with_lm[0].score
+
+
+def test_lm_nbest_rescoring_reorders():
+    """lm_rescore_nbest (fst/lm_rescore.py analog): an LM trained on 'abab'
+    patterns promotes the pattern-consistent hypothesis."""
+    import optax
+
+    from llm_guided_asr_tpu.models.lm import (
+        ESPnetLanguageModel,
+        TransformerLM,
+        TransformerLMConfig,
+        lm_rescore_nbest,
+    )
+    from llm_guided_asr_tpu.search.beam_search import Hypothesis
+
+    V = 6  # 0 pad, 1-4 tokens, 5 sos/eos
+    lm = ESPnetLanguageModel(
+        TransformerLM(TransformerLMConfig(vocab_size=V, att_unit=32, head=2,
+                                          unit=64, layer=1, dropout_rate=0.0)),
+        vocab_size=V,
+    )
+    rng = np.random.default_rng(0)
+    # corpus: alternating 1 2 1 2 ...
+    seqs = [[1, 2] * k for k in (2, 3, 2, 3, 2)]
+    maxlen = max(len(s) for s in seqs)
+    text = np.full((len(seqs), maxlen), -1, np.int64)
+    for i, s in enumerate(seqs):
+        text[i, : len(s)] = s
+    lens = np.array([len(s) for s in seqs])
+    variables = lm.init(
+        {"params": jax.random.PRNGKey(0), "dropout": jax.random.PRNGKey(1)},
+        jnp.asarray(text), jnp.asarray(lens), deterministic=True,
+    )
+    tx = optax.adam(5e-3)
+    params = variables["params"]
+    opt = tx.init(params)
+
+    @jax.jit
+    def step(params, opt):
+        (loss, _), g = jax.value_and_grad(
+            lambda p: lm.apply({"params": p}, jnp.asarray(text), jnp.asarray(lens),
+                               deterministic=True)[:2],
+            has_aux=True,
+        )(params)
+        up, opt = tx.update(g, opt, params)
+        return optax.apply_updates(params, up), opt, loss
+
+    for _ in range(150):
+        params, opt, _ = step(params, opt)
+
+    hyps = [
+        Hypothesis(yseq=[5, 1, 3, 1, 3, 5], score=-1.0, scores={}),  # off-pattern, better beam score
+        Hypothesis(yseq=[5, 1, 2, 1, 2, 5], score=-1.5, scores={}),  # on-pattern
+    ]
+    out = lm_rescore_nbest(hyps, lm, {"params": params}, weight=2.0, sos=5, eos=5)
+    assert out[0].yseq == [5, 1, 2, 1, 2, 5], [h.scores for h in out]
+    assert "lm_rescore" in out[0].scores
