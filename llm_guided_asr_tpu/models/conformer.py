@@ -300,6 +300,8 @@ def make_encoder(encoder_type: str, cfg: "ConformerConfig", dtype=jnp.float32, n
         )
     if encoder_type == "whisper_style":
         return WhisperStyleEncoder(cfg, dtype=dtype, name=name)
+    if encoder_type == "longformer":
+        return LongformerEncoder(cfg, dtype=dtype, name=name)
     if encoder_type in ("wav2vec2_hf", "hubert_hf", "whisper_hf"):
         # pretrained-import encoders (VERDICT missing #6): architecture comes
         # from the HF config at cfg.model_name_or_path; weights are injected
@@ -323,6 +325,55 @@ def make_encoder(encoder_type: str, cfg: "ConformerConfig", dtype=jnp.float32, n
         )
         return SSLEncoderWrapper(kind, ssl_cfg, cfg.output_size, dtype=dtype, name=name)
     raise ValueError(f"unknown encoder type {encoder_type!r}")
+
+
+class LongformerEncoder(nn.Module):
+    """Sliding-window self-attention encoder (espnet2/asr/encoder/
+    longformer_encoder.py): each frame attends only frames within
+    ``attention_window`` on each side, bounding the receptive field for
+    long-form audio.  Implemented as a banded attention mask over the dense
+    attention kernel — numerically identical to the blocked formulation; a
+    Pallas block-sparse kernel is the drop-in upgrade when T grows past what
+    dense T x T tolerates."""
+
+    cfg: "ConformerConfig"
+    dtype: Any = jnp.float32
+    attention_window: int = 64  # frames each side (post-subsampling)
+
+    @nn.compact
+    def __call__(self, feats, feats_lengths, deterministic: bool = True):
+        from llm_guided_asr_tpu.models.transformer import (
+            Conv2dSubsampling,
+            PositionalEncoding,
+            TransformerEncoderLayer,
+            sub4_lengths,
+        )
+
+        cfg = self.cfg
+        if cfg.input_layer == "conv2d":
+            x = Conv2dSubsampling(cfg.output_size, dtype=self.dtype, name="embed")(feats)
+            out_lengths = sub4_lengths(feats_lengths, feats.shape[1])
+        else:
+            x = nn.Dense(cfg.output_size, dtype=self.dtype, name="embed")(feats)
+            out_lengths = feats_lengths
+        x = PositionalEncoding(cfg.positional_dropout_rate, dtype=self.dtype,
+                               name="pos_enc")(x, deterministic)
+        t = x.shape[1]
+        valid = make_valid_mask(out_lengths, t)
+        pos = jnp.arange(t)
+        band = jnp.abs(pos[:, None] - pos[None, :]) <= self.attention_window
+        mask = valid[:, None, :] & band[None, :, :]
+        for i in range(cfg.num_blocks):
+            x = TransformerEncoderLayer(
+                cfg.attention_heads, cfg.linear_units, cfg.dropout_rate,
+                cfg.attention_dropout_rate, dtype=self.dtype, name=f"block_{i}",
+            )(x, mask, deterministic)
+        if cfg.normalize_before:
+            from llm_guided_asr_tpu.models.transformer import LayerNorm
+
+            x = LayerNorm(dtype=self.dtype, name="after_norm")(x)
+        x = jnp.where(valid[..., None], x, 0.0)
+        return x, out_lengths
 
 
 class WhisperStyleEncoder(nn.Module):

@@ -140,7 +140,7 @@ def build_model_config(config: Dict[str, Any]) -> ASRModelConfig:
     encoder_type = config.get("encoder", "conformer")
     known_encoders = (
         "conformer", "transformer", "e_branchformer", "branchformer",
-        "contextual_block_conformer", "whisper_style",
+        "contextual_block_conformer", "whisper_style", "longformer",
         "wav2vec2_hf", "hubert_hf", "whisper_hf",
     )
     if encoder_type not in known_encoders:

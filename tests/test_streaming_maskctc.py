@@ -207,3 +207,26 @@ def test_partially_ar_decode_matches_or_beats_maskctc():
     # same CTC skeleton as maskctc_decode where confident
     toks2, n2 = maskctc_decode(model, variables, enc, enc_lens, threshold=0.99)
     assert int(n2[0]) == int(n[0])
+
+
+def test_longformer_window_locality():
+    """Longformer: frames outside the attention window cannot influence a
+    frame's output (1 layer); inside the window they do."""
+    rng = np.random.default_rng(0)
+    feats = jnp.asarray(rng.standard_normal((1, 60, 20)), jnp.float32)
+    lens = jnp.asarray([60])
+    cfg = enc_cfg(num_blocks=1)
+    from llm_guided_asr_tpu.models.conformer import LongformerEncoder
+
+    model = LongformerEncoder(cfg, attention_window=5, name="enc")
+    variables = model.init(
+        {"params": jax.random.PRNGKey(0), "dropout": jax.random.PRNGKey(1)},
+        feats, lens, deterministic=True,
+    )
+    out1, _ = model.apply(variables, feats, lens, deterministic=True)
+    feats2 = feats.at[:, 40:].add(5.0)
+    out2, _ = model.apply(variables, feats2, lens, deterministic=True)
+    # frames < 35 are > window away from every perturbed frame
+    np.testing.assert_allclose(np.asarray(out1)[:, :35], np.asarray(out2)[:, :35],
+                               atol=1e-5)
+    assert not np.allclose(np.asarray(out1)[:, 36:], np.asarray(out2)[:, 36:])
