@@ -121,6 +121,12 @@ class CodecModel(nn.Module):
             q = q + book[codes[..., qi]]
         return self._decode_conv(q.astype(self.dtype))
 
+    def reconstruct(self, speech: jnp.ndarray):
+        """[B, N] -> (recon [B, N'], vq_loss) — the GAN generator forward."""
+        z = self._encode_conv(speech)
+        q, _, vq_loss = self.rvq(z)
+        return self._decode_conv(q), vq_loss
+
     def __call__(
         self, speech: jnp.ndarray, speech_lengths=None, deterministic: bool = True
     ) -> Tuple[jnp.ndarray, Dict[str, jnp.ndarray], jnp.ndarray]:
@@ -136,3 +142,57 @@ class CodecModel(nn.Module):
         loss = l1 + mel + self.cfg.commitment_weight * vq_loss
         stats = {"loss": loss, "l1": l1, "mel_l1": mel, "vq": vq_loss}
         return loss, stats, jnp.asarray(speech.shape[0], jnp.float32)
+
+
+def make_codec_gan_loss_fns(
+    codec: CodecModel,
+    disc,
+    lambda_fm: float = 2.0,
+    lambda_mel: float = 45.0,
+    lambda_l1: float = 1.0,
+):
+    """(g_loss_fn, d_loss_fn) for train/gan_trainer.make_gan_steps.
+
+    The gan_codec training phase (espnet2/gan_codec/: SoundStream/Encodec-style
+    adversarial fine-tune): generator = encoder+RVQ+decoder reconstruction,
+    discriminator = HiFiGAN multi-scale/period stack; generator loss adds
+    LSGAN adversarial + feature-matching terms to the reconstruction + VQ
+    objective.  batch: {speech [B, N], speech_lengths}.
+    """
+    from llm_guided_asr_tpu.models.hifigan import (
+        feature_matching_loss,
+        lsgan_d_loss,
+        lsgan_g_loss,
+        mel_l1_loss,
+    )
+
+    def _forward(g_params, batch):
+        recon, vq_loss = codec.apply(
+            {"params": g_params}, batch["speech"], method=codec.reconstruct
+        )
+        n = min(recon.shape[1], batch["speech"].shape[1])
+        return recon[:, :n], batch["speech"][:, :n], vq_loss
+
+    def g_loss_fn(g_params, d_params, batch, rng):
+        wav_hat, wav_real, vq_loss = _forward(g_params, batch)
+        fake_scores, fake_fmaps = disc.apply({"params": d_params}, wav_hat)
+        _, real_fmaps = disc.apply({"params": d_params}, wav_real)
+        adv = lsgan_g_loss(fake_scores)
+        fm = feature_matching_loss(real_fmaps, fake_fmaps)
+        l1 = jnp.mean(jnp.abs(wav_hat - wav_real))
+        mel = mel_l1_loss(wav_real, wav_hat, n_fft=256, hop_length=128, n_mels=40)
+        loss = (
+            adv + lambda_fm * fm + lambda_mel * mel + lambda_l1 * l1
+            + codec.cfg.commitment_weight * vq_loss
+        )
+        return loss, {"adv": adv, "fm": fm, "mel": mel, "l1": l1, "vq": vq_loss}
+
+    def d_loss_fn(d_params, g_params, batch, rng):
+        wav_hat, wav_real, _ = _forward(g_params, batch)
+        wav_hat = jax.lax.stop_gradient(wav_hat)
+        real_scores, _ = disc.apply({"params": d_params}, wav_real)
+        fake_scores, _ = disc.apply({"params": d_params}, wav_hat)
+        loss = lsgan_d_loss(real_scores, fake_scores)
+        return loss, {"d": loss}
+
+    return g_loss_fn, d_loss_fn

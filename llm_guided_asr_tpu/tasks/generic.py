@@ -667,6 +667,42 @@ def _build_gan_svs(config):
 GAN_TASK_BUILDERS["gan_svs"] = _build_gan_svs
 
 
+def _build_gan_codec(config):
+    """gan_codec task (espnet2/tasks/gan_codec.py): SoundStream/Encodec-style
+    codec generator + HiFiGAN discriminator, adversarial reconstruction."""
+    from llm_guided_asr_tpu.models.codec import (
+        CodecConfig,
+        CodecModel,
+        make_codec_gan_loss_fns,
+    )
+    from llm_guided_asr_tpu.models.hifigan import HiFiGANConfig, HiFiGANDiscriminator
+
+    mc = dict(config.get("model_conf", {}) or {})
+    cfg = CodecConfig(
+        channels=int(mc.get("channels", 64)),
+        latent_dim=int(mc.get("latent_dim", 64)),
+        strides=tuple(mc.get("strides", (4, 4, 8))),
+        n_quantizers=int(mc.get("n_quantizers", 4)),
+        codebook_size=int(mc.get("codebook_size", 256)),
+        commitment_weight=float(mc.get("commitment_weight", 0.25)),
+    )
+    gen = CodecModel(cfg)
+    disc = HiFiGANDiscriminator(HiFiGANConfig())
+    g_loss_fn, d_loss_fn = make_codec_gan_loss_fns(
+        gen, disc,
+        lambda_fm=float(mc.get("lambda_fm", 2.0)),
+        lambda_mel=float(mc.get("lambda_mel", 45.0)),
+        lambda_l1=float(mc.get("lambda_l1", 1.0)),
+    )
+    n0 = 4 * int(jnp.prod(jnp.asarray(cfg.strides)))
+    g_dummy = (jnp.zeros((2, n0), jnp.float32),)
+    d_dummy = (jnp.zeros((2, n0), jnp.float32),)
+    return gen, disc, g_loss_fn, d_loss_fn, g_dummy, d_dummy
+
+
+GAN_TASK_BUILDERS["gan_codec"] = _build_gan_codec
+
+
 class GenericTask:
     defaults = GENERIC_DEFAULTS
 
