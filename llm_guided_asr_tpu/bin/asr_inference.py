@@ -208,16 +208,18 @@ class Speech2Text:
                     transducer_greedy_decode,
                 )
 
-                tokens, ntok = transducer_greedy_decode(
+                tokens, ntok = jax.device_get(transducer_greedy_decode(
                     self.model, self.variables, enc, enc_lens
-                )
-                ids = [int(t) for t in np.asarray(tokens)[0, : int(ntok[0])]]
+                ))  # one transfer, not one per field (remote-device RTT)
+                ids = [int(t) for t in tokens[0, : int(ntok[0])]]
                 nb = [Hypothesis(yseq=ids, score=0.0)]
         elif self.is_maskctc:
             from llm_guided_asr_tpu.models.maskctc import maskctc_decode
 
-            tokens, ntok = maskctc_decode(self.model, self.variables, enc, enc_lens)
-            ids = [int(t) for t in np.asarray(tokens)[0, : int(ntok[0])]]
+            tokens, ntok = jax.device_get(
+                maskctc_decode(self.model, self.variables, enc, enc_lens)
+            )
+            ids = [int(t) for t in tokens[0, : int(ntok[0])]]
             nb = [Hypothesis(yseq=ids, score=0.0)]
         elif self._beam is not None:
             nb = self._beam(enc, enc_lens, maxlenratio=self.maxlenratio,
@@ -225,8 +227,10 @@ class Speech2Text:
                             scorer_ctx=bias_ctx)
         else:
             logp = self._ctc_logp(enc)
-            tokens, ntok = ctc_greedy_decode(logp, enc_lens, blank_id=self.model.cfg.blank_id)
-            ids = [int(t) for t in np.asarray(tokens)[0, : int(ntok[0])]]
+            tokens, ntok = jax.device_get(
+                ctc_greedy_decode(logp, enc_lens, blank_id=self.model.cfg.blank_id)
+            )
+            ids = [int(t) for t in tokens[0, : int(ntok[0])]]
             nb = [Hypothesis(yseq=ids, score=0.0)]
 
         results = []

@@ -166,7 +166,7 @@ class CommonPreprocessor:
             tuple(text_names)
             if text_names
             else (text_name, "src_text", "bias_words", "text_prev", "text_ctc",
-                  "ctc_text")
+                  "ctc_text", "text_spk2", "text_spk3", "text_spk4")
         )
         # per-field (tokenizer, converter) overrides: mixed-vocab streams
         # (e.g. 'ctc_text' in its own BPE/char vocab) tokenize independently

@@ -21,14 +21,14 @@ import optax
 from llm_guided_asr_tpu.utils.masks import make_valid_mask
 
 
-def ctc_loss(
+def ctc_loss_per_example(
     logits: jnp.ndarray,  # [B, T, V] pre-softmax
     logit_lengths: jnp.ndarray,  # [B]
     labels: jnp.ndarray,  # [B, N] padded with any value beyond length
     label_lengths: jnp.ndarray,  # [B]
     blank_id: int = 0,
 ) -> jnp.ndarray:
-    """Batch-mean CTC loss (matches reference 'builtin': sum over batch / B)."""
+    """Per-example CTC negative log-likelihood [B] (non-finite -> 0)."""
     logit_paddings = 1.0 - make_valid_mask(logit_lengths, logits.shape[1]).astype(jnp.float32)
     label_valid = make_valid_mask(label_lengths, labels.shape[1])
     label_paddings = 1.0 - label_valid.astype(jnp.float32)
@@ -38,8 +38,19 @@ def ctc_loss(
         logits.astype(jnp.float32), logit_paddings, labels, label_paddings, blank_id=blank_id
     )
     # zero_infinity analog (ctc.py:93-130): drop non-finite examples
-    finite = jnp.isfinite(per_ex)
-    per_ex = jnp.where(finite, per_ex, 0.0)
+    return jnp.where(jnp.isfinite(per_ex), per_ex, 0.0)
+
+
+def ctc_loss(
+    logits: jnp.ndarray,  # [B, T, V] pre-softmax
+    logit_lengths: jnp.ndarray,  # [B]
+    labels: jnp.ndarray,  # [B, N] padded with any value beyond length
+    label_lengths: jnp.ndarray,  # [B]
+    blank_id: int = 0,
+) -> jnp.ndarray:
+    """Batch-mean CTC loss (matches reference 'builtin': sum over batch / B)."""
+    per_ex = ctc_loss_per_example(logits, logit_lengths, labels, label_lengths,
+                                  blank_id=blank_id)
     return jnp.sum(per_ex) / logits.shape[0]
 
 

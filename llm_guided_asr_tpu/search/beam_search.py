@@ -345,9 +345,9 @@ class BatchBeamSearch:
             maxlen = jnp.maximum(1, (maxlenratio * enc_len).astype(jnp.int32))
         minlen = (minlenratio * enc_len).astype(jnp.int32)
         lmax = self._lmax(t_enc, maxlenratio)
-        tokens, lens, scores, parts = self._search_jit(
-            enc, enc_len, maxlen, minlen, scorer_ctx, lmax=lmax
-        )
+        tokens, lens, scores, parts = jax.device_get(
+            self._search_jit(enc, enc_len, maxlen, minlen, scorer_ctx, lmax=lmax)
+        )  # ONE host transfer for the whole result pytree (remote-device RTT)
         return self._to_hyps(tokens, lens, scores, nbest, parts)
 
     @staticmethod
@@ -407,9 +407,14 @@ class BatchBeamSearch:
         else:
             maxlens = jnp.maximum(1, (maxlenratio * enc_lens).astype(jnp.int32))
         minlens = (minlenratio * enc_lens).astype(jnp.int32)
-        tokens, lens, scores, parts = self._batch_search_jit(
-            encs, enc_lens, maxlens, minlens, lmax=self._lmax(t_enc, maxlenratio)
-        )
+        tokens, lens, scores, parts = jax.device_get(
+            self._batch_search_jit(
+                encs, enc_lens, maxlens, minlens,
+                lmax=self._lmax(t_enc, maxlenratio),
+            )
+        )  # ONE host transfer for the whole batch: per-field np.asarray would
+        # pay a device->host round-trip per utterance per array (B x 4 RTTs),
+        # which dominates end-to-end decode latency on remote/tunneled devices
         return [
             self._to_hyps(tokens[b], lens[b], scores[b], nbest, parts[b])
             for b in range(encs.shape[0])

@@ -245,6 +245,61 @@ def _build_mt(config):
     return model, names, dummy
 
 
+def _build_pit_asr(config):
+    """pit_asr task (espnet2/asr/pit_espnet_model.py): multi-speaker ASR with
+    permutation-invariant training; references come in as text, text_spk2,
+    ... streams (pit_espnet_model.py:222-231)."""
+    from llm_guided_asr_tpu.models.pit_asr import PITASRConfig, PITASRModel
+    from llm_guided_asr_tpu.tasks.asr import build_model_config
+
+    mc = dict(config.get("model_conf", {}) or {})
+    num_ref = int(mc.get("num_ref", 2))
+    cfg = PITASRConfig(asr=build_model_config(config), num_ref=num_ref)
+    model = PITASRModel(cfg)
+    names = ["speech", "speech_lengths", "text", "text_lengths"]
+    for s in range(2, num_ref + 1):
+        names += [f"text_spk{s}", f"text_spk{s}_lengths"]
+    dummy = [
+        jnp.zeros((2, 4000), jnp.float32), jnp.asarray([4000, 4000]),
+        jnp.ones((2, 3), jnp.int32), jnp.asarray([3, 2]),
+    ]
+    for _ in range(2, num_ref + 1):
+        dummy += [jnp.ones((2, 3), jnp.int32), jnp.asarray([3, 2])]
+    return model, tuple(names), tuple(dummy)
+
+
+def _build_discrete_asr(config):
+    """discrete_asr task (espnet2/asr/discrete_asr_espnet_model.py): discrete
+    SSL/codec units in, text out, MT-style encoder + CTC/attention hybrid."""
+    from llm_guided_asr_tpu.models.discrete_asr import (
+        DiscreteASRConfig,
+        DiscreteASRModel,
+    )
+    from llm_guided_asr_tpu.models.transformer_decoder import TransformerDecoderConfig
+
+    mc = dict(config.get("model_conf", {}) or {})
+    vocab = len(read_token_list(config["token_list"]))
+    cfg = DiscreteASRConfig(
+        vocab_size=vocab,
+        src_vocab_size=int(mc.get("src_vocab_size", 512)),
+        adim=int(mc.get("adim", 256)),
+        heads=int(mc.get("heads", 4)),
+        units=int(mc.get("units", 1024)),
+        elayers=int(mc.get("elayers", 6)),
+        patch_size=int(mc.get("patch_size", 1)),
+        decoder=TransformerDecoderConfig.from_dict(config.get("decoder_conf", {}) or {}),
+        ctc_weight=float(mc.get("ctc_weight", 0.3)),
+        lsm_weight=float(mc.get("lsm_weight", 0.1)),
+    )
+    model = DiscreteASRModel(cfg)
+    names = ("speech", "speech_lengths", "text", "text_lengths")
+    dummy = (
+        jnp.ones((2, 8), jnp.int32), jnp.asarray([8, 6]),
+        jnp.ones((2, 3), jnp.int32), jnp.asarray([3, 2]),
+    )
+    return model, names, dummy
+
+
 def _build_slu(config):
     from llm_guided_asr_tpu.models.slu import SLUConfig, SLUModel
     from llm_guided_asr_tpu.tasks.asr import build_model_config
@@ -406,6 +461,8 @@ TASK_BUILDERS: Dict[str, Callable] = {
     "s2t": _build_s2t,
     "diar": _build_diar,
     "mt": _build_mt,
+    "pit_asr": _build_pit_asr,
+    "discrete_asr": _build_discrete_asr,
     "slu": _build_slu,
     "asvspoof": _build_asvspoof,
     "s2st": _build_s2st,
