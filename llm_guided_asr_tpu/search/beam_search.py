@@ -29,10 +29,10 @@ import jax.numpy as jnp
 import numpy as np
 
 from llm_guided_asr_tpu.search.ctc_prefix import (
+    ctc_prefix_advance,
+    ctc_prefix_psi,
     CTCPrefixState,
     ctc_prefix_init,
-    ctc_prefix_scores,
-    ctc_prefix_select,
 )
 
 NEG_INF = -1.0e10
@@ -171,9 +171,11 @@ class BatchBeamSearch:
                 full = full + self.lm_weight * lm_logp
             # 2. pre-beam
             top_full, cand = jax.lax.top_k(full, W)  # [K, W]
-            # 3. partial scorer: CTC prefix
+            # 3. partial scorer: CTC prefix — psi is scan-free (a reduction
+            # over the parent rows); the T-length DP recurrence runs later,
+            # only for the K selected extensions (ctc_prefix_advance)
             if self.ctc_weight != 0.0:
-                psi, r_new = ctc_prefix_scores(
+                psi = ctc_prefix_psi(
                     ctc_logp, enc_len, s.ctc, cand,
                     blank_id=self.blank_id, eos_id=self.eos,
                 )
@@ -191,7 +193,6 @@ class BatchBeamSearch:
                 )
             else:
                 psi = jnp.zeros((K, W))
-                r_new = jnp.zeros((K, W) + s.ctc.r.shape[1:])
                 cand_score = s.alive_score[:, None] + top_full + self.penalty
 
             # 4. espnet-exact selection (beam_search.py:316 + post_process:500):
@@ -238,7 +239,18 @@ class BatchBeamSearch:
 
             # 5. alive beam: eos slots are dead for the rest of the search
             new_score = jnp.where(is_eos_sel, NEG_INF, new_score)
-            new_ctc = ctc_prefix_select(r_new, psi, cand, parent, cidx)
+            if self.ctc_weight != 0.0:
+                new_ctc = ctc_prefix_advance(
+                    ctc_logp, enc_len, s.ctc, token, parent,
+                    psi[parent, cidx], blank_id=self.blank_id,
+                )
+            else:
+                new_ctc = s.ctc._replace(
+                    psi=psi[parent, cidx],
+                    last=token.astype(jnp.int32),
+                    empty=jnp.zeros(parent.shape, bool),
+                    r=s.ctc.r[parent],
+                )
             att_state = self.att_scorer.select(att_state, parent)
 
             return (

@@ -173,6 +173,114 @@ def ctc_prefix_scores(
     return psi, r_new
 
 
+def ctc_prefix_psi(
+    logp: jnp.ndarray,  # [T, V]
+    length: jnp.ndarray,  # scalar valid frames
+    state: CTCPrefixState,  # beam K
+    cand: jnp.ndarray,  # [K, W] candidate token ids
+    blank_id: int = 0,
+    eos_id: int = -1,
+) -> jnp.ndarray:
+    """Prefix scores psi(g.c) [K, W] WITHOUT materializing the new DP rows.
+
+    Key identity: psi depends only on the *previous* state's rows —
+    psi = logaddexp(r_nb_0, logsumexp_t(phi[t-1] + x[t])) — so scoring all
+    K x W candidates is a pure reduction, no scan.  The T-length recurrence
+    is only needed for the rows of hypotheses that *survive* the beam step;
+    run it afterwards on the K selected extensions via ctc_prefix_advance
+    (a W-fold work reduction over scoring-then-selecting, and the decode-step
+    hot-path win over CTCPrefixScoreTH which always fills (T,2,K,W)).
+    """
+    t_max, v = logp.shape
+    k, w = cand.shape
+    tpos = jnp.arange(t_max)
+    valid = tpos < length  # [T]
+
+    x = jnp.take_along_axis(
+        jnp.broadcast_to(logp[None], (k, t_max, v)), cand[:, None, :], axis=2
+    )  # [K, T, W]
+    x = jnp.where(valid[None, :, None], x, NEG_INF)
+
+    r_prev_nb = state.r[..., 0]  # [K, T]
+    r_prev_b = state.r[..., 1]
+    r_prev_sum = jnp.logaddexp(r_prev_nb, r_prev_b)
+    same_as_last = cand == state.last[:, None]  # [K, W]
+    phi = jnp.where(
+        same_as_last[:, None, :], r_prev_b[:, :, None], r_prev_sum[:, :, None]
+    )  # [K, T, W]
+
+    psi_0 = jnp.where(state.empty[:, None], x[:, 0, :], NEG_INF)  # [K, W]
+    contrib = phi[:, :-1, :] + x[:, 1:, :]  # [K, T-1, W]
+    psi = jnp.logaddexp(psi_0, jax.nn.logsumexp(contrib, axis=1))
+
+    t_last = jnp.clip(length - 1, 0, t_max - 1)
+    final_sum = r_prev_sum[:, t_last]  # [K]
+    if eos_id >= 0:
+        psi = jnp.where(cand == eos_id, final_sum[:, None], psi)
+    psi = jnp.where(cand == blank_id, NEG_INF, psi)
+    return psi
+
+
+def ctc_prefix_advance(
+    logp: jnp.ndarray,  # [T, V]
+    length: jnp.ndarray,  # scalar valid frames
+    state: CTCPrefixState,  # beam K (pre-selection)
+    token: jnp.ndarray,  # [K'] selected candidate token per new slot
+    parent: jnp.ndarray,  # [K'] parent hyp index in 0..K-1
+    psi_new: jnp.ndarray,  # [K'] psi of the selected extensions
+    blank_id: int = 0,
+) -> CTCPrefixState:
+    """Run the DP recurrence for the K' *selected* extensions only.
+
+    Produces the same rows as ctc_prefix_scores + ctc_prefix_select for the
+    chosen (parent, token) pairs, but the scan runs over [T, K'] instead of
+    [T, K, W].
+    """
+    t_max = logp.shape[0]
+    kp = token.shape[0]
+    tpos = jnp.arange(t_max)
+    valid = tpos < length  # [T]
+
+    r_prev = state.r[parent]  # [K', T, 2]
+    last = state.last[parent]
+    empty = state.empty[parent]
+
+    x = jnp.where(valid[None, :], logp[:, token].T, NEG_INF)  # [K', T]
+    xb = jnp.where(valid, logp[:, blank_id], NEG_INF)  # [T]
+    r_prev_nb = r_prev[..., 0]
+    r_prev_b = r_prev[..., 1]
+    same = token == last
+    phi = jnp.where(same[:, None], r_prev_b, jnp.logaddexp(r_prev_nb, r_prev_b))
+
+    r_nb_0 = jnp.where(empty, x[:, 0], NEG_INF)  # [K']
+    r_b_0 = jnp.full((kp,), NEG_INF)
+
+    def compose(f1, f2):
+        a1, b1 = f1
+        a2, b2 = f2
+        return (a1 + a2, jnp.logaddexp(b1 + a2, b2))
+
+    a_nb = x[:, 1:].T  # [T-1, K']
+    b_nb = (phi[:, :-1] + x[:, 1:]).T
+    ca, cb = jax.lax.associative_scan(compose, (a_nb, b_nb), axis=0)
+    r_nb_seq = jnp.logaddexp(r_nb_0[None] + ca, cb)  # [T-1, K']
+    r_nb = jnp.concatenate([r_nb_0[None], r_nb_seq], axis=0)  # [T, K']
+
+    xb_t = jnp.broadcast_to(xb[1:, None], (t_max - 1, kp))
+    b_b = r_nb[:-1] + xb_t
+    ca, cb = jax.lax.associative_scan(compose, (xb_t, b_b), axis=0)
+    r_b_seq = jnp.logaddexp(r_b_0[None] + ca, cb)
+    r_b = jnp.concatenate([r_b_0[None], r_b_seq], axis=0)
+
+    r = jnp.stack([r_nb.T, r_b.T], axis=-1)  # [K', T, 2]
+    return CTCPrefixState(
+        r=r,
+        psi=psi_new,
+        last=token.astype(jnp.int32),
+        empty=jnp.zeros((kp,), bool),
+    )
+
+
 def ctc_prefix_extend(
     state: CTCPrefixState,
     logp: jnp.ndarray,  # [T, V] CTC log-softmax table (rows >= new_len unused)

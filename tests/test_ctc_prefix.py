@@ -133,3 +133,52 @@ def test_associative_equals_sequential_scan():
     np.testing.assert_allclose(
         np.asarray(r_a)[:, :, :L], np.asarray(r_s)[:, :, :L], rtol=1e-4, atol=1e-4
     )
+
+
+def test_psi_advance_equals_scores_select():
+    """The two-phase path (scan-free psi + advance-on-selected) must
+    reproduce ctc_prefix_scores + ctc_prefix_select exactly."""
+    from llm_guided_asr_tpu.search.ctc_prefix import (
+        ctc_prefix_advance,
+        ctc_prefix_init,
+        ctc_prefix_psi,
+        ctc_prefix_scores,
+        ctc_prefix_select,
+    )
+
+    rng = np.random.default_rng(11)
+    T, V, K, W = 9, 7, 3, 4
+    logp = np.log(rng.dirichlet(np.ones(V), size=T)).astype(np.float32)
+    state = ctc_prefix_init(jnp.asarray(logp), jnp.asarray(T), K)
+    # walk two steps so parent rows are non-trivial
+    for step in range(3):
+        cand = jnp.asarray(rng.integers(1, V - 1, (K, W)))
+        psi_full, r_new = ctc_prefix_scores(
+            jnp.asarray(logp), jnp.asarray(T), state, cand, eos_id=V - 1
+        )
+        psi_fast = ctc_prefix_psi(
+            jnp.asarray(logp), jnp.asarray(T), state, cand, eos_id=V - 1
+        )
+        np.testing.assert_allclose(
+            np.asarray(psi_fast), np.asarray(psi_full), rtol=1e-5, atol=1e-5
+        )
+        parent = jnp.asarray(rng.integers(0, K, K))
+        cidx = jnp.asarray(rng.integers(0, W, K))
+        sel_ref = ctc_prefix_select(r_new, psi_full, cand, parent, cidx)
+        sel_fast = ctc_prefix_advance(
+            jnp.asarray(logp), jnp.asarray(T), state,
+            cand[parent, cidx], parent, psi_fast[parent, cidx],
+        )
+        np.testing.assert_allclose(
+            np.asarray(sel_fast.psi), np.asarray(sel_ref.psi), rtol=1e-5,
+            atol=1e-5,
+        )
+        rr = np.asarray(sel_ref.r)
+        rf = np.asarray(sel_fast.r)
+        big = rr <= -1e9
+        np.testing.assert_allclose(rf[~big], rr[~big], rtol=1e-4, atol=1e-4)
+        assert np.all(rf[big] <= -1e9)
+        np.testing.assert_array_equal(
+            np.asarray(sel_fast.last), np.asarray(sel_ref.last)
+        )
+        state = sel_fast
