@@ -116,13 +116,46 @@ class ASRModel(nn.Module):
                     ),
                     dtype=self.dtype, name="decoder",
                 )
+            elif cfg.decoder_type in ("lightconv", "dynamicconv"):
+                # espnet2 lightconv/dynamicconv decoder choices
+                from llm_guided_asr_tpu.models.transformer_decoder import (
+                    ConvTransformerDecoder,
+                )
+
+                self.decoder = ConvTransformerDecoder(
+                    cfg.vocab_size, cfg.decoder,
+                    dynamic=(cfg.decoder_type == "dynamicconv"),
+                    dtype=self.dtype, name="decoder",
+                )
             else:
                 self.decoder = TransformerDecoder(
                     cfg.vocab_size, cfg.decoder, dtype=self.dtype, name="decoder"
                 )
         if cfg.ctc_weight > 0.0:
             self.ctc_head = nn.Dense(cfg.vocab_size, dtype=self.dtype, name="ctc_head")
-        n_feat = cfg.frontend.n_mels if cfg.frontend is not None else None
+        if cfg.frontend is not None and cfg.frontend.fused:
+            from llm_guided_asr_tpu.ops.frontend import FusedFrontend
+
+            self.fused_frontend = FusedFrontend(
+                frontends=cfg.frontend.fused, proj_dim=cfg.frontend.proj_dim,
+                fs=cfg.frontend.fs, name="fused_frontend",
+            )
+        if cfg.frontend is not None and (
+            cfg.frontend.use_beamformer or cfg.frontend.use_wpe
+        ):
+            from llm_guided_asr_tpu.ops.frontend import MultichannelFrontend
+
+            f = cfg.frontend
+            self.mc_frontend = MultichannelFrontend(
+                n_fft=f.n_fft, win_length=f.win_length, hop_length=f.hop_length,
+                n_mels=f.n_mels, fs=f.fs, fmin=f.fmin, fmax=f.fmax, htk=f.htk,
+                center=f.center, window=f.window, use_wpe=f.use_wpe,
+                wpe_taps=f.wpe_taps, wpe_delay=f.wpe_delay,
+                wpe_iterations=f.wpe_iterations, use_beamformer=f.use_beamformer,
+                mask_units=f.mask_units, ref_channel=f.ref_channel,
+                name="mc_frontend",
+            )
+        n_feat = cfg.frontend.output_dim if cfg.frontend is not None else None
         if cfg.normalize == "global_mvn":
             # populated from collect-stats feats_stats.npz (global_mvn.py:26)
             dim = n_feat if n_feat is not None else 1
@@ -140,6 +173,13 @@ class ASRModel(nn.Module):
         self, speech: jnp.ndarray, speech_lengths: jnp.ndarray
     ) -> Tuple[jnp.ndarray, jnp.ndarray]:
         cfg = self.cfg
+        if cfg.frontend is not None and speech.ndim == 3:
+            # multichannel [B, S, C]: WPE/MVDR path (or reference channel)
+            if cfg.frontend.use_beamformer or cfg.frontend.use_wpe:
+                return self.mc_frontend(speech, speech_lengths)
+            speech = speech[..., cfg.frontend.ref_channel]
+        if cfg.frontend is not None and cfg.frontend.fused and speech.ndim == 2:
+            return self.fused_frontend(speech, speech_lengths)
         if cfg.frontend is not None and speech.ndim == 2:
             f = cfg.frontend
             return default_frontend(

@@ -69,6 +69,8 @@ class ConformerConfig:
     block_size: int = 40
     # pretrained-import encoders (wav2vec2_hf/hubert_hf/whisper_hf): HF id/path
     model_name_or_path: Optional[str] = None
+    # multiconvformer only (multiconv_cgmlp.py kernel bank)
+    multicgmlp_kernel_sizes: Tuple[int, ...] = (7, 15, 23, 31)
 
     @classmethod
     def from_dict(cls, d: dict) -> "ConformerConfig":
@@ -77,6 +79,8 @@ class ConformerConfig:
         d = filter_known_fields(cls, d, "conformer_conf")
         if d.get("interctc_layer_idx") is not None:
             d["interctc_layer_idx"] = tuple(d["interctc_layer_idx"])
+        if d.get("multicgmlp_kernel_sizes") is not None:
+            d["multicgmlp_kernel_sizes"] = tuple(d["multicgmlp_kernel_sizes"])
         return cls(**d)
 
 
@@ -302,6 +306,15 @@ def make_encoder(encoder_type: str, cfg: "ConformerConfig", dtype=jnp.float32, n
         return WhisperStyleEncoder(cfg, dtype=dtype, name=name)
     if encoder_type == "longformer":
         return LongformerEncoder(cfg, dtype=dtype, name=name)
+    if encoder_type == "multiconvformer":
+        from llm_guided_asr_tpu.models.extra_encoders import MultiConvformerEncoder
+
+        return MultiConvformerEncoder(cfg, dtype=dtype, name=name)
+    if encoder_type in ("rnn", "vgg_rnn"):
+        from llm_guided_asr_tpu.models.extra_encoders import RNNEncoder
+
+        return RNNEncoder(cfg, dtype=dtype, use_vgg=(encoder_type == "vgg_rnn"),
+                          name=name)
     if encoder_type in ("wav2vec2_hf", "hubert_hf", "whisper_hf"):
         # pretrained-import encoders (VERDICT missing #6): architecture comes
         # from the HF config at cfg.model_name_or_path; weights are injected

@@ -39,6 +39,12 @@ class FastSpeech2Config:
     elayers: int = 2
     dlayers: int = 2
     duration_offset: float = 1.0  # log(d + offset) regression target
+    # global style tokens (espnet2/tts/gst/style_encoder.py StyleEncoder):
+    # reference encoder over the target mel -> attention over learned style
+    # tokens -> style vector added to every token encoding
+    use_gst: bool = False
+    gst_tokens: int = 10
+    gst_heads: int = 4
 
 
 def length_regulate(
@@ -77,6 +83,52 @@ class VariancePredictor(nn.Module):
         return jnp.where(valid, out, 0.0)
 
 
+class StyleEncoder(nn.Module):
+    """Global style tokens (espnet2/tts/gst/style_encoder.py): conv reference
+    encoder + GRU over the target mel -> multi-head attention over learned
+    style token embeddings -> style vector [B, adim]."""
+
+    adim: int
+    n_tokens: int = 10
+    heads: int = 4
+    dtype: Dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, mel: jnp.ndarray, mel_lengths: jnp.ndarray) -> jnp.ndarray:
+        x = mel[..., None]  # [B, T, F, 1]
+        for i, ch in enumerate((32, 64)):
+            x = jax.nn.relu(
+                nn.Conv(ch, (3, 3), strides=(2, 2), padding="SAME",
+                        dtype=self.dtype, name=f"ref_conv{i}")(x)
+            )
+        b, t, f, c = x.shape
+        h = x.reshape(b, t, f * c)
+        h = nn.RNN(nn.GRUCell(self.adim), name="ref_gru")(h)
+        # final valid state per utterance (conv halves T twice)
+        idx = jnp.clip((mel_lengths + 3) // 4 - 1, 0, t - 1)
+        query = h[jnp.arange(b), idx]  # [B, adim]
+        tokens = self.param(
+            "style_tokens", nn.initializers.normal(0.5),
+            (self.n_tokens, self.adim),
+        )
+        q = nn.Dense(self.adim, dtype=self.dtype, name="q_proj")(query)
+        k = nn.Dense(self.adim, dtype=self.dtype, name="k_proj")(
+            jnp.tanh(tokens)
+        )
+        v = nn.Dense(self.adim, dtype=self.dtype, name="v_proj")(
+            jnp.tanh(tokens)
+        )
+        hd = self.adim // self.heads
+        qh = q.reshape(b, self.heads, hd)
+        kh = k.reshape(self.n_tokens, self.heads, hd)
+        vh = v.reshape(self.n_tokens, self.heads, hd)
+        att = jax.nn.softmax(
+            jnp.einsum("bhd,nhd->bhn", qh, kh) / jnp.sqrt(hd), axis=-1
+        )
+        style = jnp.einsum("bhn,nhd->bhd", att, vh).reshape(b, self.adim)
+        return style
+
+
 class FastSpeech2(nn.Module):
     cfg: FastSpeech2Config
     dtype: Dtype = jnp.float32
@@ -102,6 +154,9 @@ class FastSpeech2(nn.Module):
             for i in range(cfg.dlayers)
         ]
         self.mel_out = nn.Dense(cfg.n_mels, dtype=self.dtype, name="mel_out")
+        if cfg.use_gst:
+            self.gst = StyleEncoder(cfg.adim, cfg.gst_tokens, cfg.gst_heads,
+                                    dtype=self.dtype, name="gst")
 
     def encode_text(self, text, text_lengths, deterministic=True):
         x = self.embed(jnp.clip(text, 0, self.cfg.vocab_size - 1))
@@ -134,6 +189,9 @@ class FastSpeech2(nn.Module):
     ) -> Tuple[jnp.ndarray, Dict[str, jnp.ndarray], jnp.ndarray]:
         cfg = self.cfg
         enc, tvalid = self.encode_text(text, text_lengths, deterministic)
+        if cfg.use_gst:
+            style = self.gst(speech, speech_lengths)  # [B, adim]
+            enc = jnp.where(tvalid[..., None], enc + style[:, None, :], 0.0)
 
         d_pred = self.duration_predictor(enc, tvalid, deterministic)
         d_target = jnp.log(jnp.where(tvalid, durations, 0) + cfg.duration_offset)
@@ -176,10 +234,17 @@ class FastSpeech2(nn.Module):
 
     def inference(
         self, text: jnp.ndarray, text_lengths: jnp.ndarray, t_max: int = 1000,
-        speed: float = 1.0,
+        speed: float = 1.0, ref_mel: Optional[jnp.ndarray] = None,
+        ref_mel_lengths: Optional[jnp.ndarray] = None,
     ) -> Tuple[jnp.ndarray, jnp.ndarray]:
-        """Synthesize log-mel from text with predicted variances."""
+        """Synthesize log-mel from text with predicted variances.
+
+        With use_gst, ``ref_mel`` conditions the style (style transfer); when
+        absent the style contribution is omitted (neutral style)."""
         enc, tvalid = self.encode_text(text, text_lengths, True)
+        if self.cfg.use_gst and ref_mel is not None:
+            style = self.gst(ref_mel, ref_mel_lengths)
+            enc = jnp.where(tvalid[..., None], enc + style[:, None, :], 0.0)
         d_pred = self.duration_predictor(enc, tvalid, True)
         dur = jnp.round(
             (jnp.exp(d_pred) - self.cfg.duration_offset) / speed

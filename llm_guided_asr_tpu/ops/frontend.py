@@ -25,6 +25,7 @@ import dataclasses
 import functools
 from typing import Optional, Tuple
 
+import flax.linen as nn
 import jax
 import jax.numpy as jnp
 import numpy as np
@@ -46,6 +47,23 @@ class FrontendConfig:
     htk: bool = False
     center: bool = True
     window: Optional[str] = "hann"
+    # multichannel path (default.py's optional enh Frontend: WPE + MVDR);
+    # engaged when the input speech is [B, S, C]
+    use_wpe: bool = False
+    wpe_taps: int = 5
+    wpe_delay: int = 3
+    wpe_iterations: int = 2
+    use_beamformer: bool = False
+    mask_units: int = 64
+    ref_channel: int = 0
+    # fused multi-resolution frontends (fused.py FusedFrontends): tuple of
+    # (n_fft, hop_length, n_mels) triples; empty = single default frontend
+    fused: Tuple[Tuple[int, int, int], ...] = ()
+    proj_dim: int = 100
+
+    @property
+    def output_dim(self) -> int:
+        return self.proj_dim * len(self.fused) if self.fused else self.n_mels
 
     @classmethod
     def from_dict(cls, d: dict) -> "FrontendConfig":
@@ -54,6 +72,8 @@ class FrontendConfig:
         d = filter_known_fields(cls, d, "frontend_conf")
         if d.get("fmin") is None:
             d["fmin"] = 0.0
+        if d.get("fused"):
+            d["fused"] = tuple(tuple(f) for f in d["fused"])
         return cls(**d)
 
 
@@ -336,3 +356,115 @@ def whisper_frontend(
         jnp.minimum(speech_lengths, target) // hop, 0, feats.shape[1]
     )
     return feats, jnp.full_like(olens, feats.shape[1])
+
+
+class MultichannelFrontend(nn.Module):
+    """Multichannel DefaultFrontend: STFT -> (opt) WPE -> mask-based MVDR ->
+    power -> log-mel.
+
+    Rebuild of the DefaultFrontend path with a multichannel ``Frontend``
+    (espnet2/asr/frontend/default.py + enh/layers/wpe.py,
+    enh/layers/dnn_beamformer.py): the mask estimator is a small BiLSTM over
+    the reference channel's log magnitude emitting speech/noise masks; its
+    parameters train jointly with the recognizer.
+    speech: [B, S, C] multichannel waveform.
+    """
+
+    n_fft: int = 512
+    win_length: "Optional[int]" = None
+    hop_length: int = 128
+    n_mels: int = 80
+    fs: int = 16000
+    fmin: float = 0.0
+    fmax: "Optional[float]" = None
+    htk: bool = False
+    center: bool = True
+    window: "Optional[str]" = "hann"
+    use_wpe: bool = False
+    wpe_taps: int = 5
+    wpe_delay: int = 3
+    wpe_iterations: int = 2
+    use_beamformer: bool = True
+    mask_units: int = 64
+    ref_channel: int = 0
+
+    @nn.compact
+    def __call__(self, speech, speech_lengths, deterministic: bool = True):
+        from llm_guided_asr_tpu.ops.beamformer import mvdr_beamform, wpe_dereverb
+
+        b, s, c = speech.shape
+        # per-channel STFT: [B*C, T, F] -> [B, F, C, T]
+        flat = jnp.moveaxis(speech, -1, 1).reshape(b * c, s)
+        spec = stft(flat.astype(jnp.float32), self.n_fft, self.win_length,
+                    self.hop_length, self.center, self.window)
+        t, f = spec.shape[1], spec.shape[2]
+        y = jnp.transpose(spec.reshape(b, c, t, f), (0, 3, 1, 2))  # [B,F,C,T]
+        if self.use_wpe:
+            y = wpe_dereverb(y, self.wpe_taps, self.wpe_delay,
+                             self.wpe_iterations)
+        if self.use_beamformer:
+            # mask estimator on the reference channel log-magnitude [B, T, F]
+            logmag = jnp.log(jnp.abs(y[:, :, self.ref_channel, :]) + 1e-6)
+            h = jnp.transpose(logmag, (0, 2, 1))  # [B, T, F]
+            fwd = nn.RNN(nn.OptimizedLSTMCell(self.mask_units),
+                         name="mask_lstm_f")(h)
+            bwd = nn.RNN(nn.OptimizedLSTMCell(self.mask_units), reverse=True,
+                         keep_order=True, name="mask_lstm_b")(h)
+            hh = jnp.concatenate([fwd, bwd], axis=-1)
+            masks = jax.nn.sigmoid(
+                nn.Dense(2 * f, name="mask_out")(hh)
+            )  # [B, T, 2F]
+            m_s = jnp.transpose(masks[..., :f], (0, 2, 1))  # [B, F, T]
+            m_n = jnp.transpose(masks[..., f:], (0, 2, 1))
+            enhanced = mvdr_beamform(y, m_s, m_n, self.ref_channel)  # [B,F,T]
+        else:
+            enhanced = y[:, :, self.ref_channel, :]
+        power = jnp.transpose(
+            jnp.real(enhanced) ** 2 + jnp.imag(enhanced) ** 2, (0, 2, 1)
+        )  # [B, T, F]
+        feats = logmel_from_power(power, self.fs, self.n_fft, self.n_mels,
+                                  self.fmin, self.fmax, self.htk)
+        olens = stft_out_lengths(speech_lengths, self.n_fft, self.hop_length,
+                                 self.center)
+        olens = jnp.clip(olens, 0, feats.shape[1])
+        feats = mask_fill(feats, make_valid_mask(olens, feats.shape[1]))
+        return feats, olens
+
+
+class FusedFrontend(nn.Module):
+    """Multi-resolution fused frontend (espnet2/asr/frontend/fused.py
+    FusedFrontends, align_method=linear_projection): several default
+    frontends with different STFT resolutions, each linear-projected to
+    ``proj_dim``, frame-aligned to the first frontend's rate, concatenated.
+
+    frontends: ((n_fft, hop_length, n_mels), ...) — output dim is
+    proj_dim * len(frontends).
+    """
+
+    frontends: Tuple[Tuple[int, int, int], ...]
+    proj_dim: int = 100
+    fs: int = 16000
+
+    @nn.compact
+    def __call__(self, speech, speech_lengths, deterministic: bool = True):
+        outs = []
+        t0 = None
+        lens0 = None
+        for i, (n_fft, hop, mels) in enumerate(self.frontends):
+            f, l = default_frontend(
+                speech, speech_lengths, fs=self.fs, n_fft=n_fft,
+                hop_length=hop, n_mels=mels,
+            )
+            p = nn.Dense(self.proj_dim, name=f"proj_{i}")(f)
+            if i == 0:
+                t0, lens0 = p.shape[1], l
+            else:
+                # nearest-index resample to the first frontend's frame rate
+                idx = jnp.clip(
+                    (jnp.arange(t0) * p.shape[1]) // t0, 0, p.shape[1] - 1
+                )
+                p = p[:, idx]
+            outs.append(p)
+        feats = jnp.concatenate(outs, axis=-1)
+        feats = mask_fill(feats, make_valid_mask(lens0, t0))
+        return feats, lens0

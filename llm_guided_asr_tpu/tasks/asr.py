@@ -141,6 +141,7 @@ def build_model_config(config: Dict[str, Any]) -> ASRModelConfig:
     known_encoders = (
         "conformer", "transformer", "e_branchformer", "branchformer",
         "contextual_block_conformer", "whisper_style", "longformer",
+        "multiconvformer", "rnn", "vgg_rnn",
         "wav2vec2_hf", "hubert_hf", "whisper_hf",
     )
     if encoder_type not in known_encoders:
@@ -149,9 +150,11 @@ def build_model_config(config: Dict[str, Any]) -> ASRModelConfig:
 
     dec_conf = dict(config.get("decoder_conf", {}) or {})
     decoder_type = config.get("decoder", "transformer")
-    if decoder_type not in ("transformer", "rnn", "s4"):
+    if decoder_type not in ("transformer", "rnn", "s4", "lightconv",
+                            "dynamicconv"):
         raise ValueError(
-            f"unknown decoder {decoder_type!r}; known: transformer, rnn, s4"
+            f"unknown decoder {decoder_type!r}; known: transformer, rnn, s4, "
+            "lightconv, dynamicconv"
         )
     decoder = TransformerDecoderConfig.from_dict(dec_conf)
 
@@ -501,12 +504,13 @@ class ASRTask:
             collect_stats(config, output_dir)
             return None
 
+        # build (and thus validate) BEFORE dumping the config artifact, so a
+        # bad invocation can never clobber a valid exp dir's config.yaml
+        model = build_model(config)
         dump_yaml(config, output_dir / "config.yaml")
         if config.get("dry_run"):
             logger.info("dry_run: config written, exiting")
             return None
-
-        model = build_model(config)
         variables = init_model_variables(model, config, int(config.get("seed", 0)))
         if config.get("init_param"):
             variables = apply_init_param(variables, config["init_param"])

@@ -724,6 +724,64 @@ def _build_gan_svs(config):
 GAN_TASK_BUILDERS["gan_svs"] = _build_gan_svs
 
 
+def _build_jets(config):
+    """jets task (espnet2/gan_tts/jets/): FastSpeech2+HiFiGAN joint E2E TTS
+    with learned alignments, adversarial training."""
+    from llm_guided_asr_tpu.models.hifigan import HiFiGANDiscriminator
+    from llm_guided_asr_tpu.models.jets import (
+        JETSConfig,
+        JETSGenerator,
+        make_jets_loss_fns,
+    )
+    from llm_guided_asr_tpu.ops.frontend import default_frontend
+
+    mc = dict(config.get("model_conf", {}) or {})
+    vocab = (
+        len(read_token_list(config["token_list"]))
+        if config.get("token_list")
+        else int(mc.get("vocab_size", 100))
+    )
+    n_fft = int(mc.get("n_fft", 256))
+    hop = int(mc.get("hop_length", 128))
+    cfg = JETSConfig(
+        vocab_size=vocab,
+        n_mels=int(mc.get("n_mels", 40)),
+        adim=int(mc.get("adim", 128)),
+        heads=int(mc.get("heads", 2)),
+        eunits=int(mc.get("eunits", 256)),
+        elayers=int(mc.get("elayers", 2)),
+        dlayers=int(mc.get("dlayers", 2)),
+        segment_frames=int(mc.get("segment_frames", 16)),
+        n_fft=n_fft,
+        hop_length=hop,
+    )
+    gen = JETSGenerator(cfg)
+    disc = HiFiGANDiscriminator(cfg.hifigan)
+    g_raw, d_raw = make_jets_loss_fns(gen, disc, cfg)
+
+    def with_mel(batch):
+        mel, mel_lens = default_frontend(
+            batch["speech"], batch["speech_lengths"], fs=cfg.fs, n_fft=n_fft,
+            hop_length=hop, n_mels=cfg.n_mels,
+        )
+        return {**batch, "mel": mel,
+                "mel_lengths": jnp.clip(mel_lens, 0, mel.shape[1])}
+
+    g_loss_fn = lambda gp, dp, b, r: g_raw(gp, dp, with_mel(b), r)
+    d_loss_fn = lambda dp, gp, b, r: d_raw(dp, gp, with_mel(b), r)
+    g_dummy = (
+        jnp.ones((2, 4), jnp.int32), jnp.asarray([4, 3]),
+        jnp.zeros((2, cfg.segment_frames * 2, cfg.n_mels), jnp.float32),
+        jnp.asarray([cfg.segment_frames * 2] * 2),
+        jax.random.PRNGKey(0),
+    )
+    d_dummy = (jnp.zeros((2, cfg.segment_frames * hop), jnp.float32),)
+    return gen, disc, g_loss_fn, d_loss_fn, g_dummy, d_dummy
+
+
+GAN_TASK_BUILDERS["jets"] = _build_jets
+
+
 def _build_gan_codec(config):
     """gan_codec task (espnet2/tasks/gan_codec.py): SoundStream/Encodec-style
     codec generator + HiFiGAN discriminator, adversarial reconstruction."""

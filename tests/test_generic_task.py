@@ -177,7 +177,7 @@ def _write_wavs(d, n=4, samples=4000):
 @pytest.mark.parametrize(
     "task",
     ["slu", "asvspoof", "s2st", "svs", "codec", "speechlm", "tts2", "uasr",
-     "gan_tts", "gan_svs", "gan_codec"],
+     "gan_tts", "gan_svs", "gan_codec", "jets"],
 )
 def test_new_domain_trains_from_yaml(task, tmp_path):
     """One-epoch train of every new domain via the task CLI (espnet2/tasks/*
@@ -237,6 +237,8 @@ def test_new_domain_trains_from_yaml(task, tmp_path):
                         [str(d / "midi"), "midi", "text_int"],
                         [str(d / "wav.scp"), "speech", "sound"]],
             "gan_codec": [[str(d / "wav.scp"), "speech", "sound"]],
+            "jets": [[str(d / "text"), "text", "text"],
+                     [str(d / "wav.scp"), "speech", "sound"]],
         }[task]
 
     exp = tmp_path / "exp"
@@ -264,6 +266,9 @@ def test_new_domain_trains_from_yaml(task, tmp_path):
                         "hop_length": 128, "n_mels": 20, "n_midi": 10},
             "gan_codec": {"channels": 8, "latent_dim": 8, "strides": [2, 2],
                           "n_quantizers": 2, "codebook_size": 8},
+            "jets": {"adim": 16, "heads": 2, "eunits": 24, "elayers": 1,
+                     "dlayers": 1, "segment_frames": 4, "n_mels": 12,
+                     "n_fft": 256, "hop_length": 128},
         }[task],
         "frontend_conf": {"n_fft": 256, "hop_length": 128, "n_mels": 23},
         "encoder_conf": {"output_size": 16, "attention_heads": 2,

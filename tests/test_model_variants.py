@@ -129,7 +129,7 @@ def test_decode_long(tmp_path):
     assert isinstance(out, str)
 
 
-@pytest.mark.parametrize("dec", ["rnn", "s4"])
+@pytest.mark.parametrize("dec", ["rnn", "s4", "lightconv", "dynamicconv"])
 def test_alt_decoder_hybrid_model_and_beam(dec):
     """--decoder rnn/s4 (espnet RNNDecoder / S4Decoder): train + beam decode."""
     import jax
