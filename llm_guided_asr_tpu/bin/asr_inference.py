@@ -60,8 +60,10 @@ class Speech2Text:
         nbest: int = 1,
         speech_pad_multiple: int = 1600,
         use_cached_decoder: bool = False,
+        transducer_search: str = "default",  # default (time-sync mAES) | alsd
         dtype=jnp.float32,
     ):
+        self.transducer_search = transducer_search
         model, variables, config = ASRTask.build_model_from_file(
             asr_train_config, asr_model_file, dtype=dtype
         )
@@ -195,10 +197,16 @@ class Speech2Text:
         if self.is_transducer:
             if self.beam_size > 1:
                 from llm_guided_asr_tpu.search.transducer_beam import (
+                    transducer_alsd_decode,
                     transducer_beam_decode,
                 )
 
-                hyps = transducer_beam_decode(
+                search = (
+                    transducer_alsd_decode
+                    if self.transducer_search == "alsd"
+                    else transducer_beam_decode
+                )
+                hyps = search(
                     self.model, self.variables, enc, enc_lens,
                     beam_size=self.beam_size, nbest=self.nbest,
                 )
@@ -429,6 +437,7 @@ def main(cmd=None):
         maxlenratio=float(config.get("maxlenratio", 0.0)),
         minlenratio=float(config.get("minlenratio", 0.0)),
         nbest=int(config.get("nbest", 1)),
+        transducer_search=config.get("transducer_search", "default"),
     )
 
 

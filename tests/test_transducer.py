@@ -231,3 +231,42 @@ def test_transducer_overfit_tiny():
     for _ in range(10):
         params, opt, l = step(params, opt)
     assert float(l) < float(l0)
+
+
+def test_transducer_alsd_recovers_sequences():
+    """ALSD (align_length_sync_decoding analog) matches the overfit targets
+    and agrees with the time-synchronous beam."""
+    from llm_guided_asr_tpu.search.transducer_beam import (
+        transducer_alsd_decode,
+        transducer_beam_decode,
+    )
+
+    cfg = tiny_transducer_cfg("stateless")
+    model = TransducerModel(cfg)
+    rng = np.random.default_rng(0)
+    speech = jnp.asarray(rng.standard_normal((3, 1600)), jnp.float32)
+    slens = jnp.full((3,), 1600, jnp.int32)
+    text = jnp.asarray([[1, 2, 3], [3, 3, 1], [2, 1, 2]], jnp.int32)
+    tlens = jnp.full((3,), 3, jnp.int32)
+    variables = model.init(
+        {"params": jax.random.PRNGKey(0), "dropout": jax.random.PRNGKey(1)},
+        speech, slens, text, tlens, deterministic=True,
+    )
+    variables, loss = _overfit(model, variables, speech, slens, text, tlens,
+                               steps=250)
+    assert loss < 0.5
+    enc, enc_lens = model.apply(variables, speech, slens, method=model.encode)
+    ok = agree = 0
+    for b in range(3):
+        hyps = transducer_alsd_decode(
+            model, variables, enc[b : b + 1], enc_lens[b : b + 1], beam_size=4
+        )
+        ts_hyps = transducer_beam_decode(
+            model, variables, enc[b : b + 1], enc_lens[b : b + 1], beam_size=4
+        )
+        if hyps[0].yseq == [int(x) for x in np.asarray(text)[b]]:
+            ok += 1
+        if hyps[0].yseq == ts_hyps[0].yseq:
+            agree += 1
+    assert ok >= 2, f"ALSD recovered only {ok}/3"
+    assert agree >= 2, f"ALSD/TS agreement only {agree}/3"
