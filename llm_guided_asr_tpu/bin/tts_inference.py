@@ -2,9 +2,9 @@
 """TTS synthesis CLI (espnet2/bin/tts_inference.py analog).
 
 Text2Speech: rebuild the FastSpeech2 model from its config.yaml, synthesize
-log-mel (saved as .npy + feats.scp) and optionally a waveform via mel
-pseudo-inversion + Griffin-Lim (vocoder-less path; neural vocoders are
-future work).
+log-mel (saved as .npy + feats.scp) and optionally a waveform — via mel
+pseudo-inversion + Griffin-Lim, or a neural vocoder (hifigan/melgan) trained
+by the 'vocoder' GAN task (--vocoder hifigan --vocoder_file ...).
 """
 
 from __future__ import annotations
@@ -26,7 +26,9 @@ class Text2Speech:
         self,
         train_config: Union[str, Path],
         model_file: Optional[Union[str, Path]] = None,
-        vocoder: str = "griffin_lim",
+        vocoder: str = "griffin_lim",  # griffin_lim | hifigan | melgan
+        vocoder_file: Optional[str] = None,  # vocoder-task checkpoint.msgpack
+        vocoder_config: Optional[str] = None,  # its exp config.yaml
         fs: int = 16000,
         n_fft: int = 512,
         hop_length: int = 128,
@@ -40,6 +42,38 @@ class Text2Speech:
         self.tokenizer, self.converter = build_text_converter(self.config)
         self.vocoder = vocoder
         self.fs, self.n_fft, self.hop_length = fs, n_fft, hop_length
+        self._voc_apply = None
+        if vocoder in ("hifigan", "melgan"):
+            # neural vocoder trained by the 'vocoder' GAN task: its
+            # checkpoint holds {"generator": params}
+            from llm_guided_asr_tpu.models.hifigan import (
+                HiFiGANConfig,
+                HiFiGANGenerator,
+                MelGANGenerator,
+            )
+            from llm_guided_asr_tpu.train.checkpoint import load_pytree
+            from llm_guided_asr_tpu.utils.config import load_yaml
+
+            if not vocoder_file:
+                raise ValueError(f"vocoder={vocoder!r} needs vocoder_file")
+            vmc = {}
+            if vocoder_config:
+                vmc = dict(load_yaml(vocoder_config).get("model_conf", {}) or {})
+            rates = tuple(vmc.get("upsample_rates", (8, 8, 2)))
+            hcfg = HiFiGANConfig(
+                n_mels=int(vmc.get("n_mels", 40)),
+                channels=int(vmc.get("channels", 64)),
+                upsample_rates=rates,
+                upsample_kernels=tuple(
+                    vmc.get("upsample_kernels", tuple(2 * r for r in rates))
+                ),
+            )
+            voc = (MelGANGenerator(hcfg) if vocoder == "melgan"
+                   else HiFiGANGenerator(hcfg))
+            voc_params = load_pytree(vocoder_file)["generator"]
+            self._voc_apply = jax.jit(
+                lambda mel: voc.apply({"params": voc_params}, mel)
+            )
         self._infer = jax.jit(
             lambda text, lens: self.model.apply(
                 self.variables, text, lens, method=self.model.inference
@@ -55,7 +89,9 @@ class Text2Speech:
         mel, mel_lens = self._infer(arr, lens)
         mel = np.asarray(mel)[0, : int(mel_lens[0])]
         wav = None
-        if self.vocoder == "griffin_lim":
+        if self._voc_apply is not None:
+            wav = np.asarray(self._voc_apply(jnp.asarray(mel[None])))[0]
+        elif self.vocoder == "griffin_lim":
             wav = self.mel_to_wav(mel)
         return mel, wav
 
@@ -85,12 +121,16 @@ def main(cmd=None):
         "train_config": None,
         "model_file": None,
         "vocoder": "griffin_lim",
+        "vocoder_file": None,
+        "vocoder_config": None,
         "device": None,
     })
     logging.basicConfig(level=logging.INFO)
     resolve_device(config.get("device"))
     t2s = Text2Speech(config["train_config"], config.get("model_file"),
-                      vocoder=config.get("vocoder", "griffin_lim"))
+                      vocoder=config.get("vocoder", "griffin_lim"),
+                      vocoder_file=config.get("vocoder_file"),
+                      vocoder_config=config.get("vocoder_config"))
     out = Path(config["output_dir"])
     out.mkdir(parents=True, exist_ok=True)
     texts = read_2columns_text(config["text"])

@@ -159,3 +159,115 @@ def mel_l1_loss(
     m_fake, _ = default_frontend(fake_wav, n, fs=fs, n_fft=n_fft,
                                  hop_length=hop_length, n_mels=n_mels)
     return jnp.mean(jnp.abs(m_real - m_fake))
+
+
+class MelGANGenerator(nn.Module):
+    """MelGAN generator (espnet2/gan_tts/melgan/melgan.py): mel -> waveform
+    via transposed-conv upsampling with dilated residual stacks and a tanh
+    output; lighter than HiFiGAN (single kernel per stage)."""
+
+    cfg: HiFiGANConfig  # shares the mel/upsample geometry
+    dtype: Dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, mel: jnp.ndarray) -> jnp.ndarray:
+        cfg = self.cfg
+        x = nn.Conv(cfg.channels, (7,), padding="SAME", dtype=self.dtype,
+                    name="pre")(mel)
+        ch = cfg.channels
+        for i, r in enumerate(cfg.upsample_rates):
+            ch = max(ch // 2, 8)
+            x = jax.nn.leaky_relu(x, 0.2)
+            x = nn.ConvTranspose(ch, (2 * r,), strides=(r,), padding="SAME",
+                                 dtype=self.dtype, name=f"up_{i}")(x)
+            # residual stack with dilations 1, 3, 9 (melgan.py ResidualStack)
+            for j, d in enumerate((1, 3, 9)):
+                h = jax.nn.leaky_relu(x, 0.2)
+                h = nn.Conv(ch, (3,), kernel_dilation=(d,), padding="SAME",
+                            dtype=self.dtype, name=f"res_{i}_{j}a")(h)
+                h = jax.nn.leaky_relu(h, 0.2)
+                h = nn.Conv(ch, (1,), dtype=self.dtype, name=f"res_{i}_{j}b")(h)
+                x = x + h
+        x = jax.nn.leaky_relu(x, 0.2)
+        x = nn.Conv(1, (7,), padding="SAME", dtype=self.dtype, name="post")(x)
+        return jnp.tanh(x)[..., 0]
+
+
+class ParallelWaveGANDiscriminator(nn.Module):
+    """Non-causal dilated-conv discriminator
+    (espnet2/gan_tts/parallel_wavegan/: 1-d conv stack with growing dilation
+    producing a per-sample score map)."""
+
+    layers: int = 6
+    channels: int = 32
+    dtype: Dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, wav: jnp.ndarray) -> Tuple[List[jnp.ndarray], List[jnp.ndarray]]:
+        x = wav[..., None]
+        fmaps = []
+        for i in range(self.layers):
+            x = nn.Conv(self.channels, (5,), kernel_dilation=(2**i,),
+                        padding="SAME", dtype=self.dtype, name=f"conv_{i}")(x)
+            x = jax.nn.leaky_relu(x, 0.2)
+            fmaps.append(x)
+        score = nn.Conv(1, (3,), padding="SAME", dtype=self.dtype,
+                        name="out")(x)[..., 0]
+        return [score], fmaps
+
+
+def make_vocoder_gan_loss_fns(
+    gen,
+    disc,
+    n_fft: int = 256,
+    hop_length: int = 128,
+    n_mels: int = 40,
+    segment_frames: int = 16,
+    lambda_fm: float = 2.0,
+    lambda_mel: float = 45.0,
+):
+    """(g_loss_fn, d_loss_fn) for standalone neural-vocoder training
+    (parallel_wavegan/melgan/hifigan recipes): generator consumes the log-mel
+    of a random speech segment and reconstructs its waveform adversarially.
+
+    batch: {speech [B, N], speech_lengths, mel [B, T, M], mel_lengths}.
+    """
+
+    seg = segment_frames
+    hop = hop_length
+
+    def _forward(g_params, batch, rng):
+        mel_lengths = batch["mel_lengths"]
+        max_start = jnp.maximum(mel_lengths - seg, 0)
+        u = jax.random.uniform(rng, (batch["mel"].shape[0],))
+        starts = (u * (max_start + 1).astype(jnp.float32)).astype(jnp.int32)
+        mel_seg = jax.vmap(
+            lambda m, s: jax.lax.dynamic_slice_in_dim(m, s, seg, axis=0)
+        )(batch["mel"], starts)
+        wav_hat = gen.apply({"params": g_params}, mel_seg)
+        wav_real = jax.vmap(
+            lambda w, s: jax.lax.dynamic_slice_in_dim(w, s * hop, seg * hop, axis=0)
+        )(batch["speech"], starts)
+        n = min(wav_hat.shape[1], wav_real.shape[1])
+        return wav_hat[:, :n], wav_real[:, :n]
+
+    def g_loss_fn(g_params, d_params, batch, rng):
+        wav_hat, wav_real = _forward(g_params, batch, rng)
+        fake_scores, fake_fmaps = disc.apply({"params": d_params}, wav_hat)
+        _, real_fmaps = disc.apply({"params": d_params}, wav_real)
+        adv = lsgan_g_loss(fake_scores)
+        fm = feature_matching_loss(real_fmaps, fake_fmaps)
+        mel = mel_l1_loss(wav_real, wav_hat, n_fft=n_fft, hop_length=hop,
+                          n_mels=n_mels)
+        loss = adv + lambda_fm * fm + lambda_mel * mel
+        return loss, {"adv": adv, "fm": fm, "mel": mel}
+
+    def d_loss_fn(d_params, g_params, batch, rng):
+        wav_hat, wav_real = _forward(g_params, batch, rng)
+        wav_hat = jax.lax.stop_gradient(wav_hat)
+        real_scores, _ = disc.apply({"params": d_params}, wav_real)
+        fake_scores, _ = disc.apply({"params": d_params}, wav_hat)
+        loss = lsgan_d_loss(real_scores, fake_scores)
+        return loss, {"d": loss}
+
+    return g_loss_fn, d_loss_fn

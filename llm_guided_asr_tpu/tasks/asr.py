@@ -390,10 +390,14 @@ def build_iter_factory(
         fold_length=int(config.get("fold_length", 80000)),
         sort_in_batch=config.get("sort_in_batch", "descending"),
     )
+    tpad = int(config.get("text_pad_multiple", 8))
     collate = CommonCollateFn(
         pad_multiples={
             "speech": int(config.get("speech_pad_multiple", 1600)),
-            "text": int(config.get("text_pad_multiple", 8)),
+            "text": tpad,
+            # token-aligned side streams must bucket like text so per-token
+            # ops (duration/pitch/energy adapters) see congruent shapes
+            "durations": tpad, "pitch": tpad, "energy": tpad,
         }
     )
     return SequenceIterFactory(

@@ -106,10 +106,29 @@ def _build_spk(config):
 
 def _build_tts(config):
     """--tts ClassChoices analog (espnet2/tasks/tts.py tts_choices):
-    fastspeech2 (default) | tacotron2."""
+    fastspeech2 (default) | tacotron2.
+
+    Raw-waveform ``speech`` is converted to log-mel in the batch adapter
+    (the reference's in-model feats_extract, tts/espnet_model.py)."""
     from llm_guided_asr_tpu.models.tts import FastSpeech2, FastSpeech2Config
+    from llm_guided_asr_tpu.ops.frontend import default_frontend
 
     mc = dict(config.get("model_conf", {}) or {})
+    fc = dict(config.get("frontend_conf", {}) or {})
+    n_mels = int(mc.get("n_mels", 80))
+
+    def feats_extract(batch):
+        if batch["speech"].ndim == 2:  # raw waveform -> log-mel
+            mel, mel_lens = default_frontend(
+                batch["speech"], batch["speech_lengths"],
+                n_fft=int(fc.get("n_fft", 512)),
+                hop_length=int(fc.get("hop_length", 128)),
+                n_mels=n_mels,
+            )
+            batch = {**batch, "speech": mel,
+                     "speech_lengths": jnp.clip(mel_lens, 0, mel.shape[1])}
+        return batch
+
     vocab = len(read_token_list(config["token_list"])) if config.get("token_list") else int(
         mc.get("vocab_size", 100)
     )
@@ -127,6 +146,7 @@ def _build_tts(config):
         model = Tacotron2(t2)
 
         def t2_adapter(batch):
+            batch = feats_extract(batch)
             return (
                 batch["text"], batch["text_lengths"],
                 batch["speech"], batch["speech_lengths"],
@@ -149,6 +169,7 @@ def _build_tts(config):
     model = FastSpeech2(cfg)
 
     def adapter(batch):
+        batch = feats_extract(batch)
         return (
             batch["text"], batch["text_lengths"],
             batch["speech"], batch["speech_lengths"],
@@ -780,6 +801,64 @@ def _build_jets(config):
 
 
 GAN_TASK_BUILDERS["jets"] = _build_jets
+
+
+def _build_vocoder(config):
+    """Standalone neural-vocoder training (gan_tts/{hifigan,melgan,
+    parallel_wavegan} recipes): log-mel of a random speech segment ->
+    waveform, adversarial.  model_conf.generator: hifigan | melgan;
+    model_conf.discriminator: hifigan | pwg."""
+    from llm_guided_asr_tpu.models.hifigan import (
+        HiFiGANConfig,
+        HiFiGANDiscriminator,
+        HiFiGANGenerator,
+        MelGANGenerator,
+        ParallelWaveGANDiscriminator,
+        make_vocoder_gan_loss_fns,
+    )
+    from llm_guided_asr_tpu.ops.frontend import default_frontend
+
+    mc = dict(config.get("model_conf", {}) or {})
+    n_fft = int(mc.get("n_fft", 256))
+    hop = int(mc.get("hop_length", 128))
+    n_mels = int(mc.get("n_mels", 40))
+    seg = int(mc.get("segment_frames", 16))
+    # factor hop into upsample rates (hop=128 -> (8,8,2) default works; other
+    # hops use the provided rates)
+    rates = tuple(mc.get("upsample_rates", (8, 8, 2)))
+    hcfg = HiFiGANConfig(
+        n_mels=n_mels, channels=int(mc.get("channels", 64)),
+        upsample_rates=rates,
+        upsample_kernels=tuple(mc.get("upsample_kernels",
+                                      tuple(2 * r for r in rates))),
+    )
+    gtype = mc.get("generator", "hifigan")
+    gen = (MelGANGenerator(hcfg) if gtype == "melgan"
+           else HiFiGANGenerator(hcfg))
+    dtype_ = mc.get("discriminator", "hifigan")
+    disc = (ParallelWaveGANDiscriminator() if dtype_ == "pwg"
+            else HiFiGANDiscriminator(hcfg))
+    g_raw, d_raw = make_vocoder_gan_loss_fns(
+        gen, disc, n_fft=n_fft, hop_length=hop, n_mels=n_mels,
+        segment_frames=seg,
+    )
+
+    def with_mel(batch):
+        mel, mel_lens = default_frontend(
+            batch["speech"], batch["speech_lengths"], n_fft=n_fft,
+            hop_length=hop, n_mels=n_mels,
+        )
+        return {**batch, "mel": mel,
+                "mel_lengths": jnp.clip(mel_lens, 0, mel.shape[1])}
+
+    g_loss_fn = lambda gp, dp, b, r: g_raw(gp, dp, with_mel(b), r)
+    d_loss_fn = lambda dp, gp, b, r: d_raw(dp, gp, with_mel(b), r)
+    g_dummy = (jnp.zeros((2, seg, n_mels), jnp.float32),)
+    d_dummy = (jnp.zeros((2, seg * hop), jnp.float32),)
+    return gen, disc, g_loss_fn, d_loss_fn, g_dummy, d_dummy
+
+
+GAN_TASK_BUILDERS["vocoder"] = _build_vocoder
 
 
 def _build_gan_codec(config):
