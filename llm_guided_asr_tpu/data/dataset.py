@@ -159,9 +159,11 @@ class CommonPreprocessor:
         text_name: str = "text",
         text_names: Optional[Sequence[str]] = None,
         field_tokenizers: Optional[Dict[str, Tuple]] = None,
+        cleaner=None,  # TextCleaner (preprocessor.py text_cleaner analog)
     ):
         self.tokenizer = tokenizer
         self.converter = token_id_converter
+        self.cleaner = cleaner
         self.text_names = (
             tuple(text_names)
             if text_names
@@ -182,6 +184,8 @@ class CommonPreprocessor:
                 )
                 if tok is None or conv is None:
                     raise RuntimeError("text present but no tokenizer configured")
+                if self.cleaner is not None:
+                    out[name] = self.cleaner(out[name])
                 tokens = tok.text2tokens(out[name])
                 out[name] = np.array(conv.tokens2ids(tokens), dtype=np.int64)
         return out

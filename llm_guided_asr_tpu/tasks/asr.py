@@ -339,7 +339,8 @@ def build_text_converter(config: Dict[str, Any]):
 
         name = _hf_model_name(config)
         return HuggingFaceTokenizer(name), HuggingFaceTokenIDConverter(name)
-    tokenizer = build_tokenizer(token_type, bpemodel=config.get("bpemodel"))
+    tokenizer = build_tokenizer(token_type, bpemodel=config.get("bpemodel"),
+                                g2p=config.get("g2p"))
     converter = TokenIDConverter(read_token_list(config["token_list"]))
     return tokenizer, converter
 
@@ -354,7 +355,14 @@ def build_preprocess_fn(config: Dict[str, Any]) -> CommonPreprocessor:
         )
         ctc_conv = TokenIDConverter(read_token_list(config["ctc_token_list"]))
         field_tokenizers = {"ctc_text": (ctc_tok, ctc_conv)}
-    return CommonPreprocessor(tokenizer, converter, field_tokenizers=field_tokenizers)
+    cleaner = None
+    if config.get("cleaner"):
+        from llm_guided_asr_tpu.text.cleaner import TextCleaner
+
+        cleaner = TextCleaner(config["cleaner"])
+    return CommonPreprocessor(tokenizer, converter,
+                              field_tokenizers=field_tokenizers,
+                              cleaner=cleaner)
 
 
 def build_dataset(config: Dict[str, Any], triples: Sequence) -> ESPnetDataset:

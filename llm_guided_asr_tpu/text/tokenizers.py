@@ -146,6 +146,7 @@ def build_tokenizer(
     non_linguistic_symbols: Optional[Iterable[str]] = None,
     space_symbol: str = "<space>",
     delimiter: Optional[str] = None,
+    g2p: Optional[str] = None,
 ) -> AbsTokenizer:
     """espnet2/text/build_tokenizer.py dispatch."""
     if token_type == "char":
@@ -155,6 +156,17 @@ def build_tokenizer(
     if token_type == "hugging_face":
         if bpemodel is None:
             raise ValueError("token_type=hugging_face requires bpemodel (HF model name)")
+        return HuggingFaceTokenizer(bpemodel)
+    if token_type == "phn":
+        from llm_guided_asr_tpu.text.phoneme import PhonemeTokenizer
+
+        return PhonemeTokenizer(g2p or "rule_en", non_linguistic_symbols)
+    if token_type == "whisper":
+        # whisper's multilingual BPE rides the HF tokenizer (the reference
+        # wraps openai-whisper's tokenizer; both resolve the same vocab)
+        if bpemodel is None:
+            raise ValueError("token_type=whisper requires bpemodel "
+                             "(HF whisper model dir/name)")
         return HuggingFaceTokenizer(bpemodel)
     if token_type == "bpe":
         raise NotImplementedError(
