@@ -51,8 +51,11 @@ class ASRModelConfig:
     normalize: str = "global_mvn"  # global_mvn | utterance_mvn | none
     encoder_type: str = "conformer"  # conformer | transformer
     encoder: ConformerConfig = ConformerConfig()
-    decoder_type: str = "transformer"  # transformer | rnn
+    decoder_type: str = "transformer"  # transformer | rnn | s4 | ... | hugging_face
     decoder: TransformerDecoderConfig = TransformerDecoderConfig()
+    # decoder_type == "hugging_face": pretrained causal LM as decoder
+    # (hugging_face_transformers_decoder.py causal_lm path)
+    hf_decoder: Optional[Any] = None  # HFCausalDecoderConfig
     ctc_weight: float = 0.5
     interctc_weight: float = 0.0
     lsm_weight: float = 0.0
@@ -116,6 +119,11 @@ class ASRModel(nn.Module):
                     ),
                     dtype=self.dtype, name="decoder",
                 )
+            elif cfg.decoder_type == "hugging_face":
+                from llm_guided_asr_tpu.models.hf_decoder import HFCausalDecoder
+
+                self.decoder = HFCausalDecoder(cfg.hf_decoder, dtype=self.dtype,
+                                               name="decoder")
             elif cfg.decoder_type in ("lightconv", "dynamicconv"):
                 # espnet2 lightconv/dynamicconv decoder choices
                 from llm_guided_asr_tpu.models.transformer_decoder import (

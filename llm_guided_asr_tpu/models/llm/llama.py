@@ -217,6 +217,8 @@ class LlamaModel(nn.Module):
         cache_valid: Optional[jnp.ndarray] = None,  # [B, Tc] validity of cache keys
         positions: Optional[jnp.ndarray] = None,  # [B, T] overrides cumsum(valid)-1
         return_logits: bool = False,
+        embed_override: Optional[jnp.ndarray] = None,  # [B, T, H]
+        override_mask: Optional[jnp.ndarray] = None,  # [B, T] bool: use override
     ):
         cfg = self.cfg
         b, t = input_ids.shape
@@ -234,6 +236,10 @@ class LlamaModel(nn.Module):
 
         emb = nn.Embed(cfg.vocab_size, cfg.hidden_size, dtype=self.dtype, name="embed_tokens")
         x = emb(input_ids)
+        if embed_override is not None:
+            # inject continuous embeddings (e.g. projected encoder frames of
+            # the HF causal-LM decoder) at override_mask positions
+            x = jnp.where(override_mask[..., None], embed_override.astype(x.dtype), x)
         new_cache = []
         for i in range(cfg.num_hidden_layers):
             layer_cache = None if cache is None else cache["layers"][i]

@@ -125,8 +125,14 @@ ASR_DEFAULTS: Dict[str, Any] = {
 # ---------------------------------------------------------------------------
 
 def build_model_config(config: Dict[str, Any]) -> ASRModelConfig:
-    token_list = read_token_list(config["token_list"])
-    vocab_size = len(token_list)
+    if config.get("token_list") is None and config.get("token_type") == "hugging_face":
+        # HF-tokenizer vocab (token_type hugging_face, run.sh:36-37): the
+        # token list IS the tokenizer's vocab
+        from transformers import AutoTokenizer
+
+        vocab_size = len(AutoTokenizer.from_pretrained(_hf_model_name(config)))
+    else:
+        vocab_size = len(read_token_list(config["token_list"]))
 
     frontend = None
     if config.get("frontend", "default") not in (None, "none") and config.get("input_size") is None:
@@ -151,12 +157,37 @@ def build_model_config(config: Dict[str, Any]) -> ASRModelConfig:
     dec_conf = dict(config.get("decoder_conf", {}) or {})
     decoder_type = config.get("decoder", "transformer")
     if decoder_type not in ("transformer", "rnn", "s4", "lightconv",
-                            "dynamicconv"):
+                            "dynamicconv", "hugging_face"):
         raise ValueError(
             f"unknown decoder {decoder_type!r}; known: transformer, rnn, s4, "
-            "lightconv, dynamicconv"
+            "lightconv, dynamicconv, hugging_face"
         )
-    decoder = TransformerDecoderConfig.from_dict(dec_conf)
+    hf_decoder = None
+    if decoder_type == "hugging_face":
+        # pretrained causal LM decoder (hugging_face_transformers_decoder.py)
+        from transformers import AutoConfig, AutoTokenizer
+
+        from llm_guided_asr_tpu.models.hf_decoder import HFCausalDecoderConfig
+        from llm_guided_asr_tpu.models.llm.llama import LlamaConfig
+
+        name = dec_conf.get("model_name_or_path")
+        if not name:
+            raise ValueError("decoder=hugging_face needs "
+                             "decoder_conf.model_name_or_path")
+        llm_cfg = LlamaConfig.from_hf_config(AutoConfig.from_pretrained(name))
+        tok = AutoTokenizer.from_pretrained(name)
+        prefix = dec_conf.get("prefix", "")
+        postfix = dec_conf.get("postfix", "")
+        hf_decoder = HFCausalDecoderConfig(
+            llm=llm_cfg,
+            prefix_ids=tuple(tok.encode(prefix)) if prefix else (),
+            postfix_ids=tuple(tok.encode(postfix, add_special_tokens=False))
+            if postfix else (),
+            enc_frames_max=int(dec_conf.get("enc_frames_max", 512)),
+        )
+    decoder = TransformerDecoderConfig.from_dict(
+        {} if decoder_type == "hugging_face" else dec_conf
+    )
 
     model_conf = dict(config.get("model_conf", {}) or {})
     return ASRModelConfig(
@@ -168,6 +199,7 @@ def build_model_config(config: Dict[str, Any]) -> ASRModelConfig:
         encoder=encoder,
         decoder_type=decoder_type,
         decoder=decoder,
+        hf_decoder=hf_decoder,
         ctc_weight=float(model_conf.get("ctc_weight", 0.5)),
         interctc_weight=float(model_conf.get("interctc_weight", 0.0)),
         lsm_weight=float(model_conf.get("lsm_weight", 0.0)),
@@ -255,6 +287,29 @@ def init_model_variables(
         from llm_guided_asr_tpu.models.llm_guided import build_ctc_map_variables
 
         variables["ctc_map"] = build_ctc_map_variables(config)
+    if (
+        config.get("decoder") == "hugging_face"
+        and not config.get("_skip_llm_weights")
+    ):
+        # pretrained causal-LM decoder: inject converted HF weights
+        import torch
+        from transformers import AutoModelForCausalLM
+
+        from llm_guided_asr_tpu.models.llm.llama import convert_hf_state_dict
+
+        name = (config.get("decoder_conf") or {})["model_name_or_path"]
+        hf_model = AutoModelForCausalLM.from_pretrained(
+            name, torch_dtype=torch.float32
+        )
+        llm_params = convert_hf_state_dict(
+            hf_model.state_dict(), model.cfg.hf_decoder.llm
+        )
+        del hf_model
+        variables["params"] = {
+            **variables["params"],
+            "decoder": {**variables["params"]["decoder"], "llm": llm_params},
+        }
+        logger.info(f"loaded pretrained decoder LM weights from {name}")
     enc_type = config.get("encoder")
     if (
         enc_type in ("wav2vec2_hf", "hubert_hf", "whisper_hf")
