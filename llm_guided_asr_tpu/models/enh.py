@@ -34,7 +34,7 @@ class EnhConfig:
     num_spk: int = 2
     n_fft: int = 512
     hop_length: int = 128
-    separator_type: str = "rnn"  # rnn | tcn | dprnn | skim | tfgridnet
+    separator_type: str = "rnn"  # rnn | conformer | tcn | dprnn | skim | tfgridnet
     hidden: int = 256
     layers: int = 3
     kernel_size: int = 3
@@ -73,6 +73,44 @@ class RNNSeparator(nn.Module):
         masks = nn.Dense(feat.shape[-1] * cfg.num_spk, dtype=self.dtype, name="mask")(x)
         masks = masks.reshape(*feat.shape[:-1], cfg.num_spk, feat.shape[-1])
         masks = jnp.moveaxis(masks, -2, 0)  # [S, B, T, F]
+        if cfg.mask_nonlinear == "sigmoid":
+            return jax.nn.sigmoid(masks)
+        return jax.nn.relu(masks)
+
+
+class ConformerSeparator(nn.Module):
+    """Conformer masking separator (enh/separator/conformer_separator.py):
+    conformer blocks over the magnitude spectrogram emit one T-F mask per
+    speaker."""
+
+    cfg: EnhConfig
+    dtype: Dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, feat: jnp.ndarray, deterministic: bool = True) -> jnp.ndarray:
+        from llm_guided_asr_tpu.models.conformer import ConformerBlock, ConformerConfig
+        from llm_guided_asr_tpu.models.transformer import RelPositionalEncoding
+
+        cfg = self.cfg
+        ccfg = ConformerConfig(
+            output_size=cfg.hidden, attention_heads=4,
+            linear_units=cfg.hidden * 4, num_blocks=cfg.layers,
+            macaron_style=True, use_cnn_module=True, cnn_module_kernel=15,
+            cnn_module_norm="layer_norm",  # stateless (no batch_stats plumbing)
+            dropout_rate=0.0, positional_dropout_rate=0.0,
+        )
+        x = nn.Dense(cfg.hidden, dtype=self.dtype, name="in_proj")(feat)
+        x, pos_emb = RelPositionalEncoding(0.0, dtype=self.dtype,
+                                           name="pos_enc")(x, deterministic)
+        valid = jnp.ones(x.shape[:2], bool)
+        for i in range(cfg.layers):
+            x = ConformerBlock(ccfg, dtype=self.dtype, name=f"block_{i}")(
+                x, pos_emb, valid, deterministic
+            )
+        masks = nn.Dense(feat.shape[-1] * cfg.num_spk, dtype=self.dtype,
+                         name="mask")(x)
+        masks = masks.reshape(*feat.shape[:-1], cfg.num_spk, feat.shape[-1])
+        masks = jnp.moveaxis(masks, -2, 0)
         if cfg.mask_nonlinear == "sigmoid":
             return jax.nn.sigmoid(masks)
         return jax.nn.relu(masks)
@@ -434,6 +472,7 @@ class ESPnetEnhancementModel(nn.Module):
     def setup(self):
         sep_cls = {
             "rnn": RNNSeparator,
+            "conformer": ConformerSeparator,
             "tcn": TCNSeparator,
             "dprnn": DPRNNSeparator,
             "skim": SkiMSeparator,

@@ -54,7 +54,7 @@ def test_pit_picks_best_permutation():
     assert list(np.asarray(perm)[0]) == [1, 0]
 
 
-@pytest.mark.parametrize("sep", ["rnn", "tcn", "dprnn", "skim", "tfgridnet"])
+@pytest.mark.parametrize("sep", ["rnn", "conformer", "tcn", "dprnn", "skim", "tfgridnet"])
 def test_enh_overfits_two_tone_separation(sep):
     cfg = EnhConfig(num_spk=2, n_fft=256, hop_length=128, separator_type=sep,
                     hidden=32, layers=2)
