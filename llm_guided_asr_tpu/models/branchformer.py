@@ -51,10 +51,10 @@ class ConvolutionalGatingMLP(nn.Module):
         a, b = jnp.split(h, 2, axis=-1)
         g = LayerNorm(dtype=self.dtype, name="norm")(b)
         g = jnp.where(valid[..., None], g, 0.0)
-        g = nn.Conv(
-            g.shape[-1], (self.kernel_size,), padding="SAME",
-            feature_group_count=g.shape[-1], dtype=self.dtype, name="depthwise_conv",
-        )(g)
+        from llm_guided_asr_tpu.models.conformer import DepthwiseConv1d
+
+        g = DepthwiseConv1d(self.kernel_size, dtype=self.dtype,
+                            name="depthwise_conv")(g)
         h = a * g
         h = nn.Dropout(self.dropout_rate)(h, deterministic=deterministic)
         return nn.Dense(d, dtype=self.dtype, name="channel_proj2")(h)

@@ -130,6 +130,26 @@ class MaskedBatchNorm(nn.Module):
         return y.astype(self.dtype)
 
 
+class DepthwiseConv1d(nn.Module):
+    """nn.Conv(feature_group_count=C)-compatible params (kernel [K, 1, C],
+    bias [C]) over the Pallas custom-VJP depthwise conv."""
+
+    kernel_size: int
+    dtype: Dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
+        from llm_guided_asr_tpu.ops.depthwise_conv import depthwise_conv1d
+
+        d = x.shape[-1]
+        kernel = self.param(
+            "kernel", nn.initializers.lecun_normal(), (self.kernel_size, 1, d)
+        )
+        bias = self.param("bias", nn.initializers.zeros, (d,))
+        y = depthwise_conv1d(x, kernel[:, 0, :].astype(self.dtype))
+        return y + bias.astype(self.dtype)
+
+
 class ConvolutionModule(nn.Module):
     """Conformer conv module (espnet conformer/convolution.py): pw-conv -> GLU ->
     depthwise conv -> norm -> swish -> pw-conv."""
@@ -150,14 +170,11 @@ class ConvolutionModule(nn.Module):
         if self.mask_pads:
             # mask pads so the depthwise conv cannot smear garbage inward
             h = jnp.where(valid[..., None], h, 0.0)
-        h = nn.Conv(
-            d,
-            (self.kernel_size,),
-            padding="SAME",
-            feature_group_count=d,
-            dtype=self.dtype,
-            name="depthwise_conv",
-        )(h)
+        # depthwise conv through the Pallas custom-VJP op (ops/depthwise_conv:
+        # XLA's grouped-conv backward is the encoder's top backward cost);
+        # parameter tree matches nn.Conv for checkpoint compatibility
+        h = DepthwiseConv1d(self.kernel_size, dtype=self.dtype,
+                            name="depthwise_conv")(h)
         if self.norm_type == "batch_norm":
             h = MaskedBatchNorm(dtype=self.dtype, name="norm")(
                 h, valid, use_running_average=deterministic

@@ -56,22 +56,18 @@ class MultiConvCGMLP(nn.Module):
         a, b = jnp.split(h, 2, axis=-1)
         g = LayerNorm(dtype=self.dtype, name="norm")(b)
         g = jnp.where(valid[..., None], g, 0.0)
+        from llm_guided_asr_tpu.models.conformer import DepthwiseConv1d
+
         outs = []
         for i, k in enumerate(self.kernel_sizes):
             outs.append(
-                nn.Conv(
-                    g.shape[-1], (k,), padding="SAME",
-                    feature_group_count=g.shape[-1], dtype=self.dtype,
-                    name=f"depthwise_conv_{i}",
-                )(g)
+                DepthwiseConv1d(k, dtype=self.dtype,
+                                name=f"depthwise_conv_{i}")(g)
             )
         m = jnp.concatenate(outs, axis=-1)
         m = jnp.where(valid[..., None], m, 0.0)
-        m = nn.Conv(
-            m.shape[-1], (self.merge_kernel,), padding="SAME",
-            feature_group_count=m.shape[-1], dtype=self.dtype,
-            name="merge_conv",
-        )(m)
+        m = DepthwiseConv1d(self.merge_kernel, dtype=self.dtype,
+                            name="merge_conv")(m)
         m = nn.Dense(g.shape[-1], dtype=self.dtype, name="merge_proj")(m)
         h = a * m
         h = nn.Dropout(self.dropout_rate)(h, deterministic=deterministic)
