@@ -56,6 +56,10 @@ class ASRModelConfig:
     # decoder_type == "hugging_face": pretrained causal LM as decoder
     # (hugging_face_transformers_decoder.py causal_lm path)
     hf_decoder: Optional[Any] = None  # HFCausalDecoderConfig
+    # SSL-features frontend (s3prl.py S3prlFrontend analog): a frozen
+    # pretrained wav2vec2/HuBERT encoder turns raw waveform into features
+    # consumed by the main encoder; (kind, W2VConfig)
+    ssl_frontend: Optional[Any] = None
     ctc_weight: float = 0.5
     interctc_weight: float = 0.0
     lsm_weight: float = 0.0
@@ -141,6 +145,16 @@ class ASRModel(nn.Module):
                 )
         if cfg.ctc_weight > 0.0:
             self.ctc_head = nn.Dense(cfg.vocab_size, dtype=self.dtype, name="ctc_head")
+        if cfg.ssl_frontend is not None:
+            from llm_guided_asr_tpu.models.ssl_encoders import (
+                Wav2Vec2Encoder,
+            )
+
+            kind, ssl_cfg = cfg.ssl_frontend
+            # raw Wav2Vec2/HuBERT trunk (no projection): features are the
+            # SSL hidden states, like S3prlFrontend's upstream output
+            self.ssl_frontend_mod = Wav2Vec2Encoder(ssl_cfg, dtype=self.dtype,
+                                                    name="ssl_frontend")
         if cfg.frontend is not None and cfg.frontend.fused:
             from llm_guided_asr_tpu.ops.frontend import FusedFrontend
 
@@ -163,7 +177,10 @@ class ASRModel(nn.Module):
                 mask_units=f.mask_units, ref_channel=f.ref_channel,
                 name="mc_frontend",
             )
-        n_feat = cfg.frontend.output_dim if cfg.frontend is not None else None
+        if cfg.ssl_frontend is not None:
+            n_feat = cfg.ssl_frontend[1].hidden_size
+        else:
+            n_feat = cfg.frontend.output_dim if cfg.frontend is not None else None
         if cfg.normalize == "global_mvn":
             # populated from collect-stats feats_stats.npz (global_mvn.py:26)
             dim = n_feat if n_feat is not None else 1
@@ -181,6 +198,11 @@ class ASRModel(nn.Module):
         self, speech: jnp.ndarray, speech_lengths: jnp.ndarray
     ) -> Tuple[jnp.ndarray, jnp.ndarray]:
         cfg = self.cfg
+        if cfg.ssl_frontend is not None and speech.ndim == 2:
+            # frozen-SSL features (S3prlFrontend path); stop_gradient mirrors
+            # the reference's frozen upstream default (s3prl.py)
+            feats, flens = self.ssl_frontend_mod(speech, speech_lengths)
+            return jax.lax.stop_gradient(feats), flens
         if cfg.frontend is not None and speech.ndim == 3:
             # multichannel [B, S, C]: WPE/MVDR path (or reference channel)
             if cfg.frontend.use_beamformer or cfg.frontend.use_wpe:

@@ -135,7 +135,20 @@ def build_model_config(config: Dict[str, Any]) -> ASRModelConfig:
         vocab_size = len(read_token_list(config["token_list"]))
 
     frontend = None
-    if config.get("frontend", "default") not in (None, "none") and config.get("input_size") is None:
+    ssl_frontend = None
+    if config.get("frontend") == "ssl":
+        # frozen-SSL feature frontend (espnet2/asr/frontend/s3prl.py analog)
+        from transformers import AutoConfig
+
+        from llm_guided_asr_tpu.models.ssl_encoders import W2VConfig
+
+        fc = dict(config.get("frontend_conf", {}) or {})
+        name = fc.get("model_name_or_path")
+        if not name:
+            raise ValueError("frontend=ssl needs frontend_conf.model_name_or_path")
+        kind = fc.get("kind", "wav2vec2")
+        ssl_frontend = (kind, W2VConfig.from_hf_config(AutoConfig.from_pretrained(name)))
+    elif config.get("frontend", "default") not in (None, "none") and config.get("input_size") is None:
         frontend = FrontendConfig.from_dict(config.get("frontend_conf", {}) or {})
 
     specaug = None
@@ -200,6 +213,7 @@ def build_model_config(config: Dict[str, Any]) -> ASRModelConfig:
         decoder_type=decoder_type,
         decoder=decoder,
         hf_decoder=hf_decoder,
+        ssl_frontend=ssl_frontend,
         ctc_weight=float(model_conf.get("ctc_weight", 0.5)),
         interctc_weight=float(model_conf.get("interctc_weight", 0.0)),
         lsm_weight=float(model_conf.get("lsm_weight", 0.0)),
@@ -257,10 +271,13 @@ def init_model_variables(
     if cfg.frontend is not None:
         dummy_speech = jnp.zeros((2, max(cfg.frontend.n_fft * 4, 2048)), jnp.float32)
         dummy_lens = jnp.asarray([dummy_speech.shape[1]] * 2, jnp.int32)
-    elif config.get("encoder") in ("wav2vec2_hf", "hubert_hf"):
-        # raw-waveform pretrained encoders (frontend: none, 1-D input)
-        dummy_speech = jnp.zeros((2, 4000), jnp.float32)
-        dummy_lens = jnp.asarray([4000, 4000], jnp.int32)
+    elif (
+        config.get("encoder") in ("wav2vec2_hf", "hubert_hf")
+        or config.get("frontend") == "ssl"
+    ):
+        # raw-waveform pretrained encoders / SSL frontend (1-D input)
+        dummy_speech = jnp.zeros((2, 12800), jnp.float32)
+        dummy_lens = jnp.asarray([12800, 12800], jnp.int32)
     else:
         dim = int(config.get("input_size") or 80)
         dummy_speech = jnp.zeros((2, 16, dim), jnp.float32)
@@ -310,6 +327,15 @@ def init_model_variables(
             "decoder": {**variables["params"]["decoder"], "llm": llm_params},
         }
         logger.info(f"loaded pretrained decoder LM weights from {name}")
+    if config.get("frontend") == "ssl" and not config.get("_skip_pretrained_encoder"):
+        from llm_guided_asr_tpu.models.ssl_encoders import load_pretrained_encoder
+
+        fc = dict(config.get("frontend_conf", {}) or {})
+        _, pre = load_pretrained_encoder(fc["model_name_or_path"],
+                                         fc.get("kind", "wav2vec2"))
+        variables["params"] = {**variables["params"], "ssl_frontend": pre}
+        logger.info("loaded frozen SSL frontend weights from "
+                    f"{fc['model_name_or_path']}")
     enc_type = config.get("encoder")
     if (
         enc_type in ("wav2vec2_hf", "hubert_hf", "whisper_hf")

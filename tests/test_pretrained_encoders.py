@@ -270,3 +270,56 @@ def test_whisper_inference_prompt_seeded_beam():
     assert all(0 <= i < 50 for i in ids)
     assert 1 not in ids and 3 not in ids and 2 not in ids  # prompt/eot stripped
     assert len(ids) <= 8
+
+
+def test_ssl_frontend_feeds_main_encoder(tmp_path):
+    """frontend: ssl (s3prl.py S3prlFrontend analog): frozen wav2vec2
+    features feed a trainable conformer; SSL grads are zero (frozen)."""
+    from transformers import Wav2Vec2Config, Wav2Vec2Model
+
+    import jax
+    import optax
+
+    from llm_guided_asr_tpu.tasks.asr import build_model, init_model_variables
+
+    hf_dir = tmp_path / "tiny_w2v"
+    hf_cfg = Wav2Vec2Config(**TINY_W2V, feat_extract_norm="group",
+                            do_stable_layer_norm=False, conv_bias=False)
+    Wav2Vec2Model(hf_cfg).save_pretrained(hf_dir)
+
+    config = {
+        "token_type": "char",
+        "token_list": ["<blank>", "<unk>", "a", "b", "<sos/eos>"],
+        "frontend": "ssl",
+        "frontend_conf": {"model_name_or_path": str(hf_dir), "kind": "wav2vec2"},
+        "normalize": "utterance_mvn",
+        "encoder_conf": {"output_size": 16, "attention_heads": 2,
+                         "linear_units": 24, "num_blocks": 1,
+                         "use_cnn_module": False, "input_layer": "linear"},
+        "decoder_conf": {"attention_heads": 2, "linear_units": 24,
+                         "num_blocks": 1},
+        "model_conf": {"ctc_weight": 0.5},
+    }
+    model = build_model(config)
+    variables = init_model_variables(model, config, seed=0)
+    assert "ssl_frontend" in variables["params"]
+
+    # features come from the SSL trunk: hidden_size-dim, subsampled ~320x
+    speech = jnp.asarray(
+        np.random.default_rng(0).standard_normal((2, 6400)), jnp.float32
+    )
+    slens = jnp.asarray([6400, 4800], jnp.int32)
+    feats = model.apply(variables, speech, slens,
+                        method=model.collect_feats)
+    assert feats["feats"].shape[-1] == hf_cfg.hidden_size
+
+    text = jnp.asarray([[2, 3], [3, -1]], jnp.int32)
+    tlens = jnp.asarray([2, 1], jnp.int32)
+    loss, grads = jax.value_and_grad(
+        lambda p: model.apply({**variables, "params": p}, speech, slens, text,
+                              tlens, deterministic=True)[0]
+    )(variables["params"])
+    assert np.isfinite(float(loss))
+    # frozen: no gradient reaches the SSL trunk; the recognizer trains
+    assert float(optax.global_norm(grads["ssl_frontend"])) == 0.0
+    assert float(optax.global_norm(grads["encoder"])) > 0.0
