@@ -57,6 +57,12 @@ class S2STModel(nn.Module):
     def unit_sos(self) -> int:
         return self.cfg.unit_vocab_size  # appended sos/eos for the unit stream
 
+    # beam-search interface over the UNIT decoder (s2st_inference path)
+    def decoder_logits(self, enc, enc_lens, ys_in, ys_in_lengths,
+                       deterministic: bool = True, only_last: bool = False):
+        return self.unit_decoder(enc, enc_lens, ys_in, ys_in_lengths,
+                                 deterministic, only_last=only_last)
+
     def _feats(self, speech, speech_lengths):
         base = self.cfg.base
         f = base.frontend

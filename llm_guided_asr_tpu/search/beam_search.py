@@ -365,12 +365,17 @@ class BatchBeamSearch:
     @staticmethod
     def _lmax(t_enc: int, maxlenratio: float) -> int:
         """Static token-buffer size: don't carry T_enc-sized state when the
-        output is capped far shorter (scorer KV buffers scale with this)."""
-        bound = t_enc
+        output is capped far shorter (scorer KV buffers scale with this).
+
+        The cap must NOT be clamped to t_enc: generation tasks (MT, unit
+        TTS/S2ST) legitimately emit more tokens than encoder frames — an
+        earlier min(bound, t_enc) silently truncated those decodes."""
         if maxlenratio < 0.0:
-            bound = min(bound, int(-maxlenratio))
+            bound = int(-maxlenratio)
         elif maxlenratio > 0.0:
-            bound = min(bound, int(maxlenratio * t_enc) + 1)
+            bound = int(maxlenratio * t_enc) + 1
+        else:
+            bound = t_enc
         return bound + 2
 
     def _to_hyps(self, tokens, lens, scores, nbest: int, parts=None) -> List[Hypothesis]:

@@ -171,11 +171,12 @@ class STTask:
         output_dir = Path(config["output_dir"])
         output_dir.mkdir(parents=True, exist_ok=True)
         logging.basicConfig(level=logging.INFO, format="%(asctime)s %(levelname)s %(message)s")
+        # build (and thus validate) BEFORE dumping the config artifact
+        model = build_st_model(config)
         dump_yaml(config, output_dir / "config.yaml")
         if config.get("dry_run"):
             return None
 
-        model = build_st_model(config)
         variables = init_st_variables(model, config, int(config.get("seed", 0)))
 
         freeze = [translate_param_path(f) for f in (config.get("freeze_param") or [])]

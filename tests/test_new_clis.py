@@ -20,6 +20,8 @@ CLIS = [
     "asr_align", "lm_calc_perplexity", "enh_scoring", "diar_inference",
     "slu_inference", "asvspoof_inference", "uasr_inference",
     "gan_codec_inference", "mt_inference", "speechlm_inference",
+    "st_inference", "s2t_inference", "svs_inference", "tts2_inference",
+    "s2st_inference",
 ]
 
 
@@ -138,3 +140,55 @@ def test_asr_align_recovers_tone_order(tmp_path):
         assert all(0.0 <= v <= 0.45 for v in t0s + t1s)
     segs = (tmp_path / "aligned" / "segments").read_text().splitlines()
     assert len(segs) == 4
+
+
+@pytest.mark.slow
+def test_tts2_inference_emits_units(tmp_path):
+    """Train a tiny discrete-unit TTS then synthesize units via the CLI."""
+    from llm_guided_asr_tpu.tasks.generic import GenericTask
+
+    rng = np.random.default_rng(0)
+    tokens = tmp_path / "tokens.txt"
+    tokens.write_text("\n".join(["<blank>", "<unk>", "a", "b", "<sos/eos>"]) + "\n")
+    for split in ("train", "valid"):
+        d = tmp_path / split
+        d.mkdir()
+        n = 6 if split == "train" else 2
+        with open(d / "text", "w") as ft, open(d / "units", "w") as fu:
+            for i in range(n):
+                u = f"utt{i}"
+                ft.write(f"{u} ab\n")
+                fu.write(f"{u} 1 2 3 4\n")
+    exp = tmp_path / "exp"
+    cfg = {
+        "task": "tts2", "token_list": str(tokens),
+        "model_conf": {"unit_vocab_size": 8, "adim": 16, "heads": 2,
+                       "units": 24, "elayers": 1},
+        "decoder_conf": {"attention_heads": 2, "linear_units": 24,
+                         "num_blocks": 1},
+        "optim": "adam", "optim_conf": {"lr": 0.01}, "scheduler": "none",
+        "batch_type": "unsorted", "batch_size": 6, "max_epoch": 15,
+        "keep_nbest_models": 1, "log_interval": 50, "text_pad_multiple": 4,
+        "train_data_path_and_name_and_type": [
+            [str(tmp_path / "train" / "text"), "text", "text"],
+            [str(tmp_path / "train" / "units"), "units", "text_int"]],
+        "valid_data_path_and_name_and_type": [
+            [str(tmp_path / "valid" / "text"), "text", "text"],
+            [str(tmp_path / "valid" / "units"), "units", "text_int"]],
+        "output_dir": str(exp),
+    }
+    (tmp_path / "c.yaml").write_text(yaml.safe_dump(cfg))
+    GenericTask.main(["--config", str(tmp_path / "c.yaml")])
+
+    from llm_guided_asr_tpu.bin.tts2_inference import inference
+
+    (tmp_path / "in_text").write_text("q1 ab\n")
+    inference(str(tmp_path / "synth"), str(tmp_path / "in_text"),
+              str(exp / "config.yaml"),
+              str(next(exp.glob("*.best.msgpack"))), beam_size=3,
+              maxlenratio=-8.0)
+    line = (tmp_path / "synth" / "units").read_text().strip()
+    uid, *units = line.split()
+    assert uid == "q1" and len(units) >= 1
+    # the overfit model reproduces the training unit sequence
+    assert units == ["1", "2", "3", "4"]
