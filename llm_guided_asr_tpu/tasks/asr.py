@@ -111,6 +111,7 @@ ASR_DEFAULTS: Dict[str, Any] = {
     # parallelism (DDP analog, espnet2/train/trainer.py:262-293):
     # data_parallel: None=off, 0=all devices, N=N-way batch sharding
     "data_parallel": None,
+    "sharded_optim": False,  # ZeRO-1 moment sharding (--sharded_ddp analog)
     "model_parallel": 1,
     # multi-host: coordinator "host:port" + process indices
     # (espnet2/train/distributed_utils.py:87-111 analog)
@@ -650,6 +651,7 @@ class ASRTask:
             report_ctc_er=bool(config.get("report_cer", False)),
             data_parallel=config.get("data_parallel"),
             model_parallel=int(config.get("model_parallel", 1)),
+            sharded_optim=bool(config.get("sharded_optim", False)),
         )
         from llm_guided_asr_tpu.utils.config import normalize_triples
 

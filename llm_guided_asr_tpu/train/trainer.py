@@ -65,6 +65,11 @@ class TrainerOptions:
     data_parallel: Optional[int] = None
     model_parallel: int = 1
     llm_prefix: str = "llm"  # param subtree that gets TP specs on 'model'
+    # ZeRO-1-style optimizer-state sharding along 'data' (the fairscale
+    # OSS / --sharded_ddp analog, trainer.py:209-215): adam moments are
+    # partitioned on their leading dim; XLA inserts the gather/scatter
+    # collectives around the update.
+    sharded_optim: bool = False
 
 
 class TrainState(dict):
@@ -178,9 +183,13 @@ def resolve_mesh(options: "TrainerOptions"):
     return make_mesh(dp, max(options.model_parallel, 1))
 
 
-def shard_train_state(state: Dict, mesh, tx, llm_prefix: str = "llm") -> Dict:
+def shard_train_state(state: Dict, mesh, tx, llm_prefix: str = "llm",
+                      sharded_optim: bool = False) -> Dict:
     """Place a train state on the mesh: params per TP/replication specs,
-    optimizer moments following their params, the rest replicated."""
+    optimizer moments following their params, the rest replicated.
+
+    sharded_optim=True additionally partitions optimizer-moment leaves along
+    the 'data' axis on their leading dim (ZeRO-1 / fairscale OSS analog)."""
     from jax.sharding import NamedSharding, PartitionSpec as P
 
     from llm_guided_asr_tpu.parallel.sharding import param_shardings
@@ -190,8 +199,20 @@ def shard_train_state(state: Dict, mesh, tx, llm_prefix: str = "llm") -> Dict:
     params = jax.device_put(state["params"], p_shard)
     # Re-init the optimizer state from the sharded params: eager zeros_like
     # inherits each param's sharding, so adam moments for TP'd subtrees are
-    # sharded like their params (ZeRO-ish moment sharding comes later).
+    # sharded like their params.
     opt_state = tx.init(params)
+    if sharded_optim:
+        dp = mesh.shape["data"]
+
+        def moment_leaf(x):
+            if (
+                hasattr(x, "ndim") and x.ndim >= 1
+                and x.shape[0] % dp == 0 and x.shape[0] >= dp
+            ):
+                return jax.device_put(x, NamedSharding(mesh, P("data")))
+            return x
+
+        opt_state = jax.tree_util.tree_map(moment_leaf, opt_state)
     return {
         "step": jax.device_put(state["step"], repl),
         "params": params,
@@ -345,9 +366,11 @@ class Trainer:
 
         mesh = resolve_mesh(options)
         if mesh is not None:
-            state = shard_train_state(state, mesh, tx, options.llm_prefix)
+            state = shard_train_state(state, mesh, tx, options.llm_prefix,
+                                      sharded_optim=options.sharded_optim)
             logger.info(
                 f"mesh training: data={mesh.shape['data']} model={mesh.shape['model']}"
+                + (" sharded_optim" if options.sharded_optim else "")
             )
 
         bargs = (

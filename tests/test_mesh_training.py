@@ -23,7 +23,7 @@ sys.path.insert(0, str(Path(__file__).resolve().parent))
 from test_e2e_tiny import TOKEN_LIST, make_corpus  # noqa: E402
 
 
-def _train(root: Path, exp_dir: Path, data_parallel):
+def _train(root: Path, exp_dir: Path, data_parallel, **extra_config):
     from llm_guided_asr_tpu.tasks.asr import ASRTask
     from llm_guided_asr_tpu.train.reporter import Reporter
 
@@ -65,8 +65,9 @@ def _train(root: Path, exp_dir: Path, data_parallel):
         ],
         "output_dir": str(exp_dir),
         "data_parallel": data_parallel,
+        **extra_config,
     }
-    cfg = root / f"train_dp{data_parallel}.yaml"
+    cfg = root / f"train_dp{data_parallel}_{exp_dir.name}.yaml"
     cfg.write_text(yaml.safe_dump(config))
     ASRTask.main(["--config", str(cfg)])
     rep = Reporter.load(exp_dir / "reporter.json")
@@ -155,3 +156,39 @@ def test_model_parallel_llm_state_sharding():
         == jax.sharding.PartitionSpec(None, "model")
     )
     assert state["params"]["encoder"]["kernel"].sharding.spec == jax.sharding.PartitionSpec()
+
+
+def test_sharded_optim_matches_replicated(corpus):
+    """ZeRO-1 moment sharding (sharded_optim, fairscale OSS analog): the
+    loss curve is identical to replicated-optimizer dp training, and the
+    adam moments really are partitioned along 'data'."""
+    import jax
+
+    assert len(jax.devices()) >= 8
+    dp8 = _train(corpus, corpus / "exp_dp8_ref", data_parallel=8)
+    z1 = _train(corpus, corpus / "exp_dp8_zero1", data_parallel=8,
+                sharded_optim=True)
+    for ep in dp8:
+        for ph in ("train", "valid"):
+            np.testing.assert_allclose(dp8[ep][ph], z1[ep][ph],
+                                       rtol=2e-3, atol=2e-4)
+
+    # sharding is real: place a tiny state and check the moment layout
+    import jax.numpy as jnp
+    import optax
+
+    from llm_guided_asr_tpu.parallel.mesh import make_mesh
+    from llm_guided_asr_tpu.train.trainer import (
+        init_train_state,
+        shard_train_state,
+    )
+
+    mesh = make_mesh(8, 1)
+    tx = optax.adam(1e-3)
+    params = {"w": jnp.zeros((16, 4)), "b": jnp.zeros((3,))}
+    state = init_train_state({"params": params}, tx)
+    sharded = shard_train_state(state, mesh, tx, sharded_optim=True)
+    mu = sharded["opt_state"][0].mu
+    specs = {k: tuple(v.sharding.spec) for k, v in mu.items()}
+    assert specs["w"] == ("data",)  # 16 % 8 == 0 -> partitioned
+    assert specs["b"] == ()  # 3 not divisible -> replicated
