@@ -61,6 +61,10 @@ class ASRModelConfig:
     # consumed by the main encoder; (kind, W2VConfig)
     ssl_frontend: Optional[Any] = None
     ctc_weight: float = 0.5
+    # ctc_type (espnet2/asr/ctc.py): builtin/builtin2 -> the FB kernel
+    # (zero_infinity included); brctc -> delay-penalized Bayes-risk variant
+    ctc_type: str = "builtin"
+    brctc_risk_factor: float = 0.0
     interctc_weight: float = 0.0
     lsm_weight: float = 0.0
     length_normalized_loss: bool = False
@@ -303,8 +307,10 @@ class ASRModel(nn.Module):
         stats: Dict[str, jnp.ndarray] = {}
         loss_ctc = jnp.asarray(0.0, jnp.float32)
         if cfg.ctc_weight > 0.0:
+            risk = (cfg.brctc_risk_factor if cfg.ctc_type == "brctc" else 0.0)
             loss_ctc = ctc_loss(
-                self.ctc_logits(enc_out), enc_lens, text, text_lengths, cfg.blank_id
+                self.ctc_logits(enc_out), enc_lens, text, text_lengths,
+                cfg.blank_id, time_risk=risk,
             )
             stats["loss_ctc"] = loss_ctc
             if cfg.interctc_weight > 0.0 and intermediates:

@@ -33,9 +33,20 @@ def _extend(labels: jnp.ndarray, blank_id: int) -> jnp.ndarray:
     return ext.at[:, 1::2].set(labels)
 
 
-def _fb(lp: jnp.ndarray, logit_lengths, labels, label_lengths, blank_id):
+def _fb(lp: jnp.ndarray, logit_lengths, labels, label_lengths, blank_id,
+        time_risk: float = 0.0):
     """Run both recursions; return (per-ex loss, gamma posteriors [T, B, S],
-    ext labels)."""
+    ext labels).
+
+    time_risk > 0 tilts the path distribution with a delay risk
+    r(t) = time_risk * t / T charged per frame a path occupies a TOKEN
+    state (Bayes-risk CTC in its latency-control use,
+    espnet2/asr/bayes_risk_ctc.py / k2 brctc; this formulation penalizes
+    late token occupancy rather than grouping by last-emission frame —
+    same control knob, simpler risk): training prefers early-emitting
+    alignments.  The risk is constant w.r.t. the logits, so the gradient
+    identity (softmax - tilted posterior) is unchanged.
+    """
     b, t_max, v = lp.shape
     n = labels.shape[1]
     s_max = 2 * n + 1
@@ -49,6 +60,12 @@ def _fb(lp: jnp.ndarray, logit_lengths, labels, label_lengths, blank_id):
     em = jnp.moveaxis(
         jax.vmap(lambda lpb, extb: lpb[:, extb])(lp, ext), 1, 0
     )
+    if time_risk:
+        # delay risk on TOKEN states only (odd s); normalized frame index
+        tt = jnp.arange(t_max, dtype=jnp.float32)[:, None, None]
+        denom = jnp.maximum(logit_lengths.astype(jnp.float32), 1.0)[None, :, None]
+        is_tok = (jnp.arange(s_max) % 2 == 1)[None, None, :]
+        em = em - jnp.where(is_tok, time_risk * tt / denom, 0.0)
     sidx = jnp.arange(s_max)[None, :]
     s_valid = sidx < s_len[:, None]
     # skip transition allowed: s >= 2, ext[s] != blank, ext[s] != ext[s-2]
@@ -129,10 +146,12 @@ def _fb(lp: jnp.ndarray, logit_lengths, labels, label_lengths, blank_id):
 import functools
 
 
-@functools.partial(jax.custom_vjp, nondiff_argnums=(4,))
-def _ctc_loss_fb_impl(logits, logit_lengths, labels, label_lengths, blank_id):
+@functools.partial(jax.custom_vjp, nondiff_argnums=(4, 5))
+def _ctc_loss_fb_impl(logits, logit_lengths, labels, label_lengths, blank_id,
+                      time_risk):
     lp = jax.nn.log_softmax(logits.astype(jnp.float32), axis=-1)
-    loss, _, _, _ = _fb(lp, logit_lengths, labels, label_lengths, blank_id)
+    loss, _, _, _ = _fb(lp, logit_lengths, labels, label_lengths, blank_id,
+                        time_risk)
     return loss
 
 
@@ -142,29 +161,31 @@ def ctc_loss_fb(
     labels: jnp.ndarray,  # [B, N]
     label_lengths: jnp.ndarray,
     blank_id: int = 0,
+    time_risk: float = 0.0,
 ) -> jnp.ndarray:
     """Per-example CTC NLL [B] (forward-backward, custom gradient).
 
     Impossible alignments (T < |ext path|) come back as +inf so callers'
-    zero_infinity-style isfinite filters drop them.
+    zero_infinity-style isfinite filters drop them.  time_risk > 0 gives
+    the Bayes-risk (delay-penalized) variant — see _fb.
     """
     loss = _ctc_loss_fb_impl(logits, logit_lengths, labels,
                              jnp.minimum(label_lengths, labels.shape[1]),
-                             blank_id)
+                             blank_id, float(time_risk))
     return jnp.where(loss < 1e29, loss, jnp.inf)
 
 
-def _fwd(logits, logit_lengths, labels, label_lengths, blank_id):
+def _fwd(logits, logit_lengths, labels, label_lengths, blank_id, time_risk):
     lp = jax.nn.log_softmax(logits.astype(jnp.float32), axis=-1)
     loss, gamma, ext, t_valid = _fb(lp, logit_lengths, labels, label_lengths,
-                                    blank_id)
+                                    blank_id, time_risk)
     # dtype token: residuals must be JAX types, so carry an empty array
     return loss, (lp, gamma, ext, t_valid, loss, jnp.zeros((0,), logits.dtype))
 
 
 
 
-def _bwd(blank_id, res, g):
+def _bwd(blank_id, time_risk, res, g):
     lp, gamma, ext, t_valid, loss, dtype_token = res
     in_dtype = dtype_token.dtype
     b, t_max, v = lp.shape

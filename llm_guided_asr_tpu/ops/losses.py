@@ -27,6 +27,7 @@ def ctc_loss_per_example(
     labels: jnp.ndarray,  # [B, N] padded with any value beyond length
     label_lengths: jnp.ndarray,  # [B]
     blank_id: int = 0,
+    time_risk: float = 0.0,
 ) -> jnp.ndarray:
     """Per-example CTC negative log-likelihood [B] (non-finite -> 0).
 
@@ -39,7 +40,7 @@ def ctc_loss_per_example(
     label_valid = make_valid_mask(label_lengths, labels.shape[1])
     labels = jnp.where(label_valid, labels, 0)
     per_ex = ctc_loss_fb(logits, logit_lengths, labels, label_lengths,
-                         blank_id=blank_id)
+                         blank_id=blank_id, time_risk=time_risk)
     # zero_infinity analog (ctc.py:93-130): drop non-finite examples
     return jnp.where(jnp.isfinite(per_ex), per_ex, 0.0)
 
@@ -50,10 +51,14 @@ def ctc_loss(
     labels: jnp.ndarray,  # [B, N] padded with any value beyond length
     label_lengths: jnp.ndarray,  # [B]
     blank_id: int = 0,
+    time_risk: float = 0.0,
 ) -> jnp.ndarray:
-    """Batch-mean CTC loss (matches reference 'builtin': sum over batch / B)."""
+    """Batch-mean CTC loss (matches reference 'builtin': sum over batch / B).
+
+    time_risk > 0 = Bayes-risk delay-penalized variant (ctc_type brctc,
+    espnet2/asr/bayes_risk_ctc.py analog without k2)."""
     per_ex = ctc_loss_per_example(logits, logit_lengths, labels, label_lengths,
-                                  blank_id=blank_id)
+                                  blank_id=blank_id, time_risk=time_risk)
     return jnp.sum(per_ex) / logits.shape[0]
 
 

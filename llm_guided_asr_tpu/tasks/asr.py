@@ -105,6 +105,7 @@ ASR_DEFAULTS: Dict[str, Any] = {
     "report_cer": False,
     # mixed-vocab CTC (reference ctc_vocab_path, transformer_decoder.py:1002):
     # separate CTC token list + tokenizer for the 'ctc_text' data stream
+    "ctc_conf": {},  # {ctc_type: builtin|builtin2|brctc, brctc_risk_factor}
     "ctc_token_list": None,
     "ctc_token_type": "char",
     "ctc_bpemodel": None,
@@ -204,6 +205,12 @@ def build_model_config(config: Dict[str, Any]) -> ASRModelConfig:
     )
 
     model_conf = dict(config.get("model_conf", {}) or {})
+    ctc_type = (config.get("ctc_conf") or {}).get("ctc_type", "builtin")
+    if ctc_type not in ("builtin", "builtin2", "brctc"):
+        raise ValueError(
+            f"unknown ctc_type {ctc_type!r}; known: builtin, builtin2, brctc "
+            "(gtnctc needs gtn which is not in this environment)"
+        )
     return ASRModelConfig(
         vocab_size=vocab_size,
         frontend=frontend,
@@ -216,6 +223,10 @@ def build_model_config(config: Dict[str, Any]) -> ASRModelConfig:
         hf_decoder=hf_decoder,
         ssl_frontend=ssl_frontend,
         ctc_weight=float(model_conf.get("ctc_weight", 0.5)),
+        ctc_type=ctc_type,
+        brctc_risk_factor=float(
+            (config.get("ctc_conf") or {}).get("brctc_risk_factor", 0.0)
+        ),
         interctc_weight=float(model_conf.get("interctc_weight", 0.0)),
         lsm_weight=float(model_conf.get("lsm_weight", 0.0)),
         length_normalized_loss=bool(model_conf.get("length_normalized_loss", False)),

@@ -78,3 +78,63 @@ def test_grad_sums_to_zero_over_vocab():
     np.testing.assert_allclose(sums, 0.0, atol=1e-4)
     # padded frames get zero grad
     assert np.allclose(np.asarray(g)[1, 5:], 0.0)
+
+
+def test_brctc_delay_risk_prefers_early_emission():
+    """With a symmetric two-frame choice for one label, the delay risk must
+    push gradient mass toward emitting at the EARLIER frame."""
+    logits = jnp.zeros((1, 4, 3), jnp.float32)  # uniform: emission time free
+    labels = jnp.asarray([[1]], jnp.int32)
+    ll = jnp.asarray([4])
+    lbl = jnp.asarray([1])
+
+    def grad_at(time_risk):
+        g = jax.grad(lambda lg: jnp.sum(
+            ctc_loss_fb(lg, ll, labels, lbl, time_risk=time_risk)
+        ))(logits)
+        return np.asarray(g)[0, :, 1]  # d loss / d logit of label 1 per frame
+
+    g0 = grad_at(0.0)
+    # uniform logits: standard CTC is time-symmetric
+    np.testing.assert_allclose(g0[0], g0[3], atol=1e-6)
+    g1 = grad_at(4.0)
+    # risk: early frames want label-1 logit UP (more negative grad) vs late
+    assert g1[0] < g1[3] - 1e-4, (g1,)
+    # loss value increases with risk (tilted partition shrinks)
+    l0 = float(ctc_loss_fb(logits, ll, labels, lbl)[0])
+    l1 = float(ctc_loss_fb(logits, ll, labels, lbl, time_risk=4.0)[0])
+    assert l1 > l0
+
+
+def test_brctc_through_asr_task():
+    """ctc_conf.ctc_type=brctc builds and trains one step."""
+    from llm_guided_asr_tpu.tasks.asr import build_model, init_model_variables
+
+    config = {
+        "token_type": "char",
+        "token_list": ["<blank>", "<unk>", "a", "b", "<sos/eos>"],
+        "frontend_conf": {"n_fft": 256, "hop_length": 128, "n_mels": 20},
+        "normalize": "utterance_mvn",
+        "encoder_conf": {"output_size": 16, "attention_heads": 2,
+                         "linear_units": 24, "num_blocks": 1,
+                         "use_cnn_module": False, "input_layer": "linear"},
+        "decoder_conf": {"attention_heads": 2, "linear_units": 24,
+                         "num_blocks": 1},
+        "model_conf": {"ctc_weight": 0.5},
+        "ctc_conf": {"ctc_type": "brctc", "brctc_risk_factor": 0.5},
+    }
+    model = build_model(config)
+    assert model.cfg.ctc_type == "brctc"
+    variables = init_model_variables(model, config)
+    rng = np.random.default_rng(0)
+    speech = jnp.asarray(rng.standard_normal((2, 2048)) * 0.1, jnp.float32)
+    slens = jnp.asarray([2048, 1600])
+    text = jnp.asarray([[2, 3], [3, -1]], jnp.int32)
+    tlens = jnp.asarray([2, 1])
+    loss, stats, _ = model.apply(variables, speech, slens, text, tlens,
+                                 deterministic=True)
+    assert np.isfinite(float(loss))
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError):
+        build_model({**config, "ctc_conf": {"ctc_type": "gtnctc"}})
