@@ -44,6 +44,7 @@ DEFAULTS = {
     "nbest": 1,
     "beam_size": 10,
     "ctc_weight": 0.3,
+    "decode_nj": 1,   # multi-job decode splitting (asr.sh:1480)
     "use_lm": False,
     "lm_config": None,   # YAML for LMTask (lm_conf etc.); defaults used if None
     "lm_weight": 0.3,
@@ -255,16 +256,60 @@ def main(cmd=None):
                 lm_file=str(lm_model),
                 lm_weight=float(cfg.get("lm_weight", 0.3)),
             )
-        inference(
-            str(expdir / "decode" / test_split),
-            [(str(work / test_split / "wav.scp"), "speech", "sound")],
-            str(train_exp / "config.yaml"),
-            str(model_file),
-            beam_size=int(cfg["beam_size"]),
-            ctc_weight=float(cfg["ctc_weight"]),
-            nbest=int(cfg["nbest"]),
-            **fusion,
-        )
+        nj = int(cfg.get("decode_nj", 1))
+        if nj <= 1:
+            inference(
+                str(expdir / "decode" / test_split),
+                [(str(work / test_split / "wav.scp"), "speech", "sound")],
+                str(train_exp / "config.yaml"),
+                str(model_file),
+                beam_size=int(cfg["beam_size"]),
+                ctc_weight=float(cfg["ctc_weight"]),
+                nbest=int(cfg["nbest"]),
+                **fusion,
+            )
+        else:
+            # multi-job decode (asr.sh:1480 job splitting via split_scps):
+            # shard wav.scp, decode shards as concurrent subprocesses, merge
+            import subprocess
+            import sys as _sys
+
+            from llm_guided_asr_tpu.bin.split_scps import split_scps
+
+            dec_dir = expdir / "decode" / test_split
+            shard_dir = dec_dir / "split"
+            split_scps([str(work / test_split / "wav.scp")], nj, str(shard_dir))
+            shards = [shard_dir / f"wav.scp.{j}" for j in range(1, nj + 1)]
+            procs = []
+            for j, shard in enumerate(shards, 1):
+                args = [_sys.executable, "-m",
+                        "llm_guided_asr_tpu.bin.asr_inference",
+                        "--output_dir", str(dec_dir / f"job{j}"),
+                        "--data_path_and_name_and_type",
+                        f"{shard},speech,sound",
+                        "--asr_train_config", str(train_exp / "config.yaml"),
+                        "--asr_model_file", str(model_file),
+                        "--beam_size", str(cfg["beam_size"]),
+                        "--ctc_weight", str(cfg["ctc_weight"]),
+                        "--nbest", str(cfg["nbest"])]
+                for k, v in fusion.items():
+                    args += [f"--{k}", str(v)]
+                procs.append(subprocess.Popen(args))
+            rcs = [p.wait() for p in procs]
+            if any(rcs):
+                raise RuntimeError(f"decode jobs failed: rcs={rcs}")
+            # merge job outputs (asr.sh concatenates the per-job scp files)
+            merged = dec_dir / "1best_recog"
+            merged.mkdir(parents=True, exist_ok=True)
+            for name in ("text", "token", "score"):
+                lines = []
+                for j in range(1, nj + 1):
+                    f = dec_dir / f"job{j}" / "1best_recog" / name
+                    if f.exists():
+                        lines += f.read_text().splitlines()
+                (merged / name).write_text(
+                    "\n".join(sorted(lines)) + ("\n" if lines else "")
+                )
     if stage <= 13 <= stop:
         from llm_guided_asr_tpu.bin.score import score
 

@@ -63,6 +63,34 @@ def test_pipeline_stages_3_to_13(tmp_path, capsys):
     assert result["metric"] == "CER"
     assert result["err"] <= 15.0, f"pipeline CER too high: {result}"
 
+    # multi-job decode splitting (asr.sh:1480): re-decode with decode_nj=2,
+    # merged outputs must equal the single-job decode
+    single = dict(
+        line.split(maxsplit=1)
+        for line in (expdir / "decode" / "valid" / "1best_recog" / "text")
+        .read_text().splitlines()
+    )
+    expdir2 = tmp_path / "exp_nj2"
+    import shutil
+
+    shutil.copytree(expdir, expdir2)
+    shutil.rmtree(expdir2 / "decode")
+    pipeline_main([
+        "--config", str(cfg_file),
+        "--train_dir", str(root / "train"),
+        "--valid_dir", str(root / "valid"),
+        "--expdir", str(expdir2),
+        "--stage", "12", "--stop_stage", "12",
+        "--beam_size", "5", "--ctc_weight", "0.3",
+        "--decode_nj", "2",
+    ])
+    merged = dict(
+        line.split(maxsplit=1)
+        for line in (expdir2 / "decode" / "valid" / "1best_recog" / "text")
+        .read_text().splitlines()
+    )
+    assert merged == single
+
 
 def test_pipeline_lm_ngram_stages(tmp_path):
     """Stages 6-9: LM training, perplexity, ngram ARPA; LM fuses at decode."""
