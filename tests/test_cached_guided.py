@@ -88,3 +88,28 @@ def test_beam_search_with_cached_scorer_matches_plain(setup):
     assert [h.yseq for h in h_cached] == [h.yseq for h in h_plain]
     for a, b in zip(h_cached, h_plain):
         np.testing.assert_allclose(a.score, b.score, rtol=1e-4, atol=1e-4)
+
+
+def test_guided_batch_decode_matches_single(setup):
+    """CachedGuidedScorer under the vmapped batch decode: per-utterance
+    results equal the one-at-a-time decodes (prefix caches stay per-lane)."""
+    import numpy as np
+
+    from llm_guided_asr_tpu.search.beam_search import BatchBeamSearch
+
+    model, variables, _, _ = setup
+    rng = np.random.default_rng(3)
+    speech = jnp.asarray(rng.standard_normal((2, 4000)), jnp.float32) * 0.1
+    lengths = jnp.full((2,), 4000, jnp.int32)
+    enc, enc_lens = model.apply(variables, speech, lengths, method=model.encode)
+    bs = BatchBeamSearch(
+        model, variables, vocab_size=model.cfg.vocab_size,
+        sos=model.cfg.sos_id, eos=model.cfg.eos_id,
+        beam_size=4, ctc_weight=0.3,
+        att_scorer=CachedGuidedScorer(model, variables),
+    )
+    h0 = bs(enc[:1], enc_lens[:1], maxlenratio=-8.0)
+    h1 = bs(enc[1:], enc_lens[1:], maxlenratio=-8.0)
+    nb = bs.batch_decode(enc, enc_lens, maxlenratio=-8.0)
+    assert nb[0][0].yseq == h0[0].yseq
+    assert nb[1][0].yseq == h1[0].yseq
