@@ -18,6 +18,7 @@ SHIMS = [
 
 CLIS = [
     "asr_align", "lm_calc_perplexity", "enh_scoring", "diar_inference",
+    "enh_inference_streaming",
     "slu_inference", "asvspoof_inference", "uasr_inference",
     "gan_codec_inference", "mt_inference", "speechlm_inference",
     "st_inference", "s2t_inference", "svs_inference", "tts2_inference",
@@ -192,3 +193,68 @@ def test_tts2_inference_emits_units(tmp_path):
     assert uid == "q1" and len(units) >= 1
     # the overfit model reproduces the training unit sequence
     assert units == ["1", "2", "3", "4"]
+
+
+@pytest.mark.slow
+def test_enh_streaming_close_to_offline(tmp_path):
+    """Chunked separation with context trimming tracks the offline output
+    for a conv (TCN) separator."""
+    import yaml as _yaml
+
+    from llm_guided_asr_tpu.tasks.generic import GenericTask
+
+    rng = np.random.default_rng(0)
+    t = np.arange(24000) / 16000.0
+    s1 = (0.4 * np.sin(2 * np.pi * 350 * t)).astype(np.float32)
+    s2 = (0.4 * np.sin(2 * np.pi * 1500 * t)).astype(np.float32)
+    for split, n in [("train", 4), ("valid", 2)]:
+        d = tmp_path / split
+        d.mkdir()
+        scps = {k: open(d / f"{k}.scp", "w") for k in ("mix", "r1", "r2")}
+        for i in range(n):
+            for name, sig in [("mix", s1 + s2), ("r1", s1), ("r2", s2)]:
+                p = d / f"{name}_{i}.wav"
+                _write_wav(p, sig[:4000])
+                scps[name].write(f"u{i} {p}\n")
+        for f in scps.values():
+            f.close()
+    exp = tmp_path / "exp"
+    cfg = {
+        "task": "enh",
+        "model_conf": {"num_spk": 2, "n_fft": 256, "hop_length": 128,
+                       "separator_type": "tcn", "hidden": 16, "layers": 1},
+        "optim": "adam", "optim_conf": {"lr": 0.002}, "scheduler": "none",
+        "batch_type": "unsorted", "batch_size": 4, "max_epoch": 3,
+        "keep_nbest_models": 1, "log_interval": 50, "speech_pad_multiple": 4000,
+        "train_data_path_and_name_and_type": [
+            [str(tmp_path / "train" / "mix.scp"), "speech_mix", "sound"],
+            [str(tmp_path / "train" / "r1.scp"), "speech_ref1", "sound"],
+            [str(tmp_path / "train" / "r2.scp"), "speech_ref2", "sound"]],
+        "valid_data_path_and_name_and_type": [
+            [str(tmp_path / "valid" / "mix.scp"), "speech_mix", "sound"],
+            [str(tmp_path / "valid" / "r1.scp"), "speech_ref1", "sound"],
+            [str(tmp_path / "valid" / "r2.scp"), "speech_ref2", "sound"]],
+        "output_dir": str(exp), "token_list": None,
+    }
+    (tmp_path / "enh.yaml").write_text(_yaml.safe_dump(cfg))
+    GenericTask.main(["--config", str(tmp_path / "enh.yaml")])
+
+    from llm_guided_asr_tpu.bin.enh_inference import SeparateSpeech
+    from llm_guided_asr_tpu.bin.enh_inference_streaming import (
+        SeparateSpeechStreaming,
+    )
+
+    mdl = next(exp.glob("*.best.msgpack"))
+    mix = (s1 + s2)[:12000]
+    off = SeparateSpeech(str(exp / "config.yaml"), str(mdl))(mix)
+    strm = SeparateSpeechStreaming(str(exp / "config.yaml"), str(mdl),
+                                   chunk_samples=4096,
+                                   context_samples=4096)(mix)
+    assert len(strm) == 2 and all(len(o) == len(mix) for o in strm)
+    # core frames match offline well inside the receptive field: compare
+    # energy-normalized error over the middle
+    for o, s in zip(off, strm):
+        mid = slice(2000, 10000)
+        err = np.mean((o[mid] - s[mid]) ** 2)
+        ref = np.mean(o[mid] ** 2) + 1e-8
+        assert err / ref < 0.05, (err, ref)
