@@ -216,6 +216,14 @@ class ConformerBlock(nn.Module):
                 cfg.attention_heads, cfg.attention_dropout_rate, dtype=self.dtype,
                 name="self_attn",
             )(h, pos_emb, attn_mask, deterministic)
+        elif cfg.selfattention_layer_type == "flash":
+            # Pallas TPU flash attention (O(T) memory; long-form encoders)
+            from llm_guided_asr_tpu.models.transformer import FlashSelfAttention
+
+            h = FlashSelfAttention(
+                cfg.attention_heads, cfg.attention_dropout_rate,
+                dtype=self.dtype, name="self_attn",
+            )(h, valid, deterministic)
         else:
             h = MultiHeadedAttention(
                 cfg.attention_heads, cfg.attention_dropout_rate, dtype=self.dtype,

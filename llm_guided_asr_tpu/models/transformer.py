@@ -337,3 +337,81 @@ class DecoderLayer(nn.Module):
         )(h, deterministic)
         x = x + drop(h, deterministic=deterministic)
         return x
+
+
+class FlashSelfAttention(nn.Module):
+    """Self-attention through the Pallas TPU flash kernel
+    (jax.experimental.pallas.ops.tpu.flash_attention) — O(T) memory, no
+    [B, H, T, T] materialization; the long-form encoder path
+    (SURVEY §5.7's optional fused-attention upgrade).
+
+    Parameter tree matches MultiHeadedAttention (linear_q/k/v/out) so
+    checkpoints swap freely; non-TPU backends and incompatible shapes fall
+    back to the dense path with identical numerics.  Valid-length masking
+    rides flash's SegmentIds (pads live in segment 0, valid frames in 1).
+    """
+
+    num_heads: int
+    dropout_rate: float = 0.0  # applied on the output proj path only
+    dtype: Dtype = jnp.float32
+
+    @nn.compact
+    def __call__(
+        self,
+        x: jnp.ndarray,  # [B, T, D]
+        valid: jnp.ndarray,  # [B, T] bool
+        deterministic: bool = True,
+    ) -> jnp.ndarray:
+        d_model = x.shape[-1]
+        h, d_k = self.num_heads, d_model // self.num_heads
+
+        def proj(name):
+            y = nn.Dense(d_model, dtype=self.dtype, name=name)(x)
+            return y.reshape(*y.shape[:-1], h, d_k)
+
+        q = proj("linear_q")
+        k = proj("linear_k")
+        v = proj("linear_v")
+
+        use_flash = False
+        try:
+            use_flash = (
+                jax.devices()[0].platform == "tpu"
+                and d_k in (64, 128, 256)
+            )
+        except Exception:
+            pass
+
+        if use_flash:
+            from jax.experimental.pallas.ops.tpu import flash_attention as fa
+
+            b, t = x.shape[0], x.shape[1]
+            pad = (-t) % 128
+            qh = jnp.moveaxis(q, 2, 1)  # [B, H, T, dk]
+            kh = jnp.moveaxis(k, 2, 1)
+            vh = jnp.moveaxis(v, 2, 1)
+            if pad:
+                qh = jnp.pad(qh, ((0, 0), (0, 0), (0, pad), (0, 0)))
+                kh = jnp.pad(kh, ((0, 0), (0, 0), (0, pad), (0, 0)))
+                vh = jnp.pad(vh, ((0, 0), (0, 0), (0, pad), (0, 0)))
+            seg = jnp.pad(valid.astype(jnp.int32), ((0, 0), (0, pad)))
+            blk = min(512, qh.shape[2])
+            sizes = fa.BlockSizes(
+                block_q=blk, block_k_major=blk, block_k=blk, block_b=1,
+                block_q_major_dkv=blk, block_k_major_dkv=blk,
+                block_k_dkv=blk, block_q_dkv=blk,
+                block_k_major_dq=blk, block_k_dq=blk, block_q_dq=blk,
+            )
+            out = fa.flash_attention(
+                qh, kh, vh, segment_ids=fa.SegmentIds(seg, seg),
+                sm_scale=1.0 / math.sqrt(d_k), block_sizes=sizes,
+            )
+            out = jnp.moveaxis(out[:, :, :t], 1, 2).reshape(b, t, d_model)
+            out = jnp.where(valid[..., None], out, 0.0)
+        else:
+            scores = jnp.einsum("bqhd,bkhd->bhqk", q, k) / math.sqrt(d_k)
+            attn = _masked_softmax(scores, valid[:, None, :])
+            out = jnp.einsum("bhqk,bkhd->bqhd", attn, v)
+            out = out.reshape(*out.shape[:-2], d_model)
+        out = nn.Dropout(self.dropout_rate)(out, deterministic=deterministic)
+        return nn.Dense(d_model, dtype=self.dtype, name="linear_out")(out)

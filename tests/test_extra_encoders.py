@@ -143,3 +143,26 @@ def test_gst_style_conditioning():
                           ref_mel=mel + 3.0, ref_mel_lengths=mlens,
                           method=model.inference)
     assert not np.allclose(np.asarray(out1), np.asarray(out2))
+
+
+def test_flash_attention_falls_back_dense_on_cpu():
+    """selfattention_layer_type=flash: identical numerics to selfattn via the
+    dense fallback on CPU (the TPU pallas path is covered by a TPU probe)."""
+    rng = np.random.default_rng(7)
+    feats = jnp.asarray(rng.standard_normal((2, 24, 20)), jnp.float32)
+    lens = jnp.asarray([24, 17])
+    base = dict(output_size=16, attention_heads=2, linear_units=32,
+                num_blocks=1, input_layer="linear", use_cnn_module=False,
+                dropout_rate=0.0, positional_dropout_rate=0.0,
+                pos_enc_layer_type="abs_pos")
+    dense = make_encoder("conformer", ConformerConfig(
+        **base, selfattention_layer_type="selfattn"), name="enc")
+    flash = make_encoder("conformer", ConformerConfig(
+        **base, selfattention_layer_type="flash"), name="enc")
+    v = dense.init({"params": jax.random.PRNGKey(0),
+                    "dropout": jax.random.PRNGKey(1)},
+                   feats, lens, deterministic=True)
+    out_d, _ = dense.apply(v, feats, lens, deterministic=True)
+    out_f, _ = flash.apply(v, feats, lens, deterministic=True)
+    np.testing.assert_allclose(np.asarray(out_f), np.asarray(out_d),
+                               rtol=1e-5, atol=1e-5)
