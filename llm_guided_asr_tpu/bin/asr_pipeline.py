@@ -4,6 +4,7 @@
 A python stage runner over Kaldi-format data dirs (wav.scp + text), keeping
 the reference's stage numbering where the stage exists here:
 
+  stage 2   speed perturbation (sox 0.9/1.0/1.1 analog; --speed_perturb)
   stage 3   wav format/validation (format_wav_scp: resolve+check audio)
   stage 4   remove long/short utterances (asr.sh:799)
   stage 5   token list generation (char; asr.sh:877-968)
@@ -38,6 +39,7 @@ DEFAULTS = {
     "expdir": "exp/asr",
     "stage": 3,
     "stop_stage": 13,
+    "speed_perturb": None,    # e.g. "0.9,1.0,1.1" (asr.sh:579 stage 2)
     "min_samples": 800,       # remove-short threshold (samples)
     "max_samples": 480000,    # remove-long threshold (30 s @ 16 kHz)
     "token_type": "char",
@@ -158,6 +160,42 @@ def main(cmd=None):
     }
     if cfg.get("test_dir"):
         dirs["test"] = Path(cfg["test_dir"])
+
+    if cfg.get("speed_perturb") and stage <= 2 <= stop:
+        # stage 2: offline speed-perturbed copies of the TRAIN split only
+        # (perturb_data_dir_speed, asr.sh:579; 'sp<f>-<uid>' naming)
+        import numpy as np
+
+        from llm_guided_asr_tpu.data.fileio import (
+            read_2columns_text,
+            read_audio,
+            write_wav,
+        )
+        from llm_guided_asr_tpu.ops.augment import speed_perturb
+
+        factors = [float(f) for f in str(cfg["speed_perturb"]).split(",")]
+        src = dirs["train"]
+        sp_dir = work / "train_sp"
+        sp_dir.mkdir(parents=True, exist_ok=True)
+        wavs = read_2columns_text(src / "wav.scp")
+        texts = read_2columns_text(src / "text")
+        with open(sp_dir / "wav.scp", "w") as fw, open(sp_dir / "text", "w") as ft:
+            for uid, path in wavs.items():
+                if uid not in texts:
+                    continue
+                rate, wav = read_audio(path)
+                for f in factors:
+                    if abs(f - 1.0) < 1e-6:
+                        fw.write(f"{uid} {path}\n")
+                        ft.write(f"{uid} {texts[uid]}\n")
+                        continue
+                    new_uid = f"sp{f:g}-{uid}"
+                    p = sp_dir / f"{new_uid}.wav"
+                    write_wav(p, rate, speed_perturb(np.asarray(wav, np.float32), f))
+                    fw.write(f"{new_uid} {p}\n")
+                    ft.write(f"{new_uid} {texts[uid]}\n")
+        dirs["train"] = sp_dir
+        logger.info(f"stage2: speed-perturbed train -> {sp_dir} (x{len(factors)})")
 
     if stage <= 3 <= stop:
         for split, d in dirs.items():

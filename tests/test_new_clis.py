@@ -259,3 +259,36 @@ def test_enh_streaming_close_to_offline(tmp_path):
         err = np.mean((o[mid] - s[mid]) ** 2)
         ref = np.mean(o[mid] ** 2) + 1e-8
         assert err / ref < 0.05, (err, ref)
+
+
+def test_pipeline_stage2_speed_perturb(tmp_path):
+    """Stage 2 triples the train split with sp<f>- copies (asr.sh:579)."""
+    for split in ("train", "valid"):
+        d = tmp_path / split
+        d.mkdir()
+        with open(d / "wav.scp", "w") as fw, open(d / "text", "w") as ft:
+            for i in range(2):
+                u = f"u{i}"
+                t = np.arange(3200) / 16000.0
+                _write_wav(d / f"{u}.wav", 0.5 * np.sin(2 * np.pi * 440 * t))
+                fw.write(f"{u} {d / f'{u}.wav'}\n")
+                ft.write(f"{u} ab\n")
+    from llm_guided_asr_tpu.bin.asr_pipeline import main as pipeline_main
+
+    pipeline_main([
+        "--train_dir", str(tmp_path / "train"),
+        "--valid_dir", str(tmp_path / "valid"),
+        "--expdir", str(tmp_path / "exp"),
+        "--stage", "2", "--stop_stage", "5",
+        "--speed_perturb", "0.9,1.0,1.1",
+    ])
+    lines = (tmp_path / "exp" / "data" / "train" / "wav.scp").read_text().splitlines()
+    assert len(lines) == 6
+    assert any(l.startswith("sp0.9-") for l in lines)
+    assert any(l.startswith("sp1.1-") for l in lines)
+    # perturbed audio really is resampled (sp0.9 is LONGER)
+    from llm_guided_asr_tpu.data.fileio import read_audio
+
+    n_base = len(read_audio(str(tmp_path / "train" / "u0.wav"))[1])
+    sp = [l.split()[1] for l in lines if l.startswith("sp0.9-u0")][0]
+    assert len(read_audio(sp)[1]) > n_base
