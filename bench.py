@@ -92,7 +92,9 @@ def main():
     dtype = jnp.bfloat16 if on_tpu else jnp.float32
     model = build_flagship(dtype)
 
-    batch = 16 if on_tpu else 2
+    # B=32 measured the same ~17 ms step latency as B=16 on v5e (the step is
+    # latency-bound), so the larger batch doubles throughput for free
+    batch = 32 if on_tpu else 2
     samples = int(FLAGSHIP_SECONDS * SR)
     rng = np.random.default_rng(0)
     speech = jnp.asarray(rng.standard_normal((batch, samples)), jnp.float32) * 0.1
