@@ -34,12 +34,16 @@ def inference(
         train_config, model_file
     )
     tokenizer, converter = build_text_converter(config)
-    vocab = model.cfg.vocab_size
+    vocab = model.vocab_size
     sos = vocab - 1
 
     @jax.jit
     def next_logits(ids, length):
-        logits = model.apply(variables, ids, length, deterministic=True)
+        # run the inner LM (ESPnetLanguageModel wraps it; __call__ is the nll)
+        logits = model.apply(
+            variables, ids, length,
+            method=lambda mdl, x, l: mdl.lm(x, l, True),
+        )
         return logits[jnp.arange(ids.shape[0]), length - 1]
 
     texts = read_2columns_text(text)

@@ -185,3 +185,19 @@ def test_lm_nbest_rescoring_reorders():
     out = lm_rescore_nbest(hyps, lm, {"params": params}, weight=2.0, sos=5, eos=5)
     assert out[0].yseq == [5, 1, 2, 1, 2, 5], [h.scores for h in out]
     assert "lm_rescore" in out[0].scores
+
+
+def test_lm_inference_continues_pattern(lm_exp, tmp_path):
+    """lm_inference CLI: the overfit 'abcabc...' LM continues the pattern."""
+    from llm_guided_asr_tpu.bin.lm_inference import inference
+
+    exp = lm_exp["exp"]
+    model_file = next(exp.glob("*.best.msgpack"), None) or (exp / "latest.msgpack")
+    (tmp_path / "prompts").write_text("p0 abcab\n")
+    inference(str(tmp_path / "gen"), str(tmp_path / "prompts"),
+              str(exp / "config.yaml"), str(model_file), n_new=4)
+    line = (tmp_path / "gen" / "text").read_text().strip()
+    uid, cont = line.split(maxsplit=1)
+    assert uid == "p0"
+    # next characters of 'abcab' under the abc-loop language start with 'c'
+    assert cont.startswith("c"), cont
