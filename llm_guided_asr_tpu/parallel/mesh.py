@@ -73,12 +73,29 @@ def replicated(mesh: Mesh) -> NamedSharding:
 
 
 def shard_batch(batch: Dict, mesh: Mesh) -> Dict:
-    """Place batch arrays with the leading dim sharded along 'data'."""
+    """Place batch arrays with the leading dim sharded along 'data'.
+
+    Multi-process: every process iterates the same (seeded) global batch;
+    each contributes its contiguous row block via
+    ``jax.make_array_from_process_local_data`` (the per-host shard of the
+    reference's ``batch[rank::world_size]`` contract, abs_task.py:1823 —
+    contiguous blocks here because mesh devices are ordered by process).
+    """
     sh = batch_sharding(mesh)
+    pc = jax.process_count()
     out = {}
     for k, v in batch.items():
         if hasattr(v, "ndim") and v.ndim >= 1:
-            out[k] = jax.device_put(v, sh)
+            if pc > 1:
+                b = v.shape[0]
+                per = b // pc
+                pi = jax.process_index()
+                local = np.asarray(v)[pi * per : (pi + 1) * per]
+                out[k] = jax.make_array_from_process_local_data(
+                    sh, local, v.shape
+                )
+            else:
+                out[k] = jax.device_put(v, sh)
         else:
             out[k] = v
     return out

@@ -464,9 +464,10 @@ class Trainer:
                     if wandb_run is not None:
                         wandb_run.log({f"{phase}/{k}": v, "epoch": epoch})
 
-            # ---- checkpoint ----
-            model_variables = {"params": state["params"], **state["extra"]}
-            ckpt.save_epoch(epoch, model_variables, state, reporter)
+            # ---- checkpoint (process 0 only in multi-process runs) ----
+            if jax.process_index() == 0:
+                model_variables = {"params": state["params"], **state["extra"]}
+                ckpt.save_epoch(epoch, model_variables, state, reporter)
 
             # ---- early stop ----
             if options.patience is not None:
@@ -476,10 +477,11 @@ class Trainer:
 
         # ---- final n-best average (trainer.py:533-540) ----
         crit = options.average_criterion or options.best_model_criterion[0]
-        try:
-            ckpt.average_nbest(reporter, *crit)
-        except RuntimeError:
-            logger.warning("n-best averaging skipped (no epochs)")
+        if jax.process_index() == 0:
+            try:
+                ckpt.average_nbest(reporter, *crit)
+            except RuntimeError:
+                logger.warning("n-best averaging skipped (no epochs)")
         return state
 
     @staticmethod
