@@ -59,11 +59,21 @@ class Trainer:
         valid_dataset: Union[ESPnetEZDataset, Mapping],
         output_dir: Union[str, Path],
     ):
-        if task not in ("asr", "lm", "st"):
-            raise ValueError(f"unsupported task {task!r} (asr, lm, st)")
+        from llm_guided_asr_tpu.tasks.generic import TASK_BUILDERS
+
+        if task not in ("asr", "lm", "st") and task not in TASK_BUILDERS:
+            raise ValueError(
+                f"unsupported task {task!r} (asr, lm, st, or one of "
+                f"{sorted(TASK_BUILDERS)})"
+            )
         self.task = task
         self.output_dir = Path(output_dir)
-        if task == "lm":
+        if task in TASK_BUILDERS and task not in ("asr", "lm", "st"):
+            from llm_guided_asr_tpu.tasks.generic import GenericTask
+
+            self.config = {**GenericTask.get_default_config(), **config,
+                           "task": task}
+        elif task == "lm":
             from llm_guided_asr_tpu.tasks.lm import LMTask
 
             self.config = {**LMTask.get_default_config(), **config}
@@ -79,7 +89,9 @@ class Trainer:
 
         from llm_guided_asr_tpu.tasks.asr import build_preprocess_fn
 
-        pre = build_preprocess_fn(self.config)
+        has_text = (self.config.get("token_list")
+                    or self.config.get("token_type") == "hugging_face")
+        pre = build_preprocess_fn(self.config) if has_text else None
         self.train_dataset = self._wrap(train_dataset, pre)
         self.valid_dataset = self._wrap(valid_dataset, pre)
 
@@ -100,6 +112,10 @@ class Trainer:
         for k in dataset.keys:
             item = dataset[k]
             first = item.get("speech", item.get("text"))
+            if first is None:  # generic tasks: first array-valued stream
+                first = next(v for v in item.values()
+                             if hasattr(np.asarray(v), "shape")
+                             and np.asarray(v).ndim >= 1)
             lengths[k] = int(np.asarray(first).shape[0])
         batches = build_batch_sampler(
             cfg.get("batch_type", "sorted"),
@@ -164,7 +180,20 @@ class Trainer:
         dump_yaml({k: v for k, v in cfg.items() if not k.startswith("_")},
                   self.output_dir / "config.yaml")
 
-        if self.task == "lm":
+        if self.task not in ("asr", "lm", "st"):
+            # generic-domain task (espnetez covers every task the same way)
+            import jax
+
+            from llm_guided_asr_tpu.tasks.generic import GenericTask
+
+            model, batch_args, dummy = GenericTask.build(cfg)
+            rngs = {
+                "params": jax.random.PRNGKey(int(cfg.get("seed", 0))),
+                "dropout": jax.random.PRNGKey(1),
+                "mask": jax.random.PRNGKey(2),
+            }
+            variables = dict(model.init(rngs, *dummy, deterministic=True))
+        elif self.task == "lm":
             from llm_guided_asr_tpu.tasks.lm import build_lm, init_lm_variables
 
             model = build_lm(cfg)

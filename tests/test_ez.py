@@ -69,3 +69,39 @@ def test_ez_train_and_stats(tmp_path):
     )
     text, tokens_, ids, hyp = s2t(make_data(1, seed=2)["utt000"]["speech"])[0]
     assert isinstance(text, str)
+
+
+def test_ez_generic_task_enh(tmp_path):
+    """ez.Trainer over a generic-domain task (espnetez covers all tasks)."""
+    import numpy as np
+
+    import llm_guided_asr_tpu.ez as ez
+
+    rng = np.random.default_rng(0)
+    t = np.arange(4000) / 16000.0
+    s1 = (0.4 * np.sin(2 * np.pi * 300 * t)).astype(np.float32)
+    s2 = (0.4 * np.sin(2 * np.pi * 1500 * t)).astype(np.float32)
+
+    def mk(n):
+        return {
+            f"u{i}": {"speech_mix": s1 + s2, "speech_ref1": s1,
+                      "speech_ref2": s2}
+            for i in range(n)
+        }
+
+    trainer = ez.Trainer(
+        task="enh",
+        config={
+            "model_conf": {"num_spk": 2, "n_fft": 256, "hop_length": 128,
+                           "separator_type": "tcn", "hidden": 16, "layers": 1},
+            "token_list": None, "batch_type": "unsorted", "batch_size": 4,
+            "max_epoch": 2, "optim": "adam", "optim_conf": {"lr": 0.002},
+            "scheduler": "none", "keep_nbest_models": 1,
+            "speech_pad_multiple": 4000,
+        },
+        train_dataset=mk(4),
+        valid_dataset=mk(2),
+        output_dir=tmp_path / "exp",
+    )
+    trainer.train()
+    assert (tmp_path / "exp" / "checkpoint.msgpack").exists()
