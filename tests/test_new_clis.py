@@ -20,7 +20,7 @@ CLIS = [
     "asr_align", "lm_calc_perplexity", "enh_scoring", "diar_inference",
     "enh_inference_streaming", "asr_transducer_train",
     "asr_transducer_inference", "enh_tse_inference", "lm_inference",
-    "gan_tts_inference",
+    "gan_tts_inference", "uasr_extract_feature",
     "slu_inference", "asvspoof_inference", "uasr_inference",
     "gan_codec_inference", "mt_inference", "speechlm_inference",
     "st_inference", "s2t_inference", "svs_inference", "tts2_inference",
