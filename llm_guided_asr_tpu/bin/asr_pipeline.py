@@ -318,7 +318,13 @@ def main(cmd=None):
             shard_dir = dec_dir / "split"
             split_scps([str(work / test_split / "wav.scp")], nj, str(shard_dir))
             shards = [shard_dir / f"wav.scp.{j}" for j in range(1, nj + 1)]
+            # concurrency only when each job can own a device: a TPU chip is
+            # process-exclusive (and this process may already hold it), so
+            # non-CPU runs execute jobs sequentially — the splitting/merge
+            # contract (asr.sh job arrays) is what cluster dispatch reuses
+            concurrent = str(cfg.get("device")) == "cpu"
             procs = []
+            rcs = []
             for j, shard in enumerate(shards, 1):
                 args = [_sys.executable, "-m",
                         "llm_guided_asr_tpu.bin.asr_inference",
@@ -330,10 +336,15 @@ def main(cmd=None):
                         "--beam_size", str(cfg["beam_size"]),
                         "--ctc_weight", str(cfg["ctc_weight"]),
                         "--nbest", str(cfg["nbest"])]
+                if cfg.get("device"):
+                    args += ["--device", str(cfg["device"])]
                 for k, v in fusion.items():
                     args += [f"--{k}", str(v)]
-                procs.append(subprocess.Popen(args))
-            rcs = [p.wait() for p in procs]
+                if concurrent:
+                    procs.append(subprocess.Popen(args))
+                else:
+                    rcs.append(subprocess.run(args).returncode)
+            rcs += [p.wait() for p in procs]
             if any(rcs):
                 raise RuntimeError(f"decode jobs failed: rcs={rcs}")
             # merge job outputs (asr.sh concatenates the per-job scp files)

@@ -104,12 +104,15 @@ def main(cmd=None):
         "train_config": None,
         "model_file": None,
         "threshold": 0.5,
+        "median": 11,
         "device": None,
     })
     logging.basicConfig(level=logging.INFO)
     resolve_device(config.get("device"))
     inference(config["output_dir"], config["wav_scp"], config["train_config"],
-              config.get("model_file"), threshold=float(config.get("threshold", 0.5)))
+              config.get("model_file"),
+              threshold=float(config.get("threshold", 0.5)),
+              median=int(config.get("median", 11)))
 
 
 if __name__ == "__main__":

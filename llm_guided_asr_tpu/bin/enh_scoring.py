@@ -43,7 +43,14 @@ def score(output_dir: str, ref_scps, est_scps):
     out.mkdir(parents=True, exist_ok=True)
     per_utt = open(out / "si_snr_per_utt", "w")
     totals = []
+    n_skipped = 0
     for uid in refs[0].keys():
+        if any(uid not in rd.keys() for rd in refs) or any(
+            uid not in ed.keys() for ed in ests
+        ):
+            logger.warning(f"{uid}: missing in a ref/est scp; skipped")
+            n_skipped += 1
+            continue
         r = [np.asarray(rd[uid][1], np.float64) for rd in refs]
         e = [np.asarray(ed[uid][1], np.float64) for ed in ests]
         n = min(min(len(x) for x in r), min(len(x) for x in e))

@@ -82,7 +82,7 @@ def inference(
     params = load_pytree(ckpt)["generator"]
     tokenizer, converter = build_text_converter(config)
     hop = (gen.cfg.hop_length if kind == "jets"
-           else config.get("model_conf", {}).get("hop_length", 128))
+           else (config.get("model_conf") or {}).get("hop_length", 128))
 
     if kind == "jets":
         infer = jax.jit(lambda t, l: gen.apply(
@@ -107,9 +107,8 @@ def inference(
                 jnp.asarray([ids], jnp.int32),
                 jnp.asarray([len(ids)], jnp.int32),
             ))
-            nsamp = int(nlen[0]) * (1 if kind == "jets" else int(hop))
-            if kind == "jets":
-                nsamp = int(nlen[0])  # jets returns sample count
+            # jets returns sample count; vits returns frame count
+            nsamp = int(nlen[0]) if kind == "jets" else int(nlen[0]) * int(hop)
             p = out / f"{uid}.wav"
             write_wav(p, fs, np.asarray(wav)[0, :max(nsamp, 1)])
             scp.write(f"{uid} {p}\n")

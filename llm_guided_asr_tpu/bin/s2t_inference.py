@@ -63,10 +63,14 @@ class Speech2TextS2T:
         )
         if self.prompt_ids:
             hyps = self._decode_with_prompt(enc, enc_lens)
+            # strip the seeded primer POSITIONALLY (id-set filtering would
+            # also delete legitimate occurrences of prompt words in the new
+            # transcript)
+            yseq = hyps[0].yseq[1 + len(self.prompt_ids):]
         else:
             hyps = self.beam(enc, enc_lens, maxlenratio=self.maxlenratio)
-        drop = set(self.prompt_ids) | {self.sos, self.eos}
-        ids = [i for i in hyps[0].yseq if i not in drop]
+            yseq = hyps[0].yseq
+        ids = [i for i in yseq if i not in (self.sos, self.eos)]
         toks = self.converter.ids2tokens(ids)
         return self.tokenizer.tokens2text(toks), toks, ids, hyps[0]
 

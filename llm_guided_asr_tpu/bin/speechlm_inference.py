@@ -34,7 +34,6 @@ def inference(
         train_config, model_file
     )
     sos = model.cfg.unit_vocab_size
-    lm = model.lm if hasattr(model, "lm") else None
     # SpeechLMModel nests the TransformerLM under params['lm']
     lm_vars = {"params": variables["params"]["lm"]}
     from llm_guided_asr_tpu.models.lm import TransformerLM
@@ -47,8 +46,9 @@ def inference(
     with open(out / "units", "w") as f:
         for uid, seq in prompts.items():
             prompt = jnp.asarray(np.asarray(seq, np.int32)[None])
+            key, sub = jax.random.split(key)  # fresh stream per utterance
             cont = SpeechLM.generate(lm, lm_vars, prompt, n_new, sos,
-                                     greedy=greedy, key=key)
+                                     greedy=greedy, key=sub)
             units = [str(int(u)) for u in np.asarray(cont)[0]]
             f.write(f"{uid} {' '.join(units)}\n")
     logger.info(f"generated {len(prompts)} continuations -> {out}")

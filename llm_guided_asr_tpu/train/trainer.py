@@ -73,10 +73,6 @@ class TrainerOptions:
     # dropout-mask PRNG implementation: "rbg" (hardware generator; threefry
     # mask generation measured ~1/3 of the whole v5e train step) | "threefry"
     rng_impl: str = "rbg"
-    # dropout-mask PRNG implementation: "rbg" (hardware generator; the
-    # training default — threefry mask generation measured ~1/3 of the whole
-    # v5e train step) or "threefry"
-    rng_impl: str = "rbg"
 
 
 class TrainState(dict):
