@@ -107,3 +107,38 @@ def test_hf_decoder_hybrid_model_trains(llm_dir, tmp_path):
                               deterministic=True)[0]
     )(variables["params"])
     assert float(optax.global_norm(g["encoder"])) > 0
+
+
+def test_hf_decoder_beam_decode(llm_dir):
+    """decoder=hugging_face plugs into the on-device beam search."""
+    from llm_guided_asr_tpu.search.beam_search import BatchBeamSearch
+    from llm_guided_asr_tpu.tasks.asr import build_model, init_model_variables
+
+    config = {
+        "token_type": "hugging_face",
+        "token_list": None,
+        "bpemodel": str(llm_dir),
+        "frontend_conf": {"n_fft": 256, "hop_length": 128, "n_mels": 20},
+        "normalize": "utterance_mvn",
+        "decoder": "hugging_face",
+        "decoder_conf": {"model_name_or_path": str(llm_dir),
+                         "enc_frames_max": 16},
+        "encoder_conf": {"output_size": 16, "attention_heads": 2,
+                         "linear_units": 24, "num_blocks": 1,
+                         "use_cnn_module": False, "input_layer": "linear"},
+        "model_conf": {"ctc_weight": 0.3},
+    }
+    model = build_model(config)
+    variables = init_model_variables(model, config)
+    rng = np.random.default_rng(0)
+    speech = jnp.asarray(rng.standard_normal((1, 2048)) * 0.1, jnp.float32)
+    enc, enc_lens = model.apply(variables, speech, jnp.asarray([2048]),
+                                method=model.encode)
+    bs = BatchBeamSearch(
+        model, variables, vocab_size=model.cfg.vocab_size,
+        sos=model.cfg.sos_id, eos=model.cfg.eos_id, beam_size=3,
+        ctc_weight=0.3,
+    )
+    hyps = bs(enc, enc_lens, maxlenratio=-6.0)
+    assert hyps and len(hyps[0].yseq) >= 2
+    assert all(0 <= i < model.cfg.vocab_size for i in hyps[0].yseq)
