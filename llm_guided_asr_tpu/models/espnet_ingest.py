@@ -166,3 +166,34 @@ def transformer_decoder_params(
 
 def ctc_head_params(sd: Dict[str, np.ndarray], prefix: str = "ctc_lo") -> Dict:
     return _lin(sd, prefix)
+
+
+def llm_guided_decoder_params(
+    sd: Dict[str, np.ndarray], num_blocks: int, prefix: str = ""
+) -> Dict:
+    """Reference LLMGuidedTransformerDecoder state_dict -> top-level params.
+
+    The guided decoder's `embed` is the Linear(llm_hidden -> enc_dim)
+    installed by LLMGuidedASRModel (llm_guided_asr_model.py:119-125), not an
+    Embedding; blocks/after_norm/output_layer follow the standard decoder
+    layout (transformer_decoder.py:946-1012).  Returns a flat dict matching
+    models/llm_guided.py setup names (embed, block_i, after_norm,
+    output_layer) for merging into the model's params root.
+    """
+    p = prefix
+    params: Dict = {
+        "embed": _lin(sd, f"{p}embed"),
+        "after_norm": _ln(sd, f"{p}after_norm"),
+        "output_layer": _lin(sd, f"{p}output_layer"),
+    }
+    for i in range(num_blocks):
+        r = f"{p}decoders.{i}"
+        params[f"block_{i}"] = {
+            "self_attn": _mha(sd, f"{r}.self_attn"),
+            "src_attn": _mha(sd, f"{r}.src_attn"),
+            "feed_forward": _ffn(sd, f"{r}.feed_forward"),
+            "norm1": _ln(sd, f"{r}.norm1"),
+            "norm2": _ln(sd, f"{r}.norm2"),
+            "norm3": _ln(sd, f"{r}.norm3"),
+        }
+    return params

@@ -93,6 +93,13 @@ class LLMGuidedASRConfig:
     # 'log_softmax' — the LLM's own next-token log-probs ARE the scores;
     #                 the guided decoder is bypassed (pure LM scoring)
     llm_score_mode: str = "hidden"
+    # reference-compat quirk: the reference's training-time first-pass CTC
+    # collapse runs over the FULL padded encoder output — pad frames beyond
+    # hlens leak tokens into shorter utterances' prompts
+    # (transformer_decoder.py:1021-1039 iterates lpz rows with no hlens trim).
+    # Default False = trim to valid frames (the sane behavior); True restores
+    # bit-parity with reference training (tests/test_parity_llm_guided.py).
+    first_pass_pad_frames: bool = False
 
     @property
     def sos_id(self) -> int:
@@ -207,6 +214,10 @@ class LLMGuidedASRModel(nn.Module):
         the on-chip analog of detokenize+retokenize)."""
         cfg = self.cfg
         ctc_lp = self.ctc_log_softmax(encoder_out)
+        if cfg.first_pass_pad_frames:
+            encoder_out_lengths = jnp.full_like(
+                encoder_out_lengths, encoder_out.shape[1]
+            )
         hyp, hyp_lengths = ctc_greedy_decode(
             ctc_lp, encoder_out_lengths, blank_id=cfg.blank_id, pad_id=cfg.prompt.pad_id
         )
