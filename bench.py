@@ -16,20 +16,34 @@ Metrics:
                         (guarded by a watchdog; skipped on timeout)
 - beam10_rtfx:         HEADLINE, batched beam-10 ctc_weight 0.3
 
-vs_baseline: BASELINE.md publishes WER targets but no reference RTFx numbers,
-so vs_baseline is null except where BASELINE.json defines one (the >=10x
-RTFx/chip target is reported as value/10x_target for the headline).
+vs_baseline: the reference publishes no RTFx numbers (BASELINE.md), so the
+denominator is MEASURED from the reference's own decode compute path on this
+box (tools/bench_reference.py -> reference_rtfx.json: torch CPU — the
+reference targets GPUs, none available here; the JSON records that).  Where a
+matching reference metric exists, vs_baseline = ours / reference.
 """
 
 import json
 import signal
 import time
+from pathlib import Path
 
 import numpy as np
 
 FLAGSHIP_SECONDS = 10.0
 SR = 16000
 V5E_BF16_FLOPS = 197e12  # per-chip peak, TPU v5e
+
+_REF_FILE = Path(__file__).resolve().parent / "reference_rtfx.json"
+try:
+    REFERENCE_RTFX = json.loads(_REF_FILE.read_text())
+except Exception:
+    REFERENCE_RTFX = {}
+
+
+def _vs_ref(ours, key):
+    ref = REFERENCE_RTFX.get(key)
+    return round(float(ours) / ref, 2) if ref else None
 
 
 def _emit(metric, value, unit, vs_baseline=None, **extra):
@@ -123,7 +137,8 @@ def main():
     jax.block_until_ready(out)
     greedy_rtfx = batch * FLAGSHIP_SECONDS * iters / (time.perf_counter() - t0)
     all_metrics["greedy_ctc_rtfx"] = round(greedy_rtfx, 1)
-    _emit("greedy_ctc_rtfx", greedy_rtfx, "x_realtime_per_chip")
+    _emit("greedy_ctc_rtfx", greedy_rtfx, "x_realtime_per_chip",
+          vs_baseline=_vs_ref(greedy_rtfx, "greedy_rtfx"))
 
     # ---- 2. HEADLINE EARLY: batched beam-10 ctc0.3 ---------------------
     # measured before the slow-compiling optional sections so a driver
@@ -147,7 +162,8 @@ def main():
         dt = w if dt is None else min(dt, w)
     beam_rtfx = batch * FLAGSHIP_SECONDS * iters / dt
     all_metrics["beam10_rtfx"] = round(beam_rtfx, 1)
-    _emit("beam10_ctc0.3_rtfx", beam_rtfx, "x_realtime_per_chip")
+    _emit("beam10_ctc0.3_rtfx", beam_rtfx, "x_realtime_per_chip",
+          vs_baseline=_vs_ref(beam_rtfx, "beam10_rtfx"))
 
     # ---- 3. train step ------------------------------------------------
     try:
@@ -217,7 +233,10 @@ def main():
                 lats.append((time.perf_counter() - t0) * 1e3)
             p50 = float(np.percentile(lats, 50))
             all_metrics["beam1_p50_latency_ms"] = round(p50, 2)
-            _emit("beam1_p50_latency_ms", p50, "ms_per_10s_utterance")
+            # latency ratio: reference_ms / ours_ms (>1 = we are faster)
+            ref_ms = REFERENCE_RTFX.get("beam1_latency_ms")
+            _emit("beam1_p50_latency_ms", p50, "ms_per_10s_utterance",
+                  vs_baseline=round(ref_ms / p50, 2) if ref_ms else None)
     except TimeoutError:
         _emit("beam1_p50_latency_ms", -1, "ms", note="timeout")
 
@@ -237,12 +256,12 @@ def main():
         _emit("llm_guided_rtfx", -1, "x_realtime_per_chip", note=f"error: {e}")
 
     # ---- 6. headline re-emit with the full summary ---------------------
-    # BASELINE.json target: >=10x reference RTFx/chip; no reference RTFx is
-    # published (BASELINE.md), so vs_baseline stays null rather than an
-    # invented denominator.
+    # BASELINE.json target: >=10x reference RTFx/chip; the denominator is the
+    # measured reference compute path on this box (reference_rtfx.json).
     _emit(
         "beam10_ctc0.3_rtfx", all_metrics["beam10_rtfx"], "x_realtime_per_chip",
-        vs_baseline=None, all=all_metrics,
+        vs_baseline=_vs_ref(all_metrics["beam10_rtfx"], "beam10_rtfx"),
+        all=all_metrics,
     )
 
 

@@ -251,7 +251,10 @@ class Speech2TextStreaming:
         enc_len_new = jnp.asarray(self._sub_done, jnp.int32)
         if self._carry is None:
             self._carry = beam.stream_start(ctc_buf, enc_buf, enc_len_new, self._lmax)
-            self._enc_len_prev = 0
+            # stream_start already ran the CTC prefix DP over all _sub_done
+            # frames; starting extend at 0 would re-add frame blanks from the
+            # r_b[0] base and shift every subsequent streaming score
+            self._enc_len_prev = int(self._sub_done)
         # token budget: CTC greedy count over the trusted region
         guard = 0 if is_final else self.lookahead_blocks * S
         trusted = max(self._sub_done - guard, 0)

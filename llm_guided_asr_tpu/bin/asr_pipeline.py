@@ -196,6 +196,20 @@ def main(cmd=None):
                     ft.write(f"{new_uid} {texts[uid]}\n")
         dirs["train"] = sp_dir
         logger.info(f"stage2: speed-perturbed train -> {sp_dir} (x{len(factors)})")
+    elif cfg.get("speed_perturb"):
+        # re-run starting past stage 2: the perturbed dir must still be the
+        # train source (the reference derives the _sp dir name from config on
+        # every run, asr.sh:579-613); silently training on unperturbed data
+        # would change the recipe semantics between invocations
+        sp_dir = work / "train_sp"
+        if sp_dir.exists():
+            dirs["train"] = sp_dir
+            logger.info(f"speed_perturb set: reusing existing {sp_dir}")
+        elif stage > 2:
+            raise SystemExit(
+                f"--speed_perturb is set but {sp_dir} does not exist; "
+                "run stage 2 first (or drop --speed_perturb)"
+            )
 
     if stage <= 3 <= stop:
         for split, d in dirs.items():

@@ -150,6 +150,10 @@ def _decode_subframe(br: _BitReader, blocksize: int, bps: int) -> np.ndarray:
         warm = [br.read_signed(bps) for _ in range(order)]
         prec = br.read(4) + 1
         shift = br.read_signed(5)
+        if shift < 0:
+            # RFC 9639 §9.2.2 marks negative shift as invalid/reserved;
+            # a raw `acc >> shift` would raise ValueError mid-decode
+            raise ValueError(f"invalid FLAC LPC subframe: negative shift {shift}")
         coefs = [br.read_signed(prec) for _ in range(order)]
         res = _decode_residual(br, blocksize, order)
         out = np.empty(blocksize, dtype=np.int64)

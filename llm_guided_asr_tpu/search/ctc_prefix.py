@@ -302,7 +302,10 @@ def ctc_prefix_extend(
     xb = jnp.where(ext, logp[:, blank_id], 0.0)
     cum = jnp.cumsum(xb)  # sum of blank logp over ext frames up to t
     base_idx = jnp.clip(old_len - 1, 0, t_max - 1)
-    r_b_base = state.r[:, base_idx, 1]  # [K]
+    # old_len == 0 means no frames were processed yet: the blank-row base is
+    # log(1) = 0 (the empty-path start), NOT r_b[0] — reading r_b[0] would
+    # double-count frame 0's blank log-prob in the cumsum
+    r_b_base = jnp.where(old_len > 0, state.r[:, base_idx, 1], 0.0)  # [K]
     r_b_ext = r_b_base[:, None] + cum[None, :]  # valid where ext
     r_nb = jnp.where(ext[None, :], NEG_INF, state.r[..., 0])
     r_b = jnp.where(ext[None, :], r_b_ext, state.r[..., 1])

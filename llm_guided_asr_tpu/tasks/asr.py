@@ -33,7 +33,11 @@ from llm_guided_asr_tpu.ops.frontend import FrontendConfig
 from llm_guided_asr_tpu.ops.specaug import SpecAugConfig
 from llm_guided_asr_tpu.text.tokenizers import TokenIDConverter, build_tokenizer
 from llm_guided_asr_tpu.train.checkpoint import load_partial, load_pytree, merge_loaded, save_pytree
-from llm_guided_asr_tpu.train.optim import build_optimizer, path_prefix_mask
+from llm_guided_asr_tpu.train.optim import (
+    PLATEAU_SCHEDULERS,
+    build_optimizer,
+    path_prefix_mask,
+)
 from llm_guided_asr_tpu.train.trainer import Trainer, TrainerOptions
 from llm_guided_asr_tpu.utils.config import (
     build_config,
@@ -663,6 +667,14 @@ class ASRTask:
             data_parallel=config.get("data_parallel"),
             model_parallel=int(config.get("model_parallel", 1)),
             sharded_optim=bool(config.get("sharded_optim", False)),
+            val_scheduler_criterion=tuple(
+                config.get("val_scheduler_criterion") or ("valid", "loss")
+            ),
+            plateau_conf=(
+                dict(config.get("scheduler_conf") or {})
+                if str(config.get("scheduler") or "").lower() in PLATEAU_SCHEDULERS
+                else None
+            ),
         )
         from llm_guided_asr_tpu.utils.config import normalize_triples
 

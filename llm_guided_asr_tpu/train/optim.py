@@ -57,6 +57,66 @@ SCHEDULER_REGISTRY: Dict[str, Callable[..., optax.Schedule]] = {
     "exponentiallr": exponential_decay_lr,
 }
 
+# epoch-level validation-driven schedulers (ReduceLROnPlateau analog,
+# registered in the reference at abs_task.py:158-175): handled as an LR
+# *scale* hyperparameter living in the optimizer state (see build_optimizer)
+# updated by the Trainer after each validation epoch via PlateauController.
+PLATEAU_SCHEDULERS = ("reducelronplateau", "plateau")
+
+
+class PlateauController:
+    """Host-side ReduceLROnPlateau logic (torch.optim.lr_scheduler semantics:
+    mode=min, relative threshold).  The LR scale it emits is written into the
+    optimizer state's ``plateau_scale`` hyperparameter — the jitted update
+    reads it as a traced leaf, so no recompilation on change."""
+
+    def __init__(self, factor: float = 0.1, patience: int = 3,
+                 threshold: float = 1e-4, min_scale: float = 1e-8,
+                 mode: str = "min"):
+        self.factor = float(factor)
+        self.patience = int(patience)
+        self.threshold = float(threshold)
+        self.min_scale = float(min_scale)
+        self.mode = mode
+        self.scale = 1.0
+        self.best: Optional[float] = None
+        self.num_bad = 0
+
+    def _improved(self, value: float) -> bool:
+        if self.best is None:
+            return True
+        if self.mode == "min":
+            return value < self.best * (1.0 - self.threshold)
+        return value > self.best * (1.0 + self.threshold)
+
+    def step(self, value: float) -> float:
+        if self._improved(value):
+            self.best = value
+            self.num_bad = 0
+        else:
+            self.num_bad += 1
+            if self.num_bad > self.patience:
+                self.scale = max(self.scale * self.factor, self.min_scale)
+                self.num_bad = 0
+        return self.scale
+
+    def replay(self, values) -> float:
+        """Rebuild controller state from a metric history (resume path: the
+        reporter is persisted, the controller is not)."""
+        for v in values:
+            self.step(v)
+        return self.scale
+
+
+def set_plateau_scale(opt_state, scale: float):
+    """Write the plateau LR scale into an inject_hyperparams opt state."""
+    hp = getattr(opt_state, "hyperparams", None)
+    if not isinstance(hp, dict) or "plateau_scale" not in hp:
+        raise ValueError("optimizer was not built with a plateau scheduler")
+    new_hp = dict(hp)
+    new_hp["plateau_scale"] = jnp.asarray(scale, jnp.float32)
+    return opt_state._replace(hyperparams=new_hp)
+
 
 def build_schedule(
     name: Optional[str], lr: float, conf: Optional[dict] = None
@@ -181,23 +241,34 @@ def build_optimizer(
 
     conf = dict(conf or {})
     lr = float(conf.pop("lr", 1e-3))
-    schedule = build_schedule(scheduler, lr, scheduler_conf)
-    tx = OPTIMIZER_REGISTRY[name.lower()](schedule, **conf)
-    parts = []
-    if freeze_mask is not None:
-        # zero frozen grads before the norm clip, and mask the optimizer so it
-        # allocates NO moment state for frozen subtrees (matters for the
-        # frozen multi-B-param LLM)
-        parts.append(optax.masked(optax.set_to_zero(), freeze_mask))
-    if grad_clip is not None and grad_clip > 0:
-        parts.append(optax.clip_by_global_norm(grad_clip))
-    if grad_noise:
-        # annealed gaussian gradient noise (torch_utils/add_gradient_noise.py:
-        # eta/(1+step)^0.55 with eta ~ duration-scaled; optax equivalent)
-        parts.append(optax.add_noise(eta=0.01, gamma=0.55, key=0))
-    if freeze_mask is not None:
-        trainable = jax.tree_util.tree_map(lambda m: not m, freeze_mask)
-        parts.append(optax.masked(tx, trainable))
-    else:
-        parts.append(tx)
-    return optax.chain(*parts)
+    plateau = (scheduler or "").lower() in PLATEAU_SCHEDULERS
+    # plateau: constant base schedule, validation drives the scale instead
+    schedule = build_schedule(None if plateau else scheduler, lr,
+                              None if plateau else scheduler_conf)
+
+    def _build(plateau_scale=None):
+        tx = OPTIMIZER_REGISTRY[name.lower()](schedule, **conf)
+        parts = []
+        if freeze_mask is not None:
+            # zero frozen grads before the norm clip, and mask the optimizer so
+            # it allocates NO moment state for frozen subtrees (matters for the
+            # frozen multi-B-param LLM)
+            parts.append(optax.masked(optax.set_to_zero(), freeze_mask))
+        if grad_clip is not None and grad_clip > 0:
+            parts.append(optax.clip_by_global_norm(grad_clip))
+        if grad_noise:
+            # annealed gaussian gradient noise (torch_utils/add_gradient_noise.py:
+            # eta/(1+step)^0.55 with eta ~ duration-scaled; optax equivalent)
+            parts.append(optax.add_noise(eta=0.01, gamma=0.55, key=0))
+        if freeze_mask is not None:
+            trainable = jax.tree_util.tree_map(lambda m: not m, freeze_mask)
+            parts.append(optax.masked(tx, trainable))
+        else:
+            parts.append(tx)
+        if plateau_scale is not None:
+            parts.append(optax.scale(plateau_scale))
+        return optax.chain(*parts)
+
+    if plateau:
+        return optax.inject_hyperparams(_build)(plateau_scale=1.0)
+    return _build()

@@ -48,7 +48,13 @@ class TrainerOptions:
     patience: Optional[int] = None
     keep_nbest_models: int = 10
     best_model_criterion: Sequence[Tuple[str, str, str]] = (("valid", "loss", "min"),)
+    # phase/key driving epoch-level val schedulers (ReduceLROnPlateau
+    # analog; reference: abs_task.py epoch-scheduler step with
+    # val_scheduler_criterion).  Consumed only when plateau_conf is set.
     val_scheduler_criterion: Tuple[str, str] = ("valid", "loss")
+    # set (possibly to {}) when the optimizer chain was built with
+    # scheduler=reducelronplateau: keys factor/patience/threshold/min_scale
+    plateau_conf: Optional[Dict] = None
     resume: bool = False
     seed: int = 0
     exclude_prefixes: Sequence[str] = ()  # e.g. ("params/decoder/llm",)
@@ -251,6 +257,23 @@ def shard_batch_padded(batch: Dict, mesh) -> Dict:
     return shard_batch(batch, mesh)
 
 
+def _gather_for_save(tree):
+    """Replace non-fully-addressable jax.Arrays (ZeRO-1 sharded optimizer
+    moments in multi-process runs) with allgathered host copies so the
+    process-0 checkpoint save never calls device_get on shards it cannot
+    address.  Collective: must run on EVERY process (reference analog: the
+    fairscale OSS consolidate_state_dict before save)."""
+
+    def fetch(x):
+        if isinstance(x, jax.Array) and not x.is_fully_addressable:
+            from jax.experimental import multihost_utils
+
+            return multihost_utils.process_allgather(x, tiled=True)
+        return x
+
+    return jax.tree_util.tree_map(fetch, tree)
+
+
 class DeviceStatAccumulator:
     """On-device running (sum, weight) of per-step stats.
 
@@ -386,6 +409,29 @@ class Trainer:
         )
         valid_step = make_valid_step(model, bargs)
         greedy_step = make_ctc_greedy_step(model) if options.report_ctc_er else None
+        # ---- val-driven epoch scheduler (ReduceLROnPlateau analog) ----
+        plateau_ctl = None
+        if options.plateau_conf is not None:
+            from llm_guided_asr_tpu.train.optim import (
+                PlateauController,
+                set_plateau_scale,
+            )
+
+            plateau_ctl = PlateauController(**options.plateau_conf)
+            vphase, vkey = options.val_scheduler_criterion
+            # resume: the controller is host-side state; rebuild it from the
+            # persisted reporter history so the scale continues, not resets
+            hist = [
+                reporter.stats[e][vphase][vkey]
+                for e in sorted(reporter.stats)
+                if vphase in reporter.stats.get(e, {})
+                and vkey in reporter.stats[e][vphase]
+            ]
+            if hist:
+                state["opt_state"] = set_plateau_scale(
+                    state["opt_state"], plateau_ctl.replay(hist)
+                )
+
         if options.rng_impl == "rbg":
             # hardware RNG for dropout masks: the default threefry PRNG
             # measured +52% on the whole fwd+bwd step on v5e (dropout mask
@@ -460,10 +506,33 @@ class Trainer:
                     if wandb_run is not None:
                         wandb_run.log({f"{phase}/{k}": v, "epoch": epoch})
 
+            # ---- val-driven LR scale (stepped BEFORE the checkpoint so the
+            # saved opt_state carries the current scale) ----
+            if plateau_ctl is not None:
+                from llm_guided_asr_tpu.train.optim import set_plateau_scale
+
+                vphase, vkey = options.val_scheduler_criterion
+                val = reporter.stats.get(epoch, {}).get(vphase, {}).get(vkey)
+                if val is not None:
+                    new_scale = plateau_ctl.step(float(val))
+                    state["opt_state"] = set_plateau_scale(
+                        state["opt_state"], new_scale
+                    )
+                    if new_scale != 1.0:
+                        logger.info(f"plateau LR scale: {new_scale:g}")
+
             # ---- checkpoint (process 0 only in multi-process runs) ----
+            # With sharded_optim in a multi-process run, adam moments span
+            # non-addressable devices; fetch them collectively BEFORE the
+            # process-0-only save (device_get on such arrays raises).
+            model_variables = {"params": state["params"], **state["extra"]}
+            if jax.process_count() > 1:
+                model_variables = _gather_for_save(model_variables)
+                save_state = _gather_for_save(state)
+            else:
+                save_state = state
             if jax.process_index() == 0:
-                model_variables = {"params": state["params"], **state["extra"]}
-                ckpt.save_epoch(epoch, model_variables, state, reporter)
+                ckpt.save_epoch(epoch, model_variables, save_state, reporter)
 
             # ---- early stop ----
             if options.patience is not None:
@@ -531,6 +600,10 @@ class Trainer:
                     means, w = flushed
                     sub.register({**means, **phase_times, "iter_time": iter_time}, w)
                     sub.log_interval(1, extra=f"(iter {it + 1}, step {step})")
+                # only report phases actually measured this interval: with
+                # accum_grad > 1 most probes miss the optimizer boundary and
+                # would re-register a stale optim_step_time
+                phase_times = {}
             t_iter = time.perf_counter()
         if acc_grads is not None and n_acc > 0:
             params, opt_state = apply_step(params, opt_state, acc_grads)

@@ -182,3 +182,24 @@ def test_psi_advance_equals_scores_select():
             np.asarray(sel_fast.last), np.asarray(sel_ref.last)
         )
         state = sel_fast
+
+
+def test_extend_from_zero_frames_equals_fresh_init():
+    """Regression (ADVICE r2): ctc_prefix_extend(old_len=0) must use a log(1)=0
+    blank-row base, not r_b[0] — reading r_b[0] double-counts frame 0's blank
+    log-prob and shifts every subsequent streaming CTC prefix score."""
+    from llm_guided_asr_tpu.search.ctc_prefix import ctc_prefix_extend
+
+    rng = np.random.default_rng(0)
+    T, V, K = 9, 6, 3
+    logits = rng.standard_normal((T, V))
+    logp = jnp.asarray(logits - np.log(np.exp(logits).sum(-1, keepdims=True)))
+
+    fresh = ctc_prefix_init(logp, jnp.asarray(T), K)
+    empty = ctc_prefix_init(logp, jnp.asarray(0), K)
+    ext = ctc_prefix_extend(
+        empty, logp, jnp.asarray(0), jnp.asarray(T), blank_id=0
+    )
+    np.testing.assert_allclose(
+        np.asarray(ext.r[..., 1]), np.asarray(fresh.r[..., 1]), rtol=1e-6, atol=1e-6
+    )

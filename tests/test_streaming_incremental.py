@@ -140,12 +140,24 @@ def test_streaming_final_equals_offline_decode(exp):
     n_match = 0
     for uid in reader.keys():
         _, wav = reader[uid]
-        want = offline(wav)[0][0]
+        want_hyp = offline(wav)[0]
         partials = st.decode_utterance(wav)
-        got = partials[-1][0][0]
+        got_hyp = partials[-1][0]
         # partial results must be prefixy/monotone-ish: every chunk returns
         # something without error
         assert all(isinstance(p[0][0], str) for p in partials)
-        if got == want:
+        if got_hyp[0] == want_hyp[0]:
             n_match += 1
+            # scores CANNOT be bit-equal: the streaming carry keeps only the
+            # blank DP row of alive hyps (extend_state semantics,
+            # ctc_prefix_score.py:244-270), an inherent approximation (the
+            # exact r_nb needs the parent prefix's rows).  Measured gap on
+            # this corpus ~0.17; bound it so gross shifts (e.g. re-running
+            # the prefix DP over already-scored frames) still fail.  The
+            # exact extend-base regression lives in
+            # test_ctc_prefix.py::test_extend_from_zero_frames_equals_fresh_init.
+            assert abs(float(got_hyp[3].score) - float(want_hyp[3].score)) < 0.5, (
+                f"streaming score shift on {uid}: "
+                f"{float(got_hyp[3].score)} vs {float(want_hyp[3].score)}"
+            )
     assert n_match == len(reader), f"streaming/offline mismatch on {len(reader) - n_match} utts"

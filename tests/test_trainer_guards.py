@@ -70,3 +70,75 @@ def test_tensorboard_writes_scalars(tmp_path):
     from llm_guided_asr_tpu.tasks.asr import ASRTask
 
     assert "use_tensorboard" in ASRTask.get_default_config()
+
+
+def test_plateau_scheduler_scales_lr():
+    """ReduceLROnPlateau analog (VERDICT r2 #9): the optimizer built with
+    scheduler=reducelronplateau carries a plateau_scale hyperparameter that
+    shrinks the effective step when the validation metric stops improving."""
+    from llm_guided_asr_tpu.train.optim import (
+        PlateauController,
+        build_optimizer,
+        set_plateau_scale,
+    )
+
+    tx = build_optimizer("sgd", {"lr": 1.0}, scheduler="reducelronplateau",
+                         scheduler_conf={"factor": 0.5, "patience": 1},
+                         grad_clip=None)
+    params = {"w": jnp.ones((3,))}
+    opt_state = tx.init(params)
+    grads = {"w": jnp.ones((3,))}
+
+    updates, opt_state = tx.update(grads, opt_state, params)
+    step_full = float(np.abs(np.asarray(updates["w"])).mean())
+
+    ctl = PlateauController(factor=0.5, patience=1)
+    # improving -> scale stays 1
+    assert ctl.step(2.0) == 1.0 and ctl.step(1.0) == 1.0
+    # two non-improving epochs -> halve
+    assert ctl.step(1.0) == 1.0
+    assert ctl.step(1.0) == 0.5
+    opt_state = set_plateau_scale(opt_state, ctl.scale)
+    updates, opt_state = tx.update(grads, opt_state, params)
+    step_scaled = float(np.abs(np.asarray(updates["w"])).mean())
+    np.testing.assert_allclose(step_scaled, 0.5 * step_full, rtol=1e-6)
+
+    # replay reproduces the same scale from a metric history (resume path)
+    ctl2 = PlateauController(factor=0.5, patience=1)
+    assert ctl2.replay([2.0, 1.0, 1.0, 1.0]) == 0.5
+
+
+def test_plateau_in_trainer_loop(tmp_path):
+    """Trainer.run consumes val_scheduler_criterion: after patience epochs of
+    flat validation loss the saved opt_state carries a reduced scale."""
+    import flax.linen as nn
+
+    from llm_guided_asr_tpu.train.trainer import Trainer, TrainerOptions
+    from llm_guided_asr_tpu.train.optim import build_optimizer
+
+    class Toy(nn.Module):
+        @nn.compact
+        def __call__(self, x, x_lens, y, y_lens, deterministic=True):
+            w = self.param("w", nn.initializers.ones, (1,))
+            loss = jnp.mean((w * 0.0) ** 2) + 1.0  # constant loss -> plateau
+            return loss, {"loss": loss}, jnp.asarray(1.0)
+
+    model = Toy()
+    variables = {"params": model.init(jax.random.PRNGKey(0),
+                                      jnp.zeros((1, 2)), jnp.asarray([2]),
+                                      jnp.zeros((1, 1), jnp.int32), jnp.asarray([1]))["params"]}
+    variables = {"params": variables["params"]}
+    tx = build_optimizer("adam", {"lr": 0.1}, scheduler="reducelronplateau",
+                         scheduler_conf={"factor": 0.1, "patience": 0})
+    batch = {"speech": jnp.zeros((1, 2)), "speech_lengths": jnp.asarray([2]),
+             "text": jnp.zeros((1, 1), jnp.int32), "text_lengths": jnp.asarray([1])}
+    opts = TrainerOptions(
+        max_epoch=3, log_interval=1,
+        plateau_conf={"factor": 0.1, "patience": 0},
+    )
+    state = Trainer.run(model, variables, tx,
+                        lambda e: [batch], lambda e: [batch],
+                        tmp_path, opts)
+    scale = float(state["opt_state"].hyperparams["plateau_scale"])
+    # epoch1 sets best; epochs 2,3 flat -> two reductions of 0.1
+    np.testing.assert_allclose(scale, 0.01, rtol=1e-6)
