@@ -60,7 +60,9 @@ class Speech2Text:
         nbest: int = 1,
         speech_pad_multiple: int = 1600,
         use_cached_decoder: bool = False,
-        transducer_search: str = "default",  # default (time-sync mAES) | alsd
+        # default (time-sync mAES) | alsd | tsd | nsc | mbg (multi-blank greedy)
+        # (reference beam_search_transducer.py search_type dispatch :154-180)
+        transducer_search: str = "default",
         dtype=jnp.float32,
     ):
         self.transducer_search = transducer_search
@@ -195,17 +197,45 @@ class Speech2Text:
         enc, enc_lens = self._encode(jnp.asarray(padded[None]), jnp.asarray([n]))
 
         if self.is_transducer:
-            if self.beam_size > 1:
-                from llm_guided_asr_tpu.search.transducer_beam import (
-                    transducer_alsd_decode,
-                    transducer_beam_decode,
+            if self.transducer_search == "mbg":
+                from llm_guided_asr_tpu.search.transducer_extra import (
+                    transducer_multiblank_greedy,
                 )
 
-                search = (
-                    transducer_alsd_decode
-                    if self.transducer_search == "alsd"
-                    else transducer_beam_decode
+                tcfg = self.model.cfg
+                ids = tcfg.multi_blank_ids or tuple(
+                    tcfg.vocab_size - 1 - i
+                    for i in range(len(tcfg.multi_blank_durations))
                 )
+                hyps = transducer_multiblank_greedy(
+                    self.model, self.variables, enc, enc_lens,
+                    big_blank_ids=ids,
+                    big_blank_durations=tuple(tcfg.multi_blank_durations),
+                )
+                nb = [Hypothesis(yseq=h.yseq, score=h.score) for h in hyps]
+            elif self.beam_size > 1:
+                if self.transducer_search in ("tsd", "nsc"):
+                    from llm_guided_asr_tpu.search.transducer_extra import (
+                        transducer_nsc_decode,
+                        transducer_tsd_decode,
+                    )
+
+                    search = (
+                        transducer_tsd_decode
+                        if self.transducer_search == "tsd"
+                        else transducer_nsc_decode
+                    )
+                else:
+                    from llm_guided_asr_tpu.search.transducer_beam import (
+                        transducer_alsd_decode,
+                        transducer_beam_decode,
+                    )
+
+                    search = (
+                        transducer_alsd_decode
+                        if self.transducer_search == "alsd"
+                        else transducer_beam_decode
+                    )
                 hyps = search(
                     self.model, self.variables, enc, enc_lens,
                     beam_size=self.beam_size, nbest=self.nbest,

@@ -1,7 +1,7 @@
 #!/usr/bin/env python3
 """Transducer inference entry (espnet2/bin/asr_transducer_inference.py shim):
 asr_inference dispatches on the model's joint network automatically
-(--transducer_search default|alsd selects the search)."""
+(--transducer_search default|alsd|tsd|nsc|mbg selects the search)."""
 
 
 def main(cmd=None):

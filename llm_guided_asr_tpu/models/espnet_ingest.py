@@ -168,6 +168,45 @@ def ctc_head_params(sd: Dict[str, np.ndarray], prefix: str = "ctc_lo") -> Dict:
     return _lin(sd, prefix)
 
 
+def transducer_params(
+    dec_sd: Dict[str, np.ndarray],
+    joint_sd: Dict[str, np.ndarray],
+    num_layers: int = 1,
+) -> Dict:
+    """Reference TransducerDecoder (LSTM) + JointNetwork -> flax params.
+
+    torch LSTM packs gates [i; f; g; o] into weight_ih/hh [4H, *]; flax
+    OptimizedLSTMCell keeps per-gate Denses (ii/if/ig/io input kernels
+    without bias, hi/hf/hg/ho hidden kernels with bias = bias_ih + bias_hh).
+    """
+    params: Dict = {
+        "decoder": {"embed": {"embedding": np.asarray(dec_sd["embed.weight"])}},
+        "joint": {
+            "lin_enc": _lin(joint_sd, "lin_enc"),
+            "lin_dec": _lin(joint_sd, "lin_dec"),
+            "lin_out": _lin(joint_sd, "lin_out"),
+        },
+    }
+    for layer in range(num_layers):
+        w_ih = np.asarray(dec_sd[f"decoder.{layer}.weight_ih_l0"])  # [4H, E]
+        w_hh = np.asarray(dec_sd[f"decoder.{layer}.weight_hh_l0"])  # [4H, H]
+        b = np.asarray(dec_sd[f"decoder.{layer}.bias_ih_l0"]) + np.asarray(
+            dec_sd[f"decoder.{layer}.bias_hh_l0"]
+        )
+        hdim = w_hh.shape[1]
+        cell: Dict = {}
+        for gi, gate in enumerate(("i", "f", "g", "o")):
+            sl = slice(gi * hdim, (gi + 1) * hdim)
+            cell[f"i{gate}"] = {"kernel": np.ascontiguousarray(w_ih[sl].T)}
+            cell[f"h{gate}"] = {
+                "kernel": np.ascontiguousarray(w_hh[sl].T),
+                "bias": np.asarray(b[sl]),
+            }
+        # flax promotes the inline cell's params to an auto-named scope
+        params["decoder"][f"OptimizedLSTMCell_{layer}"] = cell
+    return params
+
+
 def llm_guided_decoder_params(
     sd: Dict[str, np.ndarray], num_blocks: int, prefix: str = ""
 ) -> Dict:

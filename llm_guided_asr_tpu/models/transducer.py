@@ -124,6 +124,13 @@ class TransducerModelConfig:
     aux_ctc_weight: float = 0.0  # auxiliary CTC on the encoder
     blank_id: int = 0
     ignore_id: int = -1
+    # multi-blank transducer (Xu et al. 2023; reference espnet_model.py:64
+    # transducer_multi_blank_durations + rnnt_multi_blank loss): extra
+    # "big blank" output symbols that account for several encoder frames.
+    # ids/durations align index-wise; sigma = logit under-normalization.
+    multi_blank_durations: Tuple[int, ...] = ()
+    multi_blank_ids: Tuple[int, ...] = ()
+    multi_blank_sigma: float = 0.05
 
     @property
     def sos_id(self) -> int:  # interface parity with ASRModelConfig
@@ -208,7 +215,20 @@ class TransducerModel(nn.Module):
         labels = jnp.where(valid, text, 0)
         dec = self.decoder(labels, deterministic)  # [B, U+1, H]
         logits = self.joint_full(enc, dec)
-        loss_rnnt = rnnt_loss(logits, labels, enc_lens, text_lengths, cfg.blank_id)
+        if cfg.multi_blank_durations:
+            from llm_guided_asr_tpu.ops.rnnt import rnnt_loss_multi_blank
+
+            ids = cfg.multi_blank_ids or tuple(
+                cfg.vocab_size - 1 - i for i in range(len(cfg.multi_blank_durations))
+            )
+            loss_rnnt = rnnt_loss_multi_blank(
+                logits, labels, enc_lens, text_lengths, cfg.blank_id,
+                big_blank_ids=ids,
+                big_blank_durations=tuple(cfg.multi_blank_durations),
+                sigma=cfg.multi_blank_sigma,
+            )
+        else:
+            loss_rnnt = rnnt_loss(logits, labels, enc_lens, text_lengths, cfg.blank_id)
         stats = {"loss_rnnt": loss_rnnt}
         loss = loss_rnnt
         if cfg.aux_ctc_weight > 0:

@@ -100,3 +100,94 @@ def rnnt_loss(
     emit = jnp.concatenate([emit, jnp.full((b, logits.shape[1], 1), NEG_INF)], axis=2)
     ll = rnnt_alpha(logp_blank, emit, t_lengths, u_lengths)
     return -jnp.mean(ll)
+
+
+def rnnt_loss_multi_blank(
+    logits: jnp.ndarray,  # [B, T, U+1, V] joint network outputs
+    labels: jnp.ndarray,  # [B, U]
+    t_lengths: jnp.ndarray,  # [B]
+    u_lengths: jnp.ndarray,  # [B]
+    blank_id: int = 0,
+    big_blank_ids: Tuple[int, ...] = (),
+    big_blank_durations: Tuple[int, ...] = (),
+    sigma: float = 0.0,
+) -> jnp.ndarray:
+    """Multi-blank transducer loss (Xu et al. 2023, arXiv:2211.03541).
+
+    Rebuild of the reference's NeMo-derived CUDA/numba kernel
+    (espnet2/asr/transducer/rnnt_multi_blank/rnnt_multi_blank.py +
+    utils/cuda_utils/gpu_rnnt_kernel.py:475-674) as the same anti-diagonal
+    wavefront scan as ``rnnt_loss``, extended with:
+
+    - big-blank transitions: alpha[t, u] ⊕= alpha[t-d_i, u] +
+      logp(big_i | t-d_i, u) - sigma for each big blank i of duration d_i
+      (the scan carries a ring of the last max(d_i) diagonals);
+    - logit under-normalization: every transition weight gets ``-sigma``
+      (gpu_rnnt_kernel.py:538 note);
+    - final transitions through both the standard blank and every big blank
+      whose duration fits (kernel :653-671).
+    """
+    assert len(big_blank_ids) == len(big_blank_durations)
+    logp = jax.nn.log_softmax(logits.astype(jnp.float32), axis=-1)
+    logp_blank = logp[..., blank_id] - sigma  # [B, T, U+1]
+    b, u_max = labels.shape
+    t_max = logits.shape[1]
+    u1 = u_max + 1
+    safe_labels = jnp.clip(labels, 0, logits.shape[-1] - 1)
+    idx = jnp.broadcast_to(safe_labels[:, None, :, None], (b, t_max, u_max, 1))
+    emit = jnp.take_along_axis(logp[:, :, :u_max, :], idx, axis=-1)[..., 0] - sigma
+    emit = jnp.concatenate([emit, jnp.full((b, t_max, 1), NEG_INF)], axis=2)
+    bigs = [logp[..., i] - sigma for i in big_blank_ids]  # each [B, T, U+1]
+
+    durs = list(big_blank_durations)
+    max_d = max([1] + durs)
+    u_range = jnp.arange(u1)
+    n_diag = t_max + u_max + 1
+
+    def step(hist, d):
+        # hist: [B, max_d, U+1]; hist[:, j] = diagonal d-1-j
+        u_idx = u_range
+        t_idx = d - u_idx
+        on = (t_idx >= 0) & (t_idx < t_max)
+        tc = jnp.clip(t_idx, 0, t_max - 1)
+        prev = hist[:, 0]
+
+        tb = jnp.clip(t_idx - 1, 0, t_max - 1)
+        blank_in = prev + logp_blank[:, tb, u_idx]
+        val = jnp.where(on & (t_idx - 1 >= 0), blank_in, NEG_INF)
+
+        ue = jnp.maximum(u_idx - 1, 0)
+        emit_in = (
+            jnp.concatenate([jnp.full((b, 1), NEG_INF), prev[:, :-1]], axis=1)
+            + emit[:, tc, ue]
+        )
+        val = jnp.logaddexp(val, jnp.where(on & (u_idx - 1 >= 0), emit_in, NEG_INF))
+
+        for big_lp, dur in zip(bigs, durs):
+            # from (t - dur, u): on diagonal d - dur = hist[:, dur - 1]
+            td = jnp.clip(t_idx - dur, 0, t_max - 1)
+            big_in = hist[:, dur - 1] + big_lp[:, td, u_idx]
+            val = jnp.logaddexp(val, jnp.where(on & (t_idx - dur >= 0), big_in, NEG_INF))
+
+        val = jnp.where((t_idx == 0) & (u_idx == 0), 0.0, val)
+        val = jnp.where(on, val, NEG_INF)
+        new_hist = jnp.concatenate([val[:, None], hist[:, :-1]], axis=1)
+        return new_hist, val
+
+    hist0 = jnp.full((b, max_d, u1), NEG_INF)
+    _, diags = jax.lax.scan(step, hist0, jnp.arange(n_diag))
+    # cell (t, u) lives at diags[t+u, :, u]
+    bi = jnp.arange(b)
+    ll = (
+        diags[t_lengths - 1 + u_lengths, bi, u_lengths]
+        + logp_blank[bi, jnp.clip(t_lengths - 1, 0, t_max - 1), u_lengths]
+    )
+    for big_i, (big_lp, dur) in enumerate(zip(bigs, durs)):
+        fits = t_lengths >= dur
+        t_from = jnp.clip(t_lengths - dur, 0, t_max - 1)
+        cand = (
+            diags[jnp.clip(t_lengths - dur + u_lengths, 0, n_diag - 1), bi, u_lengths]
+            + big_lp[bi, t_from, u_lengths]
+        )
+        ll = jnp.logaddexp(ll, jnp.where(fits, cand, NEG_INF))
+    return -jnp.mean(ll)

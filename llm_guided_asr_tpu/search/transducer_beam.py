@@ -115,7 +115,9 @@ def transducer_beam_decode(
     tokens, n, score = jax.lax.fori_loop(
         0, t_max, frame_step, (tokens0, n0, score0)
     )
-    final = score / jnp.maximum(n, 1) if score_norm else score
+    # reference sort_nbest divides by len(yseq) which INCLUDES the
+    # leading blank context token (beam_search_transducer.py:184-201)
+    final = score / (n + 1) if score_norm else score
     order = jnp.argsort(-final)
     tokens, n, final = tokens[order], n[order], final[order]
     out = []
@@ -223,7 +225,7 @@ def transducer_alsd_decode(
     tokens, u, score, fin_tokens, fin_u, fin_score = jax.lax.fori_loop(
         0, i_max, step, (tokens0, u0, score0) + fin0
     )
-    final = fin_score / jnp.maximum(fin_u, 1) if score_norm else fin_score
+    final = fin_score / (fin_u + 1) if score_norm else fin_score
     order = jnp.argsort(-final)
     tk, nn, ss = (np.asarray(fin_tokens[order]), np.asarray(fin_u[order]),
                   np.asarray(final[order]))

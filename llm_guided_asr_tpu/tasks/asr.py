@@ -274,6 +274,13 @@ def build_model(config: Dict[str, Any], dtype=None) -> ASRModel:
             decoder=TransducerDecoderConfig.from_dict(config.get("decoder_conf", {}) or {}),
             joint_size=int(model_conf.get("joint_size", 256)),
             aux_ctc_weight=float(model_conf.get("aux_ctc_weight", 0.0)),
+            multi_blank_durations=tuple(
+                model_conf.get("transducer_multi_blank_durations", ()) or ()
+            ),
+            multi_blank_ids=tuple(model_conf.get("multi_blank_ids", ()) or ()),
+            multi_blank_sigma=float(
+                model_conf.get("transducer_multi_blank_sigma", 0.05)
+            ),
         )
         return TransducerModel(tcfg, dtype=dtype)
     return ASRModel(build_model_config(config), dtype=dtype)
@@ -470,6 +477,22 @@ def build_dataset(config: Dict[str, Any], triples: Sequence) -> ESPnetDataset:
     return ESPnetDataset(normalize_triples(triples), preprocess=pre)
 
 
+def _mesh_data_parallel_size(config: Dict[str, Any]) -> int:
+    """Data-axis size of the mesh this run will train on (1 = no mesh).
+
+    Mirrors train/trainer.py resolve_mesh without building the mesh, so the
+    sampler can emit dp-divisible batches up front."""
+    mp = max(int(config.get("model_parallel", 1) or 1), 1)
+    dp_conf = config.get("data_parallel")
+    if dp_conf is None and mp <= 1:
+        return 1
+    if dp_conf in (None, 0):
+        import jax
+
+        return max(jax.device_count() // mp, 1)
+    return int(dp_conf)
+
+
 def build_iter_factory(
     config: Dict[str, Any],
     dataset: ESPnetDataset,
@@ -495,6 +518,13 @@ def build_iter_factory(
         fold_length=int(config.get("fold_length", 80000)),
         sort_in_batch=config.get("sort_in_batch", "descending"),
     )
+    dp = _mesh_data_parallel_size(config)
+    if dp > 1 and shuffle:
+        # training batches must split evenly over the mesh 'data' axis so the
+        # trainer's repeat-padding safety net never upweights an utterance
+        from llm_guided_asr_tpu.data.samplers import round_batches_to_world_size
+
+        batches = round_batches_to_world_size(batches, dp)
     tpad = int(config.get("text_pad_multiple", 8))
     collate = CommonCollateFn(
         pad_multiples={
@@ -589,6 +619,17 @@ class ASRTask:
                 num_processes=config.get("dist_num_processes"),
                 process_id=config.get("dist_process_id"),
             ).init_distributed()
+        else:
+            # launcher/cluster env auto-resolution (srun / mpirun / torchrun
+            # variable contracts; distributed_utils.py:141-330 analog)
+            from llm_guided_asr_tpu.parallel.mesh import (
+                DistributedOption,
+                resolve_distributed_env,
+            )
+
+            dist_env = resolve_distributed_env()
+            if dist_env is not None:
+                DistributedOption(**dist_env).init_distributed()
         if config.get("print_config"):
             import sys
 
