@@ -116,17 +116,20 @@ class MaskedBatchNorm(nn.Module):
 
         if use_running_average:
             mean, var = ra_mean.value, ra_var.value
-        else:
-            m = valid[..., None].astype(jnp.float32)
-            n = jnp.maximum(jnp.sum(m), 1.0)
-            xf = x.astype(jnp.float32)
-            mean = jnp.sum(xf * m, axis=(0, 1)) / n
-            var = jnp.sum(((xf - mean) ** 2) * m, axis=(0, 1)) / n
-            if not self.is_initializing():
-                ra_mean.value = self.momentum * ra_mean.value + (1 - self.momentum) * mean
-                ra_var.value = self.momentum * ra_var.value + (1 - self.momentum) * var
-        inv = jax.lax.rsqrt(var + self.eps)
-        y = (x.astype(jnp.float32) - mean) * inv * scale + bias
+            inv = jax.lax.rsqrt(var + self.eps)
+            y = (x.astype(jnp.float32) - mean) * inv * scale + bias
+            return y.astype(self.dtype)
+        # training: fused custom-VJP core (ops/masked_bn.py) — XLA's autodiff
+        # of the masked two-pass statistics measured ~5 ms/step over 12
+        # layers on v5e; the closed-form backward is two fused reductions
+        from llm_guided_asr_tpu.ops.masked_bn import masked_batch_norm
+
+        y, mean, var = masked_batch_norm(x, valid, scale, bias, self.eps)
+        if not self.is_initializing():
+            mean = jax.lax.stop_gradient(mean)
+            var = jax.lax.stop_gradient(var)
+            ra_mean.value = self.momentum * ra_mean.value + (1 - self.momentum) * mean
+            ra_var.value = self.momentum * ra_var.value + (1 - self.momentum) * var
         return y.astype(self.dtype)
 
 
