@@ -83,6 +83,40 @@ def num_elements_batch_sampler(
     return batches
 
 
+def round_batches_to_world_size(
+    batches: List[Tuple[str, ...]], world_size: int
+) -> List[Tuple[str, ...]]:
+    """Re-chunk batches so every batch size is divisible by the data-axis
+    size, without repeating any utterance.
+
+    The reference enforces divisibility at the sampler (abs_task.py:1817-1823
+    ``--batch_size must be >= world_size``); here a global batch is sharded
+    by rows over the mesh 'data' axis, so non-divisible batches would hit the
+    trainer's repeat-padding safety net (train/trainer.py shard_batch_padded)
+    and silently upweight the repeated rows.  This pass slides utterances
+    across neighboring batches (preserving the sampler's length-sorted
+    locality) and drops only the final ``len(keys) % world_size`` tail —
+    torch DistributedSampler(drop_last=True) semantics.  Tiny-corpus guard:
+    if everything would be dropped, the original batches are returned and the
+    safety net handles them.
+    """
+    if world_size <= 1:
+        return batches
+    keys = [k for b in batches for k in b]
+    if len(keys) < world_size:
+        return batches
+    out: List[Tuple[str, ...]] = []
+    prev = 0
+    cum = 0
+    for b in batches:
+        cum += len(b)
+        edge = (cum // world_size) * world_size
+        if edge > prev:
+            out.append(tuple(keys[prev:edge]))
+            prev = edge
+    return out
+
+
 BATCH_TYPES = {
     "unsorted": "batch_size utterances per batch, dataset order",
     "sorted": "batch_size utterances per batch, sorted by length",

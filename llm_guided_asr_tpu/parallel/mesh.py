@@ -48,6 +48,76 @@ class DistributedOption:
         return make_mesh(self.data_parallel, self.model_parallel)
 
 
+def _slurm_first_host(nodelist: str) -> str:
+    """First hostname of a SLURM nodelist (``foo[1-10,12],bar3`` -> ``foo1``).
+
+    Analog of distributed_utils.py:313-321 get_master_addr, with the bracket
+    range actually expanded instead of stripped."""
+    head = nodelist.split(",")[0]
+    if "[" in head:
+        prefix, rest = head.split("[", 1)
+        first = rest.rstrip("]").split(",")[0].split("-")[0]
+        return prefix + first
+    return head
+
+
+def resolve_distributed_env() -> Optional[Dict[str, int]]:
+    """Auto-resolve multi-process wiring from the environment.
+
+    The reference resolves RANK/WORLD_SIZE/MASTER_ADDR from the launcher's
+    environment (espnet2/train/distributed_utils.py:141-330: explicit flags,
+    then SLURM srun variables, then torch.distributed.launch variables).
+    Same contract here, mapped onto jax.distributed.initialize inputs.
+
+    Priority: LLMASR_* (bin/launch.py) > SLURM_* (srun) > OMPI_* (mpirun) >
+    RANK/WORLD_SIZE/MASTER_* (torchrun-style). Returns None when the
+    environment describes a single-process run.
+    """
+    env = os.environ
+    if "LLMASR_COORDINATOR" in env:
+        return {
+            "coordinator": env["LLMASR_COORDINATOR"],
+            "num_processes": int(env.get("LLMASR_NUM_PROCESSES", "1")),
+            "process_id": int(env.get("LLMASR_PROCESS_ID", "0")),
+        }
+    if "SLURM_PROCID" in env and "SLURM_NTASKS" in env:
+        n = int(env["SLURM_NTASKS"])
+        if n <= 1:
+            return None
+        nodelist = env.get("SLURM_STEP_NODELIST", env.get("SLURM_JOB_NODELIST", ""))
+        if not nodelist:
+            return None
+        # deterministic per-job port in the dynamic range (every rank
+        # computes the same one, like the reference's --dist_master_port)
+        port = env.get("MASTER_PORT") or str(
+            49152 + int(env.get("SLURM_JOB_ID", "0")) % 16000
+        )
+        return {
+            "coordinator": f"{_slurm_first_host(nodelist)}:{port}",
+            "num_processes": n,
+            "process_id": int(env["SLURM_PROCID"]),
+        }
+    if "OMPI_COMM_WORLD_RANK" in env and "OMPI_COMM_WORLD_SIZE" in env:
+        n = int(env["OMPI_COMM_WORLD_SIZE"])
+        if n <= 1 or "MASTER_ADDR" not in env:
+            return None
+        return {
+            "coordinator": f"{env['MASTER_ADDR']}:{env.get('MASTER_PORT', '29500')}",
+            "num_processes": n,
+            "process_id": int(env["OMPI_COMM_WORLD_RANK"]),
+        }
+    if "RANK" in env and "WORLD_SIZE" in env and "MASTER_ADDR" in env:
+        n = int(env["WORLD_SIZE"])
+        if n <= 1:
+            return None
+        return {
+            "coordinator": f"{env['MASTER_ADDR']}:{env.get('MASTER_PORT', '29500')}",
+            "num_processes": n,
+            "process_id": int(env["RANK"]),
+        }
+    return None
+
+
 def make_mesh(
     data_parallel: Optional[int] = None, model_parallel: int = 1, devices=None
 ) -> Mesh:
