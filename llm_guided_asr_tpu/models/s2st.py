@@ -107,3 +107,209 @@ class S2STModel(nn.Module):
             loss = (1 - cfg.st_weight) * loss_unit + cfg.st_weight * loss_st
         stats["loss"] = loss
         return loss, stats, jnp.asarray(speech.shape[0], jnp.float32)
+
+
+@dataclasses.dataclass(frozen=True)
+class TranslatotronConfig:
+    """Spectrogram-path S2ST (s2st_type=translatotron,
+    espnet2/s2st/espnet_model.py:224-340 + synthesizer/translatotron.py).
+
+    Shared speech encoder; an attention-based AR spectrogram synthesizer
+    (Tacotron2-style cell reused from models/tacotron2.py) predicts target
+    log-mels directly, with auxiliary source-text (asr) and target-text (st)
+    attention decoders on intermediate supervision."""
+
+    base: ASRModelConfig = None  # encoder + aux decoder config
+    n_mels: int = 80  # target spectrogram bins
+    st_weight: float = 0.3  # tgt_attn aux loss weight
+    asr_weight: float = 0.3  # src_attn aux loss weight
+    synthesis_weight: float = 1.0
+    use_guided_attn: bool = False
+    guided_attn_sigma: float = 0.4
+
+
+class TranslatotronModel(nn.Module):
+    """forward(src_speech, src_speech_lengths, tgt_speech, tgt_speech_lengths,
+    text?, src_text?) -> (loss, stats, weight)."""
+
+    cfg: TranslatotronConfig
+    dtype: Dtype = jnp.float32
+
+    def setup(self):
+        base = self.cfg.base
+        from llm_guided_asr_tpu.models.conformer import make_encoder
+        from llm_guided_asr_tpu.models.tacotron2 import Taco2DecoderCell, Tacotron2Config
+
+        self.encoder = make_encoder(base.encoder_type, base.encoder, self.dtype,
+                                    name="encoder")
+        self.text_decoder = TransformerDecoder(
+            base.vocab_size, base.decoder, dtype=self.dtype, name="text_decoder"
+        )
+        self.src_text_decoder = TransformerDecoder(
+            base.vocab_size, base.decoder, dtype=self.dtype, name="src_text_decoder"
+        )
+        self._taco_cfg = Tacotron2Config(
+            n_mels=self.cfg.n_mels,
+            use_guided_attn=self.cfg.use_guided_attn,
+            guided_attn_sigma=self.cfg.guided_attn_sigma,
+        )
+        self.cell = Taco2DecoderCell(self._taco_cfg, dtype=self.dtype, name="cell")
+        self.enc_proj = nn.Dense(self._taco_cfg.att_dim, use_bias=False,
+                                 dtype=self.dtype, name="enc_proj")
+        self.postnet = [
+            nn.Conv(
+                self._taco_cfg.postnet_filters
+                if i < self._taco_cfg.postnet_layers - 1 else self.cfg.n_mels,
+                (5,), padding="SAME", dtype=self.dtype, name=f"postnet_{i}",
+            )
+            for i in range(self._taco_cfg.postnet_layers)
+        ]
+
+    def _feats(self, speech, speech_lengths):
+        base = self.cfg.base
+        f = base.frontend
+        feats, flens = default_frontend(
+            speech, speech_lengths, fs=f.fs, n_fft=f.n_fft, hop_length=f.hop_length,
+            n_mels=f.n_mels,
+        )
+        return utterance_mvn(feats, flens).astype(self.dtype), flens
+
+    def _tgt_feats(self, speech, speech_lengths):
+        """tgt_feats_extract + tgt_normalize (espnet_model.py:199-208)."""
+        base = self.cfg.base
+        f = base.frontend
+        feats, flens = default_frontend(
+            speech, speech_lengths, fs=f.fs, n_fft=f.n_fft, hop_length=f.hop_length,
+            n_mels=self.cfg.n_mels,
+        )
+        return utterance_mvn(feats, flens).astype(self.dtype), flens
+
+    def encode(self, speech, speech_lengths, deterministic: bool = True):
+        feats, flens = self._feats(speech, speech_lengths)
+        return self.encoder(feats, flens, deterministic)
+
+    def _run_postnet(self, mel):
+        x = mel
+        for i, conv in enumerate(self.postnet):
+            x = conv(x)
+            if i < len(self.postnet) - 1:
+                x = jnp.tanh(x)
+        return mel + x
+
+    def synthesize_teacher_forced(self, enc, enc_lens, tgt_feats,
+                                  deterministic: bool = True):
+        from llm_guided_asr_tpu.utils.masks import make_valid_mask as _mvm
+
+        b, t, _ = tgt_feats.shape
+        enc_valid = _mvm(enc_lens, enc.shape[1])
+        enc_proj = self.enc_proj(enc)
+        z = lambda: (jnp.zeros((b, self._taco_cfg.dlstm_units), self.dtype),
+                     jnp.zeros((b, self._taco_cfg.dlstm_units), self.dtype))
+        carry = (z(), z(), jnp.zeros((b, enc.shape[1]), self.dtype),
+                 jnp.zeros((b, enc.shape[1]), self.dtype))
+        prev = jnp.concatenate(
+            [jnp.zeros((b, 1, self.cfg.n_mels), tgt_feats.dtype), tgt_feats[:, :-1]],
+            axis=1,
+        )
+        scan = nn.scan(
+            lambda cell, c, x: cell(c, x, enc, enc_proj, enc_valid, deterministic),
+            variable_broadcast="params",
+            split_rngs={"params": False, "dropout": True},
+            in_axes=1, out_axes=1,
+        )
+        _, (mel_out, stop, att_ws) = scan(self.cell, carry, prev)
+        return mel_out, stop, att_ws
+
+    def __call__(
+        self,
+        src_speech, src_speech_lengths,
+        tgt_speech, tgt_speech_lengths,  # target waveform (feats on the fly)
+        text=None, text_lengths=None,  # target text (tgt_attn aux)
+        src_text=None, src_text_lengths=None,  # source text (src_attn aux)
+        deterministic: bool = True,
+    ) -> Tuple[jnp.ndarray, Dict[str, jnp.ndarray], jnp.ndarray]:
+        from llm_guided_asr_tpu.utils.masks import make_valid_mask as _mvm
+
+        cfg = self.cfg
+        enc, enc_lens = self.encode(src_speech, src_speech_lengths, deterministic)
+        tgt_feats, tgt_flens = self._tgt_feats(tgt_speech, tgt_speech_lengths)
+        mel_out, stop, att_ws = self.synthesize_teacher_forced(
+            enc, enc_lens, tgt_feats, deterministic
+        )
+        mel_post = self._run_postnet(mel_out)
+        t_valid = _mvm(tgt_flens, tgt_feats.shape[1])
+        denom = jnp.maximum(jnp.sum(t_valid) * cfg.n_mels, 1.0)
+
+        def masked_l1_mse(pred):
+            diff = jnp.where(t_valid[..., None], pred - tgt_feats, 0.0)
+            return (jnp.sum(jnp.abs(diff)) + jnp.sum(diff**2)) / denom
+
+        loss_syn = masked_l1_mse(mel_out) + masked_l1_mse(mel_post)
+        stop_tgt = (
+            jnp.arange(tgt_feats.shape[1])[None, :] >= (tgt_flens - 1)[:, None]
+        ).astype(jnp.float32)
+        import optax as _optax
+
+        bce = _optax.sigmoid_binary_cross_entropy(stop.astype(jnp.float32), stop_tgt)
+        loss_stop = jnp.sum(jnp.where(t_valid, bce, 0.0)) / jnp.maximum(
+            jnp.sum(t_valid), 1.0
+        )
+        loss = cfg.synthesis_weight * (loss_syn + loss_stop)
+        stats: Dict[str, jnp.ndarray] = {
+            "loss_syn": loss_syn, "loss_stop": loss_stop
+        }
+        base = cfg.base
+        if text is not None and cfg.st_weight > 0:
+            t_in, t_out = add_sos_eos(text, text_lengths, base.sos_id, base.eos_id, -1)
+            t_logits = self.text_decoder(enc, enc_lens, t_in, text_lengths + 1,
+                                         deterministic)
+            loss_st = label_smoothing_loss(t_logits, t_out, base.lsm_weight, -1)
+            stats["loss_st"] = loss_st
+            stats["acc_st"] = accuracy(t_logits, t_out, -1)
+            loss = loss + cfg.st_weight * loss_st
+        if src_text is not None and cfg.asr_weight > 0:
+            s_in, s_out = add_sos_eos(
+                src_text, src_text_lengths, base.sos_id, base.eos_id, -1
+            )
+            s_logits = self.src_text_decoder(
+                enc, enc_lens, s_in, src_text_lengths + 1, deterministic
+            )
+            loss_asr = label_smoothing_loss(s_logits, s_out, base.lsm_weight, -1)
+            stats["loss_asr"] = loss_asr
+            loss = loss + cfg.asr_weight * loss_asr
+        stats["loss"] = loss
+        return loss, stats, jnp.asarray(src_speech.shape[0], jnp.float32)
+
+    def synthesize(self, variables, speech, speech_lengths, max_frames: int = 500,
+                   stop_threshold: float = 0.5):
+        """AR greedy synthesis (inference path, translatotron.py inference):
+        run the cell frame by frame until the stop token fires."""
+        import numpy as np
+
+        enc, enc_lens = self.apply(variables, speech, speech_lengths,
+                                   method=self.encode)
+        from llm_guided_asr_tpu.utils.masks import make_valid_mask as _mvm
+
+        from llm_guided_asr_tpu.models.tacotron2 import Tacotron2Config
+
+        taco_cfg = Tacotron2Config(n_mels=self.cfg.n_mels)
+        b = enc.shape[0]
+        enc_valid = _mvm(enc_lens, enc.shape[1])
+        enc_proj = self.apply(variables, enc, method=lambda m, e: m.enc_proj(e))
+        z = lambda: (jnp.zeros((b, taco_cfg.dlstm_units)),
+                     jnp.zeros((b, taco_cfg.dlstm_units)))
+        carry = (z(), z(), jnp.zeros((b, enc.shape[1])), jnp.zeros((b, enc.shape[1])))
+        prev = jnp.zeros((b, self.cfg.n_mels))
+        frames = []
+        for _ in range(max_frames):
+            carry, (mel, stop, _w) = self.apply(
+                variables, carry, prev, enc, enc_proj, enc_valid, True,
+                method=lambda m, *a: m.cell(*a),
+            )
+            frames.append(np.asarray(mel))
+            prev = mel
+            if b == 1 and jax.nn.sigmoid(stop[0]) > stop_threshold:
+                break
+        mel = jnp.asarray(np.stack(frames, axis=1))
+        post = self.apply(variables, mel, method=self._run_postnet)
+        return np.asarray(post)

@@ -365,6 +365,31 @@ def _build_s2st(config):
     from llm_guided_asr_tpu.tasks.asr import build_model_config
 
     mc = dict(config.get("model_conf", {}) or {})
+    if str(mc.get("s2st_type", "discrete_unit")) == "translatotron":
+        # spectrogram path (espnet_model.py:224 translatotron branch)
+        from llm_guided_asr_tpu.models.s2st import (
+            TranslatotronConfig,
+            TranslatotronModel,
+        )
+
+        tcfg = TranslatotronConfig(
+            base=build_model_config(config),
+            n_mels=int(mc.get("n_mels", 80)),
+            st_weight=float(mc.get("st_weight", 0.3)),
+            asr_weight=float(mc.get("asr_weight", 0.3)),
+            synthesis_weight=float(mc.get("synthesis_weight", 1.0)),
+        )
+        model = TranslatotronModel(tcfg)
+        names = (
+            "src_speech", "src_speech_lengths", "tgt_speech",
+            "tgt_speech_lengths", "text", "text_lengths",
+        )
+        dummy = (
+            jnp.zeros((2, 4000), jnp.float32), jnp.asarray([4000, 4000]),
+            jnp.zeros((2, 4000), jnp.float32), jnp.asarray([4000, 3200]),
+            jnp.ones((2, 3), jnp.int32), jnp.asarray([3, 2]),
+        )
+        return model, names, dummy
     cfg = S2STConfig(
         base=build_model_config(config),
         unit_vocab_size=int(mc.get("unit_vocab_size", 200)),
@@ -440,6 +465,26 @@ def _build_speechlm(config):
     from llm_guided_asr_tpu.models.speechlm import SpeechLMConfig, SpeechLMModel
 
     mc = dict(config.get("model_conf", {}) or {})
+    corelm = str(mc.get("corelm", "") or "").lower()
+    if corelm:
+        # multi-stream codec LM family (espnet2/speechlm/core_lm):
+        # corelm: multiscale | valle | delay, nq code streams per frame
+        from llm_guided_asr_tpu.models.speechlm_multistream import (
+            CORE_LMS,
+            MultiStreamLMConfig,
+            MultiStreamLMModel,
+        )
+
+        if corelm not in CORE_LMS:
+            raise ValueError(
+                f"unknown corelm {corelm!r}; known: {sorted(CORE_LMS)}"
+            )
+        cfg = MultiStreamLMConfig.from_dict(mc)
+        model = MultiStreamLMModel(cfg, corelm=corelm)
+        names = ("dec_seq", "dec_seq_lengths")
+        tn = 6 * cfg.nq
+        dummy = (jnp.ones((2, tn), jnp.int32), jnp.asarray([tn, tn - cfg.nq]))
+        return model, names, dummy
     unit_vocab = int(mc.get("unit_vocab_size", 256))
     lm_cfg = TransformerLMConfig(
         vocab_size=unit_vocab + 1,
