@@ -60,6 +60,13 @@ class ASRModelConfig:
     # pretrained wav2vec2/HuBERT encoder turns raw waveform into features
     # consumed by the main encoder; (kind, W2VConfig)
     ssl_frontend: Optional[Any] = None
+    # preencoder (espnet2/asr/preencoder/sinc.py): ("sinc", SincPreencoderConfig)
+    # applied between normalize and encoder; pairs with the sliding_window
+    # frontend (frontend.type)
+    preencoder: Optional[Any] = None
+    # postencoder (length_adaptor_postencoder.py): ("length_adaptor", cfg)
+    # applied to the encoder output
+    postencoder: Optional[Any] = None
     ctc_weight: float = 0.5
     # ctc_type (espnet2/asr/ctc.py): builtin/builtin2 -> the FB kernel
     # (zero_infinity included); brctc -> delay-penalized Bayes-risk variant
@@ -185,6 +192,24 @@ class ASRModel(nn.Module):
             n_feat = cfg.ssl_frontend[1].hidden_size
         else:
             n_feat = cfg.frontend.output_dim if cfg.frontend is not None else None
+        if cfg.preencoder is not None:
+            from llm_guided_asr_tpu.models.preencoder import LightweightSincConvs
+
+            kind, pre_cfg = cfg.preencoder
+            if kind != "sinc":
+                raise ValueError(f"unknown preencoder {kind!r}")
+            self.preencoder_mod = LightweightSincConvs(
+                pre_cfg, dtype=self.dtype, name="preencoder"
+            )
+        if cfg.postencoder is not None:
+            from llm_guided_asr_tpu.models.preencoder import LengthAdaptorPostEncoder
+
+            kind, post_cfg = cfg.postencoder
+            if kind != "length_adaptor":
+                raise ValueError(f"unknown postencoder {kind!r}")
+            self.postencoder_mod = LengthAdaptorPostEncoder(
+                post_cfg, dtype=self.dtype, name="postencoder"
+            )
         if cfg.normalize == "global_mvn":
             # populated from collect-stats feats_stats.npz (global_mvn.py:26)
             dim = n_feat if n_feat is not None else 1
@@ -214,6 +239,18 @@ class ASRModel(nn.Module):
             speech = speech[..., cfg.frontend.ref_channel]
         if cfg.frontend is not None and cfg.frontend.fused and speech.ndim == 2:
             return self.fused_frontend(speech, speech_lengths)
+        if (
+            cfg.frontend is not None
+            and cfg.frontend.type == "sliding_window"
+            and speech.ndim == 2
+        ):
+            from llm_guided_asr_tpu.models.preencoder import sliding_window
+
+            return sliding_window(
+                speech, speech_lengths,
+                win_length=cfg.frontend.win_length or 400,
+                hop_length=cfg.frontend.hop_length,
+            )
         if cfg.frontend is not None and speech.ndim == 2:
             f = cfg.frontend
             return default_frontend(
@@ -248,9 +285,13 @@ class ASRModel(nn.Module):
         elif cfg.normalize == "utterance_mvn":
             feats = utterance_mvn(feats, feats_lengths)
         feats = feats.astype(self.dtype)
+        if cfg.preencoder is not None:
+            feats = self.preencoder_mod(feats, deterministic)
         out = self.encoder(feats, feats_lengths, deterministic)
         if len(out) == 3:  # interCTC taps configured
-            return out[0], out[1]
+            out = (out[0], out[1])
+        if cfg.postencoder is not None:
+            out = self.postencoder_mod(out[0], out[1], deterministic)
         return out
 
     def encode_with_intermediates(self, speech, speech_lengths, deterministic=True):
@@ -262,10 +303,15 @@ class ASRModel(nn.Module):
             feats = global_mvn(feats, self.mvn_mean.value, self.mvn_inv_std.value, feats_lengths)
         elif cfg.normalize == "utterance_mvn":
             feats = utterance_mvn(feats, feats_lengths)
-        out = self.encoder(feats.astype(self.dtype), feats_lengths, deterministic)
-        if len(out) == 3:
-            return out
-        return out[0], out[1], ()
+        feats = feats.astype(self.dtype)
+        if cfg.preencoder is not None:
+            feats = self.preencoder_mod(feats, deterministic)
+        out = self.encoder(feats, feats_lengths, deterministic)
+        taps = out[2] if len(out) == 3 else ()
+        enc, enc_lens = out[0], out[1]
+        if cfg.postencoder is not None:
+            enc, enc_lens = self.postencoder_mod(enc, enc_lens, deterministic)
+        return enc, enc_lens, taps
 
     def ctc_logits(self, encoder_out: jnp.ndarray) -> jnp.ndarray:
         return self.ctc_head(encoder_out)

@@ -189,14 +189,16 @@ def _bwd(blank_id, time_risk, res, g):
     lp, gamma, ext, t_valid, loss, dtype_token = res
     in_dtype = dtype_token.dtype
     b, t_max, v = lp.shape
-    # posterior mass per vocab entry: scatter-add over states
-    post = jnp.zeros((t_max, b, v))
-    post = post.at[
-        jnp.arange(t_max)[:, None, None],
-        jnp.arange(b)[None, :, None],
-        ext[None, :, :],
-    ].add(jnp.exp(gamma))
-    grad_lp = jnp.exp(lp) - jnp.moveaxis(post, 0, 1)  # [B, T, V]
+    # posterior mass per vocab entry. A scatter-add over lattice states
+    # measured ~6 ms/step on v5e (TPU scatters serialize); the same
+    # contraction as a batched matmul against the per-example state->vocab
+    # one-hot runs on the MXU in <0.1 ms.
+    onehot = (ext[:, :, None] == jnp.arange(v)[None, None, :]).astype(jnp.float32)
+    post = jnp.einsum(
+        "tbs,bsv->btv", jnp.exp(gamma), onehot,
+        precision=jax.lax.Precision.HIGHEST,
+    )
+    grad_lp = jnp.exp(lp) - post  # [B, T, V]
     grad_lp = jnp.where(t_valid.T[:, :, None], grad_lp, 0.0)
     # non-finite example (impossible alignment): zero grad, like zero_infinity
     finite = jnp.isfinite(loss) & (loss < 1e29)

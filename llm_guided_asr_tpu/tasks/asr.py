@@ -56,6 +56,10 @@ ASR_DEFAULTS: Dict[str, Any] = {
     "frontend_conf": {},
     "specaug": None,  # specaug | None
     "specaug_conf": {},
+    "preencoder": None,  # sinc | None (preencoder/sinc.py)
+    "preencoder_conf": {},
+    "postencoder": None,  # length_adaptor | None
+    "postencoder_conf": {},
     "normalize": "global_mvn",  # global_mvn | utterance_mvn | none
     "normalize_conf": {},  # {stats_file: ...}
     "model": "espnet",  # espnet | llm_guided_asr
@@ -161,6 +165,34 @@ def build_model_config(config: Dict[str, Any]) -> ASRModelConfig:
     if config.get("specaug") == "specaug":
         specaug = SpecAugConfig.from_dict(config.get("specaug_conf", {}) or {})
 
+    preencoder = None
+    if config.get("preencoder"):
+        # sinc preencoder over sliding-window raw frames
+        # (espnet2/asr/preencoder/sinc.py + frontend/windowing.py)
+        if config["preencoder"] != "sinc":
+            raise ValueError(
+                f"unknown preencoder {config['preencoder']!r}; known: sinc"
+            )
+        from llm_guided_asr_tpu.models.preencoder import SincPreencoderConfig
+
+        preencoder = (
+            "sinc",
+            SincPreencoderConfig.from_dict(config.get("preencoder_conf", {}) or {}),
+        )
+    postencoder = None
+    if config.get("postencoder"):
+        if config["postencoder"] != "length_adaptor":
+            raise ValueError(
+                f"unknown postencoder {config['postencoder']!r}; "
+                "known: length_adaptor"
+            )
+        from llm_guided_asr_tpu.models.preencoder import LengthAdaptorConfig
+
+        postencoder = (
+            "length_adaptor",
+            LengthAdaptorConfig.from_dict(config.get("postencoder_conf", {}) or {}),
+        )
+
     enc_conf = dict(config.get("encoder_conf", {}) or {})
     encoder_type = config.get("encoder", "conformer")
     known_encoders = (
@@ -226,6 +258,8 @@ def build_model_config(config: Dict[str, Any]) -> ASRModelConfig:
         decoder=decoder,
         hf_decoder=hf_decoder,
         ssl_frontend=ssl_frontend,
+        preencoder=preencoder,
+        postencoder=postencoder,
         ctc_weight=float(model_conf.get("ctc_weight", 0.5)),
         ctc_type=ctc_type,
         brctc_risk_factor=float(
