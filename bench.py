@@ -242,14 +242,22 @@ def main():
 
     # ---- 4. LLM-guided cached decode ----------------------------------
     try:
-        with Watchdog(1500 if on_tpu else 600):
-            llm_rtfx, llm_batch_rtfx = bench_llm_guided(on_tpu, dtype)
+        with Watchdog(1800 if on_tpu else 900):
+            llm_rtfx, llm_batch_rtfx, llm_train_sps = bench_llm_guided(on_tpu, dtype)
             all_metrics["llm_guided_rtfx"] = round(llm_rtfx, 1)
             _emit("llm_guided_rtfx", llm_rtfx, "x_realtime_per_chip")
             if llm_batch_rtfx:
                 all_metrics["llm_guided_batch4_rtfx"] = round(llm_batch_rtfx, 1)
                 _emit("llm_guided_batch4_rtfx", llm_batch_rtfx,
                       "x_realtime_per_chip")
+            if llm_train_sps:
+                # the fork's actual training cost center: frozen-LLM forward
+                # inside the train step (SURVEY 3.1 HOT LOOP) with only the
+                # guided decoder + projection trainable (phase-2 freeze,
+                # egs2/esun train_asr+llama3_conformer.yaml freeze_param)
+                all_metrics["llm_guided_train_sps"] = round(llm_train_sps, 1)
+                _emit("llm_guided_train_sps", llm_train_sps,
+                      "audio_seconds_per_second")
     except TimeoutError:
         _emit("llm_guided_rtfx", -1, "x_realtime_per_chip", note="timeout")
     except Exception as e:  # keep the headline alive
@@ -348,7 +356,51 @@ def bench_llm_guided(on_tpu, dtype):
         batch_rtfx = b_batch * FLAGSHIP_SECONDS * iters / dt
     except Exception:
         batch_rtfx = None
-    return single_rtfx, batch_rtfx
+
+    # guided TRAIN step: frozen encoder/ctc/llm (phase-2 freeze_param,
+    # egs2/esun train_asr+llama3_conformer.yaml:65-69), only the 6-block
+    # guided decoder + embed projection update.  The frozen-LLM fwd runs
+    # inside the step (llm_guided_asr_model.py:136-218 cost center).
+    try:
+        import optax
+
+        from llm_guided_asr_tpu.train.optim import build_optimizer, path_prefix_mask
+        from llm_guided_asr_tpu.train.trainer import init_train_state, make_train_step
+
+        tb = 8 if on_tpu else 2
+        t_speech = jnp.asarray(
+            np.random.default_rng(1).standard_normal((tb, samples)), jnp.float32
+        ) * 0.1
+        t_lens = jnp.full((tb,), samples, jnp.int32)
+        t_text = jnp.ones((tb, 16), jnp.int32)
+        t_tlens = jnp.full((tb,), 16, jnp.int32)
+        fmask = path_prefix_mask(
+            variables["params"], ["encoder", "ctc_head", "llm"]
+        )
+        tx = build_optimizer("adamw", {"lr": 1e-3}, freeze_mask=fmask)
+        state = init_train_state(variables, tx)
+        grad_step, apply_step, _ = make_train_step(model, tx)
+        tbatch = {"speech": t_speech, "speech_lengths": t_lens,
+                  "text": t_text, "text_lengths": t_tlens}
+        rngk = jax.random.key(3, impl="rbg")
+        g, e2, st, w = grad_step(state["params"], state["extra"], tbatch, rngk)
+        p2, o2 = apply_step(state["params"], state["opt_state"], g)
+        jax.block_until_ready(p2)
+        params, opt = state["params"], state["opt_state"]
+        t_iters = 10 if on_tpu else 1
+        best = None
+        for _ in range(3 if on_tpu else 1):
+            t0 = time.perf_counter()
+            for _ in range(t_iters):
+                g, e2, st, w = grad_step(params, state["extra"], tbatch, rngk)
+                params, opt = apply_step(params, opt, g)
+            jax.block_until_ready(params)
+            wdt = time.perf_counter() - t0
+            best = wdt if best is None else min(best, wdt)
+        train_sps = tb * FLAGSHIP_SECONDS * t_iters / best
+    except Exception:
+        train_sps = None
+    return single_rtfx, batch_rtfx, train_sps
 
 
 if __name__ == "__main__":
