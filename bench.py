@@ -72,6 +72,28 @@ class Watchdog:
         raise TimeoutError("bench section timed out")
 
 
+_FENCE_FN = None
+
+
+def _fence(x):
+    """Force real execution before reading the clock.
+
+    Through the axon tunnel, ``jax.block_until_ready`` ACKs before the device
+    has executed (measured: an 8k bf16 matmul "finished" at 26,220 TFLOP/s on
+    a 197 TFLOP/s chip; with a host read of a dependent scalar it measured a
+    plausible 124 TFLOP/s).  Every timed window must therefore end with a
+    device_get of a value that depends on the final output.
+    """
+    global _FENCE_FN
+    import jax
+    import jax.numpy as jnp
+
+    if _FENCE_FN is None:
+        _FENCE_FN = jax.jit(lambda a: jnp.sum(a.astype(jnp.float32)))
+    leaf = jax.tree_util.tree_leaves(x)[0]
+    return float(_FENCE_FN(leaf))
+
+
 def build_flagship(dtype):
     from llm_guided_asr_tpu.models.asr_model import ASRModel, ASRModelConfig
     from llm_guided_asr_tpu.models.conformer import ConformerConfig
@@ -129,13 +151,19 @@ def main():
         return ctc_greedy_decode(logp, enc_lens)
 
     out = greedy(speech, lengths)
-    jax.block_until_ready(out)
+    _fence(out)
     iters = 20 if on_tpu else 2
-    t0 = time.perf_counter()
-    for _ in range(iters):
-        out = greedy(speech, lengths)
-    jax.block_until_ready(out)
-    greedy_rtfx = batch * FLAGSHIP_SECONDS * iters / (time.perf_counter() - t0)
+    best = None
+    for rep in range(4 if on_tpu else 1):
+        t0 = time.perf_counter()
+        for _ in range(iters):
+            out = greedy(speech, lengths)
+        _fence(out)
+        dt = time.perf_counter() - t0
+        if on_tpu and rep == 0:
+            continue  # first window absorbs any residual device queue
+        best = dt if best is None else min(best, dt)
+    greedy_rtfx = batch * FLAGSHIP_SECONDS * iters / best
     all_metrics["greedy_ctc_rtfx"] = round(greedy_rtfx, 1)
     _emit("greedy_ctc_rtfx", greedy_rtfx, "x_realtime_per_chip",
           vs_baseline=_vs_ref(greedy_rtfx, "greedy_rtfx"))
@@ -150,7 +178,7 @@ def main():
     enc, enc_lens = jax.jit(
         lambda s, l: model.apply(variables, s, l, method=model.encode)
     )(speech, lengths)
-    jax.block_until_ready(enc)
+    _fence(enc)
     nb = bs10.batch_decode(enc, enc_lens, maxlenratio=-24.0)  # compile
     iters = 5 if on_tpu else 1
     dt = None
@@ -184,20 +212,22 @@ def main():
             rngk = jax.random.key(2, impl="rbg")
             g, e, st, w = grad_step(state["params"], state["extra"], tbatch, rngk)
             p2, o2 = apply_step(state["params"], state["opt_state"], g)
-            jax.block_until_ready((p2, st))
+            _fence(p2)
             iters = 10 if on_tpu else 2
             # the tunnel to the TPU host shows transient congestion (up to 5x
-            # wall-clock inflation measured); best-of-3 windows reports the
-            # machine's actual capability
+            # wall-clock inflation measured); best-of windows (first
+            # discarded) reports the machine's actual capability
             best_dt = None
             params, opt = state["params"], state["opt_state"]
-            for _ in range(3 if on_tpu else 1):
+            for rep in range(4 if on_tpu else 1):
                 t0 = time.perf_counter()
                 for _ in range(iters):
                     g, e, st, w = grad_step(params, state["extra"], tbatch, rngk)
                     params, opt = apply_step(params, opt, g)
-                jax.block_until_ready(params)
+                _fence(params)
                 dt = time.perf_counter() - t0
+                if on_tpu and rep == 0:
+                    continue
                 best_dt = dt if best_dt is None else min(best_dt, dt)
             dt = best_dt
             sps = batch * FLAGSHIP_SECONDS * iters / dt
@@ -328,7 +358,7 @@ def bench_llm_guided(on_tpu, dtype):
     enc, enc_lens = jax.jit(
         lambda s, l: model.apply(variables, s, l, method=model.encode)
     )(speech, lengths)
-    jax.block_until_ready(enc)
+    _fence(enc)
     bs = BatchBeamSearch(
         model, variables, vocab_size=5000, sos=70, eos=70,
         beam_size=10, ctc_weight=0.3,
@@ -385,17 +415,19 @@ def bench_llm_guided(on_tpu, dtype):
         rngk = jax.random.key(3, impl="rbg")
         g, e2, st, w = grad_step(state["params"], state["extra"], tbatch, rngk)
         p2, o2 = apply_step(state["params"], state["opt_state"], g)
-        jax.block_until_ready(p2)
+        _fence(p2)
         params, opt = state["params"], state["opt_state"]
         t_iters = 10 if on_tpu else 1
         best = None
-        for _ in range(3 if on_tpu else 1):
+        for rep in range(4 if on_tpu else 1):
             t0 = time.perf_counter()
             for _ in range(t_iters):
                 g, e2, st, w = grad_step(params, state["extra"], tbatch, rngk)
                 params, opt = apply_step(params, opt, g)
-            jax.block_until_ready(params)
+            _fence(params)
             wdt = time.perf_counter() - t0
+            if on_tpu and rep == 0:
+                continue
             best = wdt if best is None else min(best, wdt)
         train_sps = tb * FLAGSHIP_SECONDS * t_iters / best
     except Exception:

@@ -25,7 +25,9 @@ def inference(
 ):
     from llm_guided_asr_tpu.data.dataset import round_up
     from llm_guided_asr_tpu.data.fileio import SoundScpReader, read_2columns_text
-    from llm_guided_asr_tpu.models.uasr import UASRConfig, UASRGenerator
+    import dataclasses
+
+    from llm_guided_asr_tpu.models.uasr import ConvGenerator, UASRConfig, join_logit_segment
     from llm_guided_asr_tpu.ops.frontend import FrontendConfig, default_frontend
     from llm_guided_asr_tpu.train.checkpoint import load_pytree
     from llm_guided_asr_tpu.utils.config import load_yaml, read_token_list
@@ -37,12 +39,13 @@ def inference(
     )
     n_phones = len(token_list) if token_list else int(mc.get("n_phones", 40))
     fcfg = FrontendConfig.from_dict(config.get("frontend_conf", {}) or {})
+    known = {f.name for f in dataclasses.fields(UASRConfig)}
     cfg = UASRConfig(
         n_phones=n_phones, feat_dim=fcfg.n_mels,
-        hidden=int(mc.get("hidden", 128)),
-        kernel=int(mc.get("kernel", 4)), stride=int(mc.get("stride", 2)),
+        **{k: v for k, v in mc.items()
+           if k in known and k not in ("n_phones", "feat_dim")},
     )
-    gen = UASRGenerator(cfg)
+    gen = ConvGenerator(cfg)
     ckpt = model_file or Path(train_config).parent / "checkpoint.msgpack"
     g_params = load_pytree(ckpt)["generator"]
 
@@ -52,7 +55,18 @@ def inference(
             speech, lens, fs=fcfg.fs, n_fft=fcfg.n_fft,
             hop_length=fcfg.hop_length, n_mels=fcfg.n_mels,
         )
-        logits, olens = gen.apply({"params": g_params}, feats, flens)
+        # batch-stat BN at inference (running stats aren't carried through
+        # the two-optimizer loop; deviation documented in models/uasr.py),
+        # dropout off
+        (logits, _, olens), _ = gen.apply(
+            {"params": g_params}, feats, flens,
+            deterministic=True, bn_use_running=False, mutable=["batch_stats"],
+        )
+        if cfg.segmenter == "join":
+            logits, olens = join_logit_segment(
+                logits, olens, mean_pool_join=True,
+                remove_zeros=cfg.segmenter_remove_zeros,
+            )
         return jnp.argmax(logits, -1), olens
 
     out = Path(output_dir)

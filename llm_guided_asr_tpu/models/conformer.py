@@ -103,6 +103,7 @@ class MaskedBatchNorm(nn.Module):
     momentum: float = 0.9
     eps: float = 1e-5
     dtype: Dtype = jnp.float32
+    scale_init: Any = nn.initializers.ones  # uasr ConvGenerator inits to 30
 
     @nn.compact
     def __call__(
@@ -111,7 +112,7 @@ class MaskedBatchNorm(nn.Module):
         d = x.shape[-1]
         ra_mean = self.variable("batch_stats", "mean", lambda: jnp.zeros((d,), jnp.float32))
         ra_var = self.variable("batch_stats", "var", lambda: jnp.ones((d,), jnp.float32))
-        scale = self.param("scale", nn.initializers.ones, (d,))
+        scale = self.param("scale", self.scale_init, (d,))
         bias = self.param("bias", nn.initializers.zeros, (d,))
 
         if use_running_average:

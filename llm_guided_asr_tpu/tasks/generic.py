@@ -10,6 +10,7 @@ from the same YAML/CLI surface as ASRTask:
 
 from __future__ import annotations
 
+import dataclasses
 import logging
 from pathlib import Path
 from typing import Any, Callable, Dict, Optional, Sequence, Tuple
@@ -600,16 +601,13 @@ GAN_TASK_BUILDERS: Dict[str, Callable] = {}
 
 
 def _build_uasr(config):
-    """UASR (wav2vec-U style GAN ASR, espnet2/uasr/): generator maps features
-    to phone distributions; discriminator separates them from real phone
-    sequences (one-hot). Returns the gan_trainer contract."""
-    from llm_guided_asr_tpu.models.uasr import (
-        UASRConfig,
-        UASRDiscriminator,
-        UASRGenerator,
-        uasr_d_loss,
-        uasr_g_losses,
-    )
+    """UASR (wav2vec-U style GAN ASR, espnet2/uasr/): ConvGenerator maps
+    features to phone logits (masked BN + residual + strided conv), an
+    optional join segmenter collapses argmax runs, a causal ConvDiscriminator
+    separates generated distributions from one-hot unpaired text; criteria
+    follow uasr/loss/ (BCE + gradient penalty + smoothness + diversity).
+    Returns the gan_trainer contract."""
+    from llm_guided_asr_tpu.models import uasr as U
     from llm_guided_asr_tpu.ops.frontend import FrontendConfig, default_frontend
 
     mc = dict(config.get("model_conf", {}) or {})
@@ -619,17 +617,13 @@ def _build_uasr(config):
         else int(mc.get("n_phones", 40))
     )
     fcfg = FrontendConfig.from_dict(config.get("frontend_conf", {}) or {})
-    cfg = UASRConfig(
-        n_phones=n_phones,
-        feat_dim=fcfg.n_mels,
-        hidden=int(mc.get("hidden", 128)),
-        kernel=int(mc.get("kernel", 4)),
-        stride=int(mc.get("stride", 2)),
+    known = {f.name for f in dataclasses.fields(U.UASRConfig)}
+    cfg = U.UASRConfig(
+        n_phones=n_phones, feat_dim=fcfg.n_mels,
+        **{k: v for k, v in mc.items() if k in known and k not in ("n_phones", "feat_dim")},
     )
-    gen = UASRGenerator(cfg)
-    disc = UASRDiscriminator(cfg)
-    smooth_w = float(mc.get("smooth_weight", 0.5))
-    div_w = float(mc.get("diversity_weight", 0.3))
+    gen = U.ConvGenerator(cfg)
+    disc = U.ConvDiscriminator(cfg)
 
     def feats_of(batch):
         f = fcfg
@@ -638,25 +632,76 @@ def _build_uasr(config):
             hop_length=f.hop_length, n_mels=f.n_mels,
         )
 
-    def g_loss_fn(g_params, d_params, batch, rng):
+    def generate(g_params, batch, rng, deterministic=False):
         feats, flens = feats_of(batch)
-        logits, lens = gen.apply({"params": g_params}, feats, flens)
-        probs = jax.nn.softmax(logits, axis=-1)
-        d_fake = disc.apply({"params": d_params}, probs, lens)
-        parts = uasr_g_losses(logits, lens, d_fake)
-        loss = parts["adv"] + smooth_w * parts["smooth"] + div_w * parts["diversity"]
-        return loss, {"loss": loss, **{k: v for k, v in parts.items()}}
+        if cfg.segmenter == "random" and not deterministic:
+            feats, flens = U.random_pre_segment(
+                jax.random.fold_in(rng, 1), feats, flens,
+                cfg.segmenter_subsample_rate,
+            )
+        # training BN uses batch statistics; running stats are not carried
+        # through the two-optimizer loop (deviation documented in models/uasr)
+        (logits, inter_x, lens), _ = gen.apply(
+            {"params": g_params}, feats, flens,
+            deterministic=deterministic, mutable=["batch_stats"],
+            rngs={} if deterministic else {"dropout": jax.random.fold_in(rng, 2)},
+        )
+        if cfg.segmenter == "join":
+            logits, lens = U.join_logit_segment(
+                logits, lens, mean_pool_join=cfg.segmenter_mean_pool_join
+                or deterministic,
+                remove_zeros=cfg.segmenter_remove_zeros,
+                rng=None if deterministic else jax.random.fold_in(rng, 3),
+            )
+        return logits, inter_x, lens
+
+    def sample(logits, rng, step=None):
+        if cfg.use_gumbel:
+            temp = U.gumbel_temperature(
+                step if step is not None else jnp.asarray(0),
+                cfg.max_temperature, cfg.min_temperature, cfg.decay_temperature,
+            )
+            return U.sample_generator_output(
+                jax.random.fold_in(rng, 4), logits, temp, cfg.use_hard_gumbel
+            )
+        return jax.nn.softmax(logits, -1)
+
+    def d_apply(d_params, x, lens):
+        return disc.apply({"params": d_params}, x, lens)
+
+    def g_loss_fn(g_params, d_params, batch, rng):
+        logits, inter_x, lens = generate(g_params, batch, rng)
+        fake = sample(logits, rng)
+        d_fake = d_apply(d_params, fake, lens)
+        bsz = logits.shape[0]
+        adv, _ = U.discriminator_loss(
+            d_fake, None, False, cfg.smoothing, cfg.smoothing_one_sided
+        )
+        smooth = U.smoothness_penalty(logits, lens, bsz)
+        div = U.phoneme_diversity_loss(logits, lens, bsz)
+        loss = (cfg.discriminator_loss_weight * adv
+                + cfg.smoothness_weight * smooth
+                + cfg.diversity_weight * div)
+        return loss, {"loss": loss, "adv": adv, "smooth": smooth, "diversity": div}
 
     def d_loss_fn(d_params, g_params, batch, rng):
-        feats, flens = feats_of(batch)
-        logits, lens = gen.apply({"params": g_params}, feats, flens)
-        fake = jax.lax.stop_gradient(jax.nn.softmax(logits, axis=-1))
-        text = jnp.maximum(batch["text"], 0)
-        real = jax.nn.one_hot(text, cfg.n_phones)
-        d_fake = disc.apply({"params": d_params}, fake, lens)
-        d_real = disc.apply({"params": d_params}, real, batch["text_lengths"])
-        loss = uasr_d_loss(d_real, d_fake)
-        return loss, {"loss": loss}
+        logits, _, lens = generate(g_params, batch, rng)
+        fake = jax.lax.stop_gradient(sample(logits, rng))
+        real = U.one_hot_real_sample(batch["text"], cfg.n_phones)
+        d_fake = d_apply(d_params, fake, lens)
+        d_real = d_apply(d_params, real, batch["text_lengths"])
+        l_fake, l_real = U.discriminator_loss(
+            d_fake, d_real, True, cfg.smoothing, cfg.smoothing_one_sided
+        )
+        loss = cfg.discriminator_loss_weight * (l_fake + l_real)
+        stats = {"loss": loss, "d_fake": l_fake, "d_real": l_real}
+        if cfg.gradient_penalty_weight > 0:
+            gp = U.gradient_penalty(
+                d_apply, d_params, fake, real, jax.random.fold_in(rng, 5)
+            )
+            loss = loss + cfg.gradient_penalty_weight * gp
+            stats = {**stats, "loss": loss, "gp": gp}
+        return loss, stats
 
     g_dummy = (jnp.zeros((2, 16, cfg.feat_dim), jnp.float32), jnp.asarray([16, 12]))
     d_dummy = (jnp.zeros((2, 16, cfg.n_phones), jnp.float32), jnp.asarray([16, 12]))

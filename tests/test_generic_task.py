@@ -257,7 +257,9 @@ def test_new_domain_trains_from_yaml(task, tmp_path):
                          "head": 2, "unit": 24, "layer": 1},
             "tts2": {"unit_vocab_size": 8, "adim": 16, "heads": 2, "units": 24,
                      "elayers": 1},
-            "uasr": {"hidden": 16, "kernel": 4, "stride": 2},
+            "uasr": {"discriminator_channels": 16, "generator_kernel": 4,
+                     "generator_stride": 2, "segmenter": "join",
+                     "use_gumbel": True, "gradient_penalty_weight": 1.0},
             "gan_tts": {"hidden": 16, "text_layers": 1, "posterior_layers": 1,
                         "flow_layers": 1, "segment_frames": 4, "n_fft": 256,
                         "hop_length": 128, "n_mels": 20},
