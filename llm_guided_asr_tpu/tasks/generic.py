@@ -410,7 +410,11 @@ def _build_s2st(config):
 
 
 def _build_svs(config):
-    from llm_guided_asr_tpu.models.svs import SVSConfig, SVSModel
+    """SVS task (espnet2/tasks/svs.py): model_conf.model_type picks the
+    family — xiaoice (FastSpeech + F0/VUV/syllable heads) or naive_rnn
+    (BiLSTM enc/dec + postnet); optional frame-level 'pitch' stream enables
+    the XiaoiceSing2 pitch/VUV criteria."""
+    from llm_guided_asr_tpu.models.svs import NaiveRNNSVS, SVSConfig, SVSModel
     from llm_guided_asr_tpu.models.tts import FastSpeech2Config
 
     mc = dict(config.get("model_conf", {}) or {})
@@ -426,8 +430,12 @@ def _build_svs(config):
         elayers=int(mc.get("elayers", 2)),
         dlayers=int(mc.get("dlayers", 2)),
     )
-    cfg = SVSConfig(tts=tts_cfg, n_midi=int(mc.get("n_midi", 129)))
-    model = SVSModel(cfg)
+    extra = {f.name for f in dataclasses.fields(SVSConfig)} - {"tts"}
+    cfg = SVSConfig(
+        tts=tts_cfg, **{k: v for k, v in mc.items() if k in extra}
+    )
+    model_cls = {"xiaoice": SVSModel, "naive_rnn": NaiveRNNSVS}[cfg.model_type]
+    model = model_cls(cfg)
 
     def adapter(batch):
         return (
@@ -435,6 +443,7 @@ def _build_svs(config):
             batch["speech"], batch["speech_lengths"],
             batch["durations"], batch.get("durations_lengths"),
             batch.get("midi"), batch.get("midi_lengths"),
+            batch.get("pitch"), batch.get("pitch_lengths"),
         )
 
     dummy = (

@@ -81,3 +81,104 @@ def test_svs_forward_and_score_inference():
     )
     assert mel.shape == (1, 16, 16)
     assert int(mel_lens[0]) == 9
+
+
+def test_svs_xiaoice_pitch_vuv_syllable():
+    """XiaoiceSing2 criteria: pitch MSE + VUV BCE + syllable duration loss
+    (XiaoiceSing.py lambda_*, xiaoice/loss.py:18)."""
+    from llm_guided_asr_tpu.models.svs import midi_to_log_f0, note_segment_sum
+
+    cfg = SVSConfig(
+        tts=FastSpeech2Config(vocab_size=20, n_mels=16, adim=16, heads=2,
+                              eunits=24, elayers=1, dlayers=1),
+        n_midi=64, lambda_pitch=0.1, lambda_vuv=0.1, lambda_syllable=0.1,
+    )
+    model = SVSModel(cfg)
+    rng = np.random.default_rng(0)
+    text = jnp.asarray([[3, 4, 5, -1]], jnp.int32)
+    tlens = jnp.asarray([3])
+    dur = jnp.asarray([[3, 2, 4, 0]], jnp.int32)
+    midi = jnp.asarray([[40, 40, 47, 0]], jnp.int32)  # first note spans 2 phones
+    speech = jnp.asarray(rng.standard_normal((1, 9, 16)), jnp.float32)
+    slens = jnp.asarray([9])
+    pitch = jnp.asarray(np.abs(rng.standard_normal((1, 9))) + 4.0, jnp.float32)
+    pitch = pitch.at[0, 7:].set(0.0)  # unvoiced tail
+    variables = model.init(
+        {"params": jax.random.PRNGKey(0), "dropout": jax.random.PRNGKey(1)},
+        text, tlens, speech, slens, dur, None, midi, None, pitch,
+        deterministic=True,
+    )
+    loss, stats, _ = model.apply(
+        variables, text, tlens, speech, slens, dur, None, midi, None, pitch,
+        deterministic=True,
+    )
+    assert np.isfinite(float(loss))
+    for k in ("loss_pitch", "loss_vuv", "loss_syllable"):
+        assert k in stats and np.isfinite(float(stats[k])), k
+
+    # note_segment_sum groups same-note runs: durations [3,2,4] with notes
+    # [40,40,47] -> syllable targets [5, 4]
+    sums, seg_valid = note_segment_sum(
+        dur.astype(jnp.float32), midi, jnp.asarray([[True, True, True, False]])
+    )
+    assert np.asarray(seg_valid)[0, :2].all() and not np.asarray(seg_valid)[0, 2]
+    np.testing.assert_allclose(np.asarray(sums)[0, :2], [5.0, 4.0])
+
+    # A4 = 440 Hz
+    np.testing.assert_allclose(
+        float(midi_to_log_f0(jnp.asarray([69]))[0]), np.log(440.0), rtol=1e-6
+    )
+
+
+def test_svs_naive_rnn_trains_and_infers():
+    """naive_rnn family (naive_rnn.py:86): BiLSTM enc/dec + postnet, masked
+    L1+MSE on before/after-postnet outputs."""
+    import optax
+
+    from llm_guided_asr_tpu.models.svs import NaiveRNNSVS
+
+    cfg = SVSConfig(
+        tts=FastSpeech2Config(vocab_size=20, n_mels=12, adim=16),
+        n_midi=64, model_type="naive_rnn", rnn_units=16,
+        postnet_layers=2, postnet_chans=16,
+    )
+    model = NaiveRNNSVS(cfg)
+    rng = np.random.default_rng(1)
+    text = jnp.asarray([[3, 4, 5, -1]], jnp.int32)
+    tlens = jnp.asarray([3])
+    dur = jnp.asarray([[3, 2, 4, 0]], jnp.int32)
+    midi = jnp.asarray([[40, 45, 47, 0]], jnp.int32)
+    speech = jnp.asarray(rng.standard_normal((1, 9, 12)), jnp.float32)
+    slens = jnp.asarray([9])
+    variables = model.init(
+        {"params": jax.random.PRNGKey(0), "dropout": jax.random.PRNGKey(1)},
+        text, tlens, speech, slens, dur, None, midi, deterministic=True,
+    )
+    tx = optax.adam(1e-2)
+    params = variables["params"]
+    opt = tx.init(params)
+
+    @jax.jit
+    def step(p, o):
+        def loss_fn(p):
+            loss, stats, _ = model.apply(
+                {"params": p}, text, tlens, speech, slens, dur, None, midi,
+                deterministic=True,
+            )
+            return loss
+        l, g = jax.value_and_grad(loss_fn)(p)
+        u, o = tx.update(g, o, p)
+        return optax.apply_updates(p, u), o, l
+
+    losses = []
+    for _ in range(20):
+        params, opt, l = step(params, opt)
+        losses.append(float(l))
+    assert losses[-1] < losses[0] * 0.8, losses[::5]
+
+    mel, mel_lens = model.apply(
+        {"params": params}, text, tlens, midi, dur, t_max=16,
+        method=model.inference,
+    )
+    assert mel.shape == (1, 16, 12) and int(mel_lens[0]) == 9
+    assert np.all(np.isfinite(np.asarray(mel)))
