@@ -1,16 +1,25 @@
-"""S4 (structured state-space) decoder — TPU-native S4D.
+"""S4 (structured state-space) decoder — TPU-native S4D and NPLR S4.
 
 Rebuild of espnet2/asr/decoder/s4_decoder.py + the state_spaces/ package
-(~4k LoC of kernel library): the reference computes S4 kernels with a
-custom Cauchy CUDA/torch kernel; here the diagonal variant S4D (Gu et al.
-2022) makes the kernel a Vandermonde product — one complex einsum that XLA
-maps straight onto the MXU, no custom kernel needed:
+(~4k LoC of kernel library).  Two kernels:
+
+S4D (diagonal, SSKernelDiag, state_spaces/s4.py:1169): the kernel is a
+Vandermonde product — one complex einsum that XLA maps straight onto the
+MXU, no custom kernel needed:
 
     Abar = exp(dt * A)            (ZOH discretization, A diagonal complex)
     K[l] = 2 Re( sum_n C_n * (Abar_n - 1)/A_n * Abar_n^l )
     y    = causal_depthwise_conv(u, K) + D * u
 
-Each decoder block = pre-norm [S4D over the token axis (causal by
+NPLR S4 (SSKernelNPLR, state_spaces/s4.py:622): HiPPO-LegS transition
+(s4.py:311 ``transition('legs')``), rank-1 correction (s4.py:377), bilinear
+discretization, and the kernel evaluated in the frequency domain at the L
+roots of unity via four Cauchy dot products + the Woodbury identity
+(s4.py:797 forward).  The reference needs a custom Cauchy CUDA extension
+(s4.py:103-133); here the Cauchy reductions are plain matmuls against a
+precomputed [L, N] reciprocal matrix — MXU-native.
+
+Each decoder block = pre-norm [SSM over the token axis (causal by
 construction) -> cross-attention to the encoder memory -> FFN], mirroring
 the reference's SequenceModel layer stack with interleaved attention
 (state_spaces/attention.py).  The decoder exposes the standard
@@ -51,6 +60,7 @@ class S4DecoderConfig:
     dropout_rate: float = 0.0
     dt_min: float = 1e-3
     dt_max: float = 1e-1
+    kernel: str = "diag"  # diag (S4D) | nplr (full S4, HiPPO-LegS + Cauchy)
 
     @classmethod
     def from_dict(cls, d: dict) -> "S4DecoderConfig":
@@ -115,8 +125,121 @@ class S4DLayer(nn.Module):
         return nn.Dense(h, dtype=self.dtype, name="out_proj")(y)
 
 
+def hippo_legs_dplr(n: int):
+    """HiPPO-LegS transition -> diagonal-plus-low-rank form (numpy, init-time).
+
+    transition('legs', N) (s4.py:311): A[i,j] = -sqrt((2i+1)(2j+1)) for i>j,
+    -(i+1) on the diagonal; B[i] = sqrt(2i+1).  rank_correction (s4.py:377):
+    P[i] = sqrt(i + 1/2).  A + P P^T is normal (skew-symmetric + (-1/2)I), so
+    eigh of its skew part gives the spectrum Lambda = -1/2 + i*eig and the
+    basis V; B and P are rotated into the eigenbasis (nplr(), s4.py:409).
+    """
+    q = np.arange(n, dtype=np.float64)
+    col, row = np.meshgrid(q, q)
+    r = np.sqrt((2 * col + 1) * (2 * row + 1))
+    A = -np.where(row > col, r, 0.0) - np.diag(q + 1)
+    P = np.sqrt(q + 0.5)
+    B = np.sqrt(2 * q + 1.0)
+    S = A + P[:, None] * P[None, :]  # normal: skew-symmetric + mean(diag) I
+    lam_re = np.mean(np.diagonal(S))  # = -1/2
+    lam_im, V = np.linalg.eigh(S * -1j)  # -jS is Hermitian
+    Lambda = lam_re + 1j * lam_im
+    P = V.conj().T @ P
+    B = V.conj().T @ B
+    return (
+        Lambda.astype(np.complex64),
+        P.astype(np.complex64),
+        B.astype(np.complex64),
+    )
+
+
+def s4_nplr_kernel(Lambda, P, B, Ct, dt, L: int):
+    """SSKernelNPLR forward (s4.py:797) — the length-L convolution kernel of
+    the bilinear-discretized DPLR SSM, evaluated at the L roots of unity with
+    four Cauchy terms + Woodbury, then inverse FFT.
+
+    Shapes: Lambda/P/B [N] complex (shared across channels, reference
+    n_ssm=1); Ct [H, N] complex (the learned C-tilde absorbing (I-Abar^L));
+    dt [H].  Returns real [H, L].  The Cauchy sums are matmuls against the
+    [H, L, N] reciprocal — MXU work, replacing the reference's CUDA
+    extension (s4.py:103-133).
+    """
+    omega = jnp.exp((-2j * jnp.pi) * (jnp.arange(L) / L))  # [L]
+    g = (2.0 / dt[:, None]) * ((1.0 - omega) / (1.0 + omega))[None, :]  # [H,L]
+    c = 2.0 / (1.0 + omega)  # [L]
+    recip = 1.0 / (g[..., None] - Lambda[None, None, :])  # [H, L, N]
+    k00 = jnp.einsum("hn,hln->hl", Ct.conj() * B[None, :], recip)
+    k01 = jnp.einsum("hn,hln->hl", Ct.conj() * P[None, :], recip)
+    k10 = jnp.einsum("n,hln->hl", P.conj() * B, recip)
+    k11 = jnp.einsum("n,hln->hl", P.conj() * P, recip)
+    at_roots = c[None, :] * (k00 - k01 * (1.0 / (1.0 + k11)) * k10)
+    return jnp.fft.ifft(at_roots, L, axis=-1).real  # [H, L]
+
+
+class S4NPLRLayer(nn.Module):
+    """Full S4 (NPLR) layer: HiPPO-LegS init, trainable Lambda/P/B/C-tilde,
+    frequency-domain kernel + FFT causal conv (SSKernelNPLR + the S4 module
+    of state_spaces/s4.py)."""
+
+    cfg: S4DecoderConfig
+    dtype: Dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, u: jnp.ndarray) -> jnp.ndarray:
+        """[B, L, H] -> [B, L, H]."""
+        cfg = self.cfg
+        h = cfg.d_model
+        n = cfg.d_state
+        lam0, p0, b0 = hippo_legs_dplr(n)
+
+        def dt_init(key, shape):
+            r = jax.random.uniform(key, shape)
+            return jnp.log(cfg.dt_min) + r * (
+                jnp.log(cfg.dt_max) - jnp.log(cfg.dt_min)
+            )
+
+        log_dt = self.param("log_dt", dt_init, (h,))
+        # Lambda = -exp(log_neg_re) + i*im keeps Re < 0 (stability, s4.py:765)
+        log_neg_re = self.param(
+            "log_neg_re", lambda k, s: jnp.log(-lam0.real.astype(np.float32)), (n,)
+        )
+        lam_im = self.param(
+            "lam_im", lambda k, s: jnp.asarray(lam0.imag, jnp.float32), (n,)
+        )
+        p_ri = self.param(
+            "p", lambda k, s: jnp.stack(
+                [jnp.asarray(p0.real), jnp.asarray(p0.imag)], -1
+            ).astype(jnp.float32), (n, 2),
+        )
+        b_ri = self.param(
+            "b", lambda k, s: jnp.stack(
+                [jnp.asarray(b0.real), jnp.asarray(b0.imag)], -1
+            ).astype(jnp.float32), (n, 2),
+        )
+        c_ri = self.param("c", nn.initializers.normal(0.5 ** 0.5), (h, n, 2))
+        d_skip = self.param("d", nn.initializers.ones, (h,))
+
+        L = u.shape[1]
+        Lambda = -jnp.exp(log_neg_re) + 1j * lam_im
+        P = p_ri[..., 0] + 1j * p_ri[..., 1]
+        B = b_ri[..., 0] + 1j * b_ri[..., 1]
+        Ct = c_ri[..., 0] + 1j * c_ri[..., 1]
+        kernel = s4_nplr_kernel(
+            Lambda, P, B, Ct, jnp.exp(log_dt), L
+        ).astype(jnp.float32)  # [H, L]
+
+        nfft = 2 * L
+        uf = jnp.fft.rfft(jnp.moveaxis(u, 1, 2).astype(jnp.float32), n=nfft)
+        kf = jnp.fft.rfft(kernel, n=nfft)
+        y = jnp.fft.irfft(uf * kf[None], n=nfft)[..., :L]
+        y = jnp.moveaxis(y, 1, 2).astype(self.dtype)
+        y = y + u * d_skip[None, None, :]
+        y = jax.nn.gelu(y)
+        return nn.Dense(cfg.d_model, dtype=self.dtype, name="out_proj")(y)
+
+
 class S4Decoder(nn.Module):
-    """Embed -> [S4D -> cross-attention -> FFN] x n_layers -> vocab logits."""
+    """Embed -> [S4/S4D -> cross-attention -> FFN] x n_layers -> vocab logits."""
 
     cfg: S4DecoderConfig
     dtype: Dtype = jnp.float32
@@ -140,9 +263,10 @@ class S4Decoder(nn.Module):
         # zero padded positions so the causal conv can't smear pad garbage
         x = jnp.where(ys_valid[..., None], x, 0.0)
         mem_mask = make_valid_mask(enc_lengths, enc.shape[1])[:, None, :]
+        ssm_cls = {"diag": S4DLayer, "nplr": S4NPLRLayer}[cfg.kernel]
         for i in range(cfg.n_layers):
             hcur = LayerNorm(dtype=self.dtype, name=f"s4_ln_{i}")(x)
-            x = x + S4DLayer(cfg, dtype=self.dtype, name=f"s4_{i}")(hcur)
+            x = x + ssm_cls(cfg, dtype=self.dtype, name=f"s4_{i}")(hcur)
             hcur = LayerNorm(dtype=self.dtype, name=f"att_ln_{i}")(x)
             x = x + MultiHeadedAttention(
                 cfg.attention_heads, cfg.dropout_rate, dtype=self.dtype,
