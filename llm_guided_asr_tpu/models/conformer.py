@@ -344,6 +344,20 @@ def make_encoder(encoder_type: str, cfg: "ConformerConfig", dtype=jnp.float32, n
 
         return RNNEncoder(cfg, dtype=dtype, use_vgg=(encoder_type == "vgg_rnn"),
                           name=name)
+    if encoder_type == "avhubert":
+        # audio-only at the task level (the reference's audio_only flag,
+        # avhubert_encoder.py:264-267); AV via the module-level API
+        from llm_guided_asr_tpu.models.avhubert import AVHubertConfig, AVHubertEncoder
+
+        av_cfg = AVHubertConfig(
+            encoder_embed_dim=cfg.output_size,
+            encoder_layers=cfg.num_blocks,
+            encoder_attention_heads=cfg.attention_heads,
+            encoder_ffn_embed_dim=cfg.linear_units,
+            dropout=cfg.dropout_rate,
+            audio_only=True,
+        )
+        return AVHubertEncoder(av_cfg, cfg.output_size, dtype=dtype, name=name)
     if encoder_type in ("wav2vec2_hf", "hubert_hf", "whisper_hf"):
         # pretrained-import encoders (VERDICT missing #6): architecture comes
         # from the HF config at cfg.model_name_or_path; weights are injected

@@ -198,7 +198,7 @@ def build_model_config(config: Dict[str, Any]) -> ASRModelConfig:
     known_encoders = (
         "conformer", "transformer", "e_branchformer", "branchformer",
         "contextual_block_conformer", "whisper_style", "longformer",
-        "multiconvformer", "rnn", "vgg_rnn",
+        "multiconvformer", "rnn", "vgg_rnn", "avhubert",
         "wav2vec2_hf", "hubert_hf", "whisper_hf",
     )
     if encoder_type not in known_encoders:

@@ -323,16 +323,35 @@ def _build_discrete_asr(config):
 
 
 def _build_slu(config):
+    """SLU (espnet2/slu/): intent head + optional transcript conditioning
+    (postdecoder transcript encoder + deliberation cross-attention) via a
+    'transcript' text_int stream and model_conf.use_transcript."""
     from llm_guided_asr_tpu.models.slu import SLUConfig, SLUModel
     from llm_guided_asr_tpu.tasks.asr import build_model_config
 
     mc = dict(config.get("model_conf", {}) or {})
+    extra = {f.name for f in dataclasses.fields(SLUConfig)} - {"asr"}
     cfg = SLUConfig(
         asr=build_model_config(config),
-        n_intents=int(mc.get("n_intents", 10)),
-        intent_weight=float(mc.get("intent_weight", 0.3)),
+        **{k: v for k, v in mc.items() if k in extra},
     )
     model = SLUModel(cfg)
+    if cfg.use_transcript:
+        def adapter(batch):
+            return (
+                batch["speech"], batch["speech_lengths"],
+                batch["text"], batch["text_lengths"],
+                batch.get("intent"), batch.get("intent_lengths"),
+                batch.get("transcript"), batch.get("transcript_lengths"),
+            )
+
+        dummy = (
+            jnp.zeros((2, 4000), jnp.float32), jnp.asarray([4000, 4000]),
+            jnp.ones((2, 3), jnp.int32), jnp.asarray([3, 2]),
+            jnp.zeros((2, 1), jnp.int32), jnp.asarray([1, 1]),
+            jnp.ones((2, 4), jnp.int32), jnp.asarray([4, 3]),
+        )
+        return model, adapter, dummy
     names = ("speech", "speech_lengths", "text", "text_lengths", "intent")
     dummy = (
         jnp.zeros((2, 4000), jnp.float32), jnp.asarray([4000, 4000]),

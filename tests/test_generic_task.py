@@ -290,3 +290,61 @@ def test_new_domain_trains_from_yaml(task, tmp_path):
     GenericTask.main(["--config", str(cfg_file)])
     assert (exp / "config.yaml").exists()
     assert (exp / "checkpoint.msgpack").exists()
+
+
+def test_slu_transcript_conditioning(tmp_path):
+    """SLU postdecoder analog: transcript conditioning changes the encoder
+    states feeding the intent head (slu/espnet_model.py:89-98 postdecoder +
+    deliberationencoder)."""
+    import jax
+    import jax.numpy as jnp
+
+    from llm_guided_asr_tpu.models.slu import SLUConfig, SLUModel
+    from llm_guided_asr_tpu.tasks.asr import build_model_config
+
+    tokens = tmp_path / "tokens.txt"
+    tokens.write_text("\n".join(
+        ["<blank>", "<unk>"] + list("abcdefg") + ["<sos/eos>"]) + "\n")
+    base = {
+        "token_list": str(tokens),
+        "frontend_conf": {"n_fft": 256, "hop_length": 128, "n_mels": 20},
+        "normalize": "utterance_mvn",
+        "encoder_conf": {"output_size": 16, "attention_heads": 2,
+                         "linear_units": 24, "num_blocks": 1,
+                         "use_cnn_module": False},
+        "decoder_conf": {"attention_heads": 2, "linear_units": 24,
+                         "num_blocks": 1},
+        "model_conf": {"ctc_weight": 0.5},
+    }
+    cfg = SLUConfig(
+        asr=build_model_config({**base, "model_conf": {**base["model_conf"]}}),
+        n_intents=3, use_transcript=True, transcript_layers=1,
+        deliberation_layers=1, transcript_ffn=24,
+    )
+    model = SLUModel(cfg)
+    rng = np.random.default_rng(0)
+    speech = jnp.asarray(rng.standard_normal((2, 3200)), jnp.float32)
+    slens = jnp.asarray([3200, 1600])
+    text = jnp.asarray([[1, 2, -1], [3, -1, -1]], jnp.int32)
+    tlens = jnp.asarray([2, 1])
+    intent = jnp.asarray([[1], [2]], jnp.int32)
+    tr = jnp.asarray([[4, 5, 6, -1], [7, 8, -1, -1]], jnp.int32)
+    trlens = jnp.asarray([3, 2])
+    variables = model.init(
+        {"params": jax.random.PRNGKey(0), "dropout": jax.random.PRNGKey(1)},
+        speech, slens, text, tlens, intent, None, tr, trlens,
+        deterministic=True,
+    )
+    loss, stats, _ = model.apply(
+        variables, speech, slens, text, tlens, intent, None, tr, trlens,
+        deterministic=True,
+    )
+    assert np.isfinite(float(loss))
+    assert "loss_intent" in stats
+    # transcript content must change the result (the deliberation fusion is live)
+    loss2, _, _ = model.apply(
+        variables, speech, slens, text, tlens, intent, None,
+        jnp.asarray([[8, 7, 6, -1], [4, 5, -1, -1]], jnp.int32), trlens,
+        deterministic=True,
+    )
+    assert float(loss) != float(loss2)
