@@ -94,6 +94,7 @@ class MultiHeadedAttention(nn.Module):
         value: jnp.ndarray,  # [B, Tk, D]
         mask: Optional[jnp.ndarray] = None,  # [B, Tq, Tk] or [B, 1, Tk]; True=attend
         deterministic: bool = True,
+        return_weights: bool = False,  # guided-attention loss consumers
     ) -> jnp.ndarray:
         d_model = query.shape[-1]
         h, d_k = self.num_heads, d_model // self.num_heads
@@ -111,10 +112,13 @@ class MultiHeadedAttention(nn.Module):
         # attention-map capture for plotting (calculate_all_attentions analog):
         # collected only when apply() asks for the 'intermediates' collection
         self.sow("intermediates", "attn_weights", attn)
-        attn = nn.Dropout(self.dropout_rate)(attn, deterministic=deterministic)
-        out = jnp.einsum("bhqk,bkhd->bqhd", attn, v)
+        attn_drop = nn.Dropout(self.dropout_rate)(attn, deterministic=deterministic)
+        out = jnp.einsum("bhqk,bkhd->bqhd", attn_drop, v)
         out = out.reshape(*out.shape[:-2], d_model)
-        return nn.Dense(d_model, dtype=self.dtype, name="linear_out")(out)
+        out = nn.Dense(d_model, dtype=self.dtype, name="linear_out")(out)
+        if return_weights:
+            return out, attn
+        return out
 
 
 def _masked_softmax(scores: jnp.ndarray, mask: Optional[jnp.ndarray]) -> jnp.ndarray:

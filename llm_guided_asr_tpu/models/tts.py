@@ -21,7 +21,10 @@ import jax
 import jax.numpy as jnp
 
 from llm_guided_asr_tpu.models.transformer import (
+    LayerNorm,
+    MultiHeadedAttention,
     PositionalEncoding,
+    PositionwiseFeedForward,
     TransformerEncoderLayer,
 )
 from llm_guided_asr_tpu.utils.masks import make_valid_mask
@@ -284,3 +287,223 @@ def griffin_lim(
         re = re[:, :t]
         spec = mag * jnp.exp(1j * jnp.angle(re))
     return istft(spec, n_fft=n_fft, hop_length=hop_length, length=n)
+
+
+@dataclasses.dataclass(frozen=True)
+class TransformerTTSConfig:
+    """Transformer-TTS (espnet/nets/pytorch_backend/e2e_tts_transformer.py):
+    AR encoder-decoder with mel prenet, stop-token head, postnet, and the
+    diagonal guided-attention loss on the cross-attention maps."""
+
+    vocab_size: int = 100
+    n_mels: int = 80
+    adim: int = 128
+    heads: int = 2
+    eunits: int = 256
+    elayers: int = 2
+    dlayers: int = 2
+    prenet_units: int = 64
+    postnet_layers: int = 3
+    postnet_chans: int = 64
+    postnet_filts: int = 5
+    bce_pos_weight: float = 5.0  # stop-token class imbalance
+    use_guided_attn: bool = True
+    guided_sigma: float = 0.4
+    guided_lambda: float = 1.0
+
+
+def guided_attention_loss(attn, text_lengths, mel_lengths, sigma: float):
+    """GuidedMultiHeadAttentionLoss (e2e_tts_transformer.py): penalize
+    cross-attention mass far from the diagonal.  attn: [B, H, T_mel, L_text]."""
+    b, h, t, l = attn.shape
+    ti = jnp.arange(t)[None, :, None]
+    li = jnp.arange(l)[None, None, :]
+    tl = jnp.maximum(mel_lengths, 1)[:, None, None].astype(jnp.float32)
+    ll = jnp.maximum(text_lengths, 1)[:, None, None].astype(jnp.float32)
+    w = 1.0 - jnp.exp(-((li / ll - ti / tl) ** 2) / (2 * sigma ** 2))  # [B,T,L]
+    valid = (
+        (ti < mel_lengths[:, None, None]) & (li < text_lengths[:, None, None])
+    )
+    w = jnp.where(valid, w, 0.0)[:, None]  # [B,1,T,L]
+    return jnp.sum(attn * w) / jnp.maximum(jnp.sum(valid) * h, 1)
+
+
+class TransformerTTS(nn.Module):
+    cfg: TransformerTTSConfig
+    dtype: Dtype = jnp.float32
+
+    def setup(self):
+        cfg = self.cfg
+        self.embed = nn.Embed(cfg.vocab_size, cfg.adim, dtype=self.dtype,
+                              name="embed")
+        self.enc_pos = PositionalEncoding(0.1, dtype=self.dtype, name="enc_pos")
+        self.encoder_layers = [
+            TransformerEncoderLayer(cfg.heads, cfg.eunits, 0.1,
+                                    dtype=self.dtype, name=f"enc_{i}")
+            for i in range(cfg.elayers)
+        ]
+        self.prenet1 = nn.Dense(cfg.prenet_units, dtype=self.dtype, name="prenet1")
+        self.prenet2 = nn.Dense(cfg.prenet_units, dtype=self.dtype, name="prenet2")
+        self.prenet_out = nn.Dense(cfg.adim, dtype=self.dtype, name="prenet_out")
+        self.prenet_drop = nn.Dropout(0.5)
+        self.dec_pos = PositionalEncoding(0.1, dtype=self.dtype, name="dec_pos")
+        self.self_attns = [
+            MultiHeadedAttention(cfg.heads, 0.0, dtype=self.dtype,
+                                 name=f"dec_self_{i}")
+            for i in range(cfg.dlayers)
+        ]
+        self.cross_attns = [
+            MultiHeadedAttention(cfg.heads, 0.0, dtype=self.dtype,
+                                 name=f"dec_cross_{i}")
+            for i in range(cfg.dlayers)
+        ]
+        self.dec_ffns = [
+            PositionwiseFeedForward(cfg.eunits, 0.1, dtype=self.dtype,
+                                    name=f"dec_ffn_{i}")
+            for i in range(cfg.dlayers)
+        ]
+        self.dec_norms1 = [LayerNorm(dtype=self.dtype, name=f"dn1_{i}")
+                           for i in range(cfg.dlayers)]
+        self.dec_norms2 = [LayerNorm(dtype=self.dtype, name=f"dn2_{i}")
+                           for i in range(cfg.dlayers)]
+        self.dec_norms3 = [LayerNorm(dtype=self.dtype, name=f"dn3_{i}")
+                           for i in range(cfg.dlayers)]
+        self.mel_out = nn.Dense(cfg.n_mels, dtype=self.dtype, name="mel_out")
+        self.stop_out = nn.Dense(1, dtype=self.dtype, name="stop_out")
+        from llm_guided_asr_tpu.models.svs import Postnet
+
+        self.postnet = Postnet(cfg.n_mels, cfg.postnet_layers,
+                               cfg.postnet_chans, cfg.postnet_filts,
+                               dtype=self.dtype, name="postnet")
+
+    def _encode(self, text, text_lengths, deterministic):
+        x = self.embed(jnp.clip(text, 0, self.cfg.vocab_size - 1))
+        x = self.enc_pos(x, deterministic)
+        valid = make_valid_mask(text_lengths, text.shape[1])
+        for layer in self.encoder_layers:
+            x = layer(x, valid[:, None, :], deterministic)
+        return jnp.where(valid[..., None], x, 0.0), valid
+
+    def _prenet(self, mel, deterministic):
+        # tacotron prenet: dropout active even at inference (reference keeps
+        # prenet dropout on to break AR repetition); here deterministic
+        # controls it uniformly (documented deviation)
+        h = self.prenet_drop(jax.nn.relu(self.prenet1(mel)),
+                             deterministic=deterministic)
+        h = self.prenet_drop(jax.nn.relu(self.prenet2(h)),
+                             deterministic=deterministic)
+        return self.prenet_out(h)
+
+    def _decode_frames(self, enc, enc_valid, mel_in, mel_lengths,
+                       deterministic):
+        from llm_guided_asr_tpu.utils.masks import causal_attn_mask
+
+        t = mel_in.shape[1]
+        x = self._prenet(mel_in, deterministic)
+        x = self.dec_pos(x, deterministic)
+        self_mask = causal_attn_mask(mel_lengths, t)
+        cross_mask = enc_valid[:, None, :]
+        attns = []
+        for i in range(self.cfg.dlayers):
+            h = self.dec_norms1[i](x)
+            x = x + self.self_attns[i](h, h, h, self_mask, deterministic)
+            h = self.dec_norms2[i](x)
+            out, w = self.cross_attns[i](
+                h, enc, enc, cross_mask, deterministic, return_weights=True
+            )
+            attns.append(w)  # [B, H, T_mel, L_text]
+            x = x + out
+            h = self.dec_norms3[i](x)
+            x = x + self.dec_ffns[i](h, deterministic)
+        before = self.mel_out(x)
+        stop_logits = self.stop_out(x)[..., 0]
+        after = self.postnet(before, deterministic)
+        return before, after, stop_logits, attns
+
+    def __call__(
+        self,
+        text, text_lengths,
+        speech, speech_lengths,  # [B, T, n_mels] target
+        deterministic: bool = True,
+    ):
+        cfg = self.cfg
+        enc, enc_valid = self._encode(text, text_lengths, deterministic)
+        # teacher forcing: input = target shifted right with a zero frame
+        mel_in = jnp.concatenate(
+            [jnp.zeros_like(speech[:, :1]), speech[:, :-1]], axis=1
+        )
+        before, after, stop_logits, attns = self._decode_frames(
+            enc, enc_valid, mel_in, speech_lengths, deterministic
+        )
+        t = speech.shape[1]
+        mvalid = make_valid_mask(speech_lengths, t)[..., None]
+        n = jnp.maximum(jnp.sum(mvalid) * cfg.n_mels, 1)
+        l1 = (jnp.sum(jnp.where(mvalid, jnp.abs(before - speech), 0.0))
+              + jnp.sum(jnp.where(mvalid, jnp.abs(after - speech), 0.0))) / n
+        mse = (jnp.sum(jnp.where(mvalid, (before - speech) ** 2, 0.0))
+               + jnp.sum(jnp.where(mvalid, (after - speech) ** 2, 0.0))) / n
+        # stop targets: 1 at the last valid frame, 0 elsewhere
+        pos = jnp.arange(t)[None, :]
+        stop_tgt = (pos == (speech_lengths - 1)[:, None]).astype(jnp.float32)
+        svalid = make_valid_mask(speech_lengths, t)
+        z = stop_logits.astype(jnp.float32)
+        bce = jnp.maximum(z, 0) - z * stop_tgt + jnp.log1p(jnp.exp(-jnp.abs(z)))
+        bce = jnp.where(stop_tgt > 0, cfg.bce_pos_weight * bce, bce)
+        loss_stop = jnp.sum(jnp.where(svalid, bce, 0.0)) / jnp.maximum(
+            jnp.sum(svalid), 1
+        )
+        loss = l1 + mse + loss_stop
+        stats = {"loss_mel": l1, "loss_mse": mse, "loss_stop": loss_stop}
+        if cfg.use_guided_attn:
+            # the reference applies the loss to the last num_layers_applied
+            # cross-attention maps (e2e_tts_transformer.py); here: all layers
+            loss_ga = jnp.mean(
+                jnp.stack([
+                    guided_attention_loss(
+                        a.astype(jnp.float32), text_lengths, speech_lengths,
+                        cfg.guided_sigma,
+                    )
+                    for a in attns
+                ])
+            )
+            loss = loss + cfg.guided_lambda * loss_ga
+            stats["loss_guided_attn"] = loss_ga
+        stats["loss"] = loss
+        return loss, stats, jnp.asarray(text.shape[0], jnp.float32)
+
+    def inference(self, text, text_lengths, t_max: int = 500,
+                  stop_threshold: float = 0.5):
+        """AR greedy synthesis with stop-token termination (lax.scan over a
+        static t_max buffer; frames after the stop are masked out)."""
+        cfg = self.cfg
+        enc, enc_valid = self._encode(text, text_lengths, True)
+        b = text.shape[0]
+
+        mel_buf = jnp.zeros((b, t_max, cfg.n_mels), self.dtype)
+        # full-prefix recompute per frame (parity-first; a KV-cached step
+        # mirrors search/cached_decoder.py if this becomes hot)
+        def step(carry, i):
+            mel_buf, stopped, lengths = carry
+            mel_in = jnp.concatenate(
+                [jnp.zeros_like(mel_buf[:, :1]), mel_buf[:, :-1]], axis=1
+            )
+            before, after, stop_logits, _ = self._decode_frames(
+                enc, enc_valid, mel_in, jnp.full((b,), t_max, jnp.int32), True
+            )
+            frame = after[:, i]
+            mel_buf = jax.lax.dynamic_update_slice(
+                mel_buf, frame[:, None], (0, i, 0)
+            )
+            stop_now = jax.nn.sigmoid(stop_logits[:, i]) > stop_threshold
+            new_stopped = jnp.logical_or(stopped, stop_now)
+            lengths = jnp.where(
+                jnp.logical_and(~stopped, new_stopped), i + 1, lengths
+            )
+            return (mel_buf, new_stopped, lengths), None
+
+        init = (mel_buf, jnp.zeros((b,), bool), jnp.full((b,), t_max, jnp.int32))
+        (mel_buf, stopped, lengths), _ = jax.lax.scan(
+            step, init, jnp.arange(t_max)
+        )
+        valid = jnp.arange(t_max)[None, :] < lengths[:, None]
+        return jnp.where(valid[..., None], mel_buf, 0.0), lengths

@@ -107,7 +107,12 @@ def _build_spk(config):
 
 def _build_tts(config):
     """--tts ClassChoices analog (espnet2/tasks/tts.py tts_choices):
-    fastspeech2 (default) | tacotron2.
+    fastspeech2 (default) | fastspeech | tacotron2 | transformer.
+
+    fastspeech (FastSpeech1, espnet2/tts/fastspeech/fastspeech.py) is
+    FastSpeech2 with the pitch/energy variance adaptors disabled — the
+    adapter drops those streams.  transformer is the AR Transformer-TTS
+    with stop token + guided attention (e2e_tts_transformer.py).
 
     Raw-waveform ``speech`` is converted to log-mel in the batch adapter
     (the reference's in-model feats_extract, tts/espnet_model.py)."""
@@ -158,6 +163,29 @@ def _build_tts(config):
             jnp.zeros((2, 12, t2.n_mels), jnp.float32), jnp.asarray([12, 9]),
         )
         return model, t2_adapter, t2_dummy
+    if config.get("tts") == "transformer":
+        from llm_guided_asr_tpu.models.tts import TransformerTTS, TransformerTTSConfig
+
+        known = {f.name for f in dataclasses.fields(TransformerTTSConfig)}
+        tcfg = TransformerTTSConfig(
+            vocab_size=vocab,
+            **{k: v for k, v in mc.items() if k in known and k != "vocab_size"},
+        )
+        model = TransformerTTS(tcfg)
+
+        def tt_adapter(batch):
+            batch = feats_extract(batch)
+            return (
+                batch["text"], batch["text_lengths"],
+                batch["speech"], batch["speech_lengths"],
+            )
+
+        tt_dummy = (
+            jnp.ones((2, 4), jnp.int32), jnp.asarray([4, 3]),
+            jnp.zeros((2, 12, tcfg.n_mels), jnp.float32), jnp.asarray([12, 9]),
+        )
+        return model, tt_adapter, tt_dummy
+    fastspeech1 = config.get("tts") == "fastspeech"
     cfg = FastSpeech2Config(
         vocab_size=vocab,
         n_mels=int(mc.get("n_mels", 80)),
@@ -175,7 +203,8 @@ def _build_tts(config):
             batch["text"], batch["text_lengths"],
             batch["speech"], batch["speech_lengths"],
             batch["durations"], batch.get("durations_lengths"),
-            batch.get("pitch"), batch.get("energy"),
+            None if fastspeech1 else batch.get("pitch"),
+            None if fastspeech1 else batch.get("energy"),
         )
 
     dummy = (

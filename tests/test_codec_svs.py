@@ -182,3 +182,92 @@ def test_svs_naive_rnn_trains_and_infers():
     )
     assert mel.shape == (1, 16, 12) and int(mel_lens[0]) == 9
     assert np.all(np.isfinite(np.asarray(mel)))
+
+
+def test_transformer_tts_trains_and_stops():
+    """Transformer-TTS (e2e_tts_transformer.py): teacher-forced loss with
+    stop-token BCE + guided attention; AR inference terminates on stop."""
+    import optax
+
+    from llm_guided_asr_tpu.models.tts import TransformerTTS, TransformerTTSConfig
+
+    cfg = TransformerTTSConfig(vocab_size=12, n_mels=8, adim=16, heads=2,
+                               eunits=24, elayers=1, dlayers=1,
+                               prenet_units=8, postnet_layers=2,
+                               postnet_chans=8)
+    model = TransformerTTS(cfg)
+    rng = np.random.default_rng(0)
+    text = jnp.asarray([[3, 4, 5, -1]], jnp.int32)
+    tlens = jnp.asarray([3])
+    speech = jnp.asarray(rng.standard_normal((1, 10, 8)), jnp.float32)
+    slens = jnp.asarray([10])
+    variables = model.init(
+        {"params": jax.random.PRNGKey(0), "dropout": jax.random.PRNGKey(1)},
+        text, tlens, speech, slens, deterministic=True,
+    )
+    loss, stats, _ = model.apply(
+        variables, text, tlens, speech, slens, deterministic=True
+    )
+    assert np.isfinite(float(loss))
+    for k in ("loss_mel", "loss_stop", "loss_guided_attn"):
+        assert k in stats, stats.keys()
+
+    tx = optax.adam(1e-2)
+    params, opt = variables["params"], None
+    opt = tx.init(params)
+
+    @jax.jit
+    def step(p, o):
+        def loss_fn(p):
+            l, _, _ = model.apply({"params": p}, text, tlens, speech, slens,
+                                  deterministic=True)
+            return l
+        l, g = jax.value_and_grad(loss_fn)(p)
+        u, o = tx.update(g, o, p)
+        return optax.apply_updates(p, u), o, l
+
+    losses = []
+    for _ in range(30):
+        params, opt, l = step(params, opt)
+        losses.append(float(l))
+    assert losses[-1] < losses[0], losses[::10]
+
+    mel, lens = model.apply({"params": params}, text, tlens, t_max=20,
+                            method=model.inference)
+    assert mel.shape == (1, 20, 8)
+    assert 1 <= int(lens[0]) <= 20
+    assert np.all(np.isfinite(np.asarray(mel)))
+
+
+def test_fastspeech1_task_ignores_pitch_energy(tmp_path):
+    """tts: fastspeech (FastSpeech1) drops pitch/energy streams at the
+    adapter so the variance adaptors beyond duration never engage."""
+    from llm_guided_asr_tpu.tasks.generic import GenericTask
+
+    tokens = tmp_path / "tokens.txt"
+    tokens.write_text("\n".join(["<blank>", "<unk>", "a", "b", "<sos/eos>"]) + "\n")
+    config = {
+        **GenericTask.get_default_config(),
+        "task": "tts", "tts": "fastspeech",
+        "token_list": str(tokens),
+        "model_conf": {"n_mels": 12, "adim": 16, "heads": 2, "eunits": 24,
+                       "elayers": 1, "dlayers": 1},
+    }
+    model, adapter, dummy = GenericTask.build(config)
+    batch = {
+        "text": dummy[0], "text_lengths": dummy[1],
+        "speech": dummy[2], "speech_lengths": dummy[3],
+        "durations": dummy[4], "durations_lengths": dummy[5],
+        # even if the data dir provides pitch/energy, FS1 must not see them
+        "pitch": jnp.ones_like(dummy[4], jnp.float32),
+        "energy": jnp.ones_like(dummy[4], jnp.float32),
+    }
+    args = adapter(batch)
+    assert args[6] is None and args[7] is None
+    variables = model.init(
+        {"params": jax.random.PRNGKey(0), "dropout": jax.random.PRNGKey(1)},
+        *args, deterministic=True,
+    )
+    loss, stats, _ = model.apply(variables, *args, deterministic=True)
+    assert np.isfinite(float(loss))
+    assert "loss_pitch" not in stats and "loss_energy" not in stats
