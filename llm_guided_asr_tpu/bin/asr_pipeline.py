@@ -4,6 +4,7 @@
 A python stage runner over Kaldi-format data dirs (wav.scp + text), keeping
 the reference's stage numbering where the stage exists here:
 
+  stage 1   data validation (local/data.sh + validate_data_dir.sh analog)
   stage 2   speed perturbation (sox 0.9/1.0/1.1 analog; --speed_perturb)
   stage 3   wav format/validation (format_wav_scp: resolve+check audio)
   stage 4   remove long/short utterances (asr.sh:799)
@@ -15,6 +16,11 @@ the reference's stage numbering where the stage exists here:
   stage 11  ASR training (asr.sh:1308)
   stage 12  decoding (asr.sh:1480; shallow-fuses the stage-6 LM when trained)
   stage 13  scoring + per-utterance alignment report (asr.sh:1621)
+  stage 14  pack the model bundle (asr.sh:1727)
+  stage 15  model-zoo export artifact (asr.sh:1760; upload needs network)
+
+Multi-job stages run through the cmd.sh abstraction (utils/job.py):
+--cmd_backend local|stdout|slurm|sge|ssh, --cmd_conf <queue.conf>.
 
 Usage:
   python -m llm_guided_asr_tpu.bin.asr_pipeline --config conf/train.yaml \
@@ -47,6 +53,8 @@ DEFAULTS = {
     "beam_size": 10,
     "ctc_weight": 0.3,
     "decode_nj": 1,   # multi-job decode splitting (asr.sh:1480)
+    "cmd_backend": "local",  # cmd.sh cmd_backend (utils/job.py JobRunner)
+    "cmd_conf": None,        # {queue,slurm}.conf-style option mapping
     "use_lm": False,
     "lm_config": None,   # YAML for LMTask (lm_conf etc.); defaults used if None
     "lm_weight": 0.3,
@@ -160,6 +168,38 @@ def main(cmd=None):
     }
     if cfg.get("test_dir"):
         dirs["test"] = Path(cfg["test_dir"])
+
+    if stage <= 1 <= stop:
+        # stage 1: data preparation/validation (asr.sh:571 local/data.sh +
+        # utils/validate_data_dir.sh analog): every split must have a
+        # consistent wav.scp/text pair — duplicate or mismatched utt-ids and
+        # whitespace-broken lines fail loudly before any compute is spent
+        for split, d in dirs.items():
+            for fname in ("wav.scp", "text"):
+                if not (d / fname).exists():
+                    raise FileNotFoundError(f"stage1 [{split}]: missing {d / fname}")
+            wav_ids, text_ids = [], []
+            for fname, acc in (("wav.scp", wav_ids), ("text", text_ids)):
+                for ln, line in enumerate((d / fname).read_text().splitlines(), 1):
+                    if not line.strip():
+                        continue
+                    parts = line.split(maxsplit=1)
+                    if len(parts) < 2:
+                        raise ValueError(
+                            f"stage1 [{split}]: {fname}:{ln} has no value: {line!r}"
+                        )
+                    acc.append(parts[0])
+            for fname, ids in (("wav.scp", wav_ids), ("text", text_ids)):
+                if len(set(ids)) != len(ids):
+                    dup = sorted({u for u in ids if ids.count(u) > 1})[:5]
+                    raise ValueError(f"stage1 [{split}]: duplicate ids in {fname}: {dup}")
+            missing = sorted(set(wav_ids) ^ set(text_ids))
+            if missing:
+                raise ValueError(
+                    f"stage1 [{split}]: wav.scp/text utt-id mismatch "
+                    f"(first few: {missing[:5]})"
+                )
+            logger.info(f"stage1 [{split}]: {len(wav_ids)} utterances ok")
 
     if cfg.get("speed_perturb") and stage <= 2 <= stop:
         # stage 2: offline speed-perturbed copies of the TRAIN split only
@@ -336,31 +376,39 @@ def main(cmd=None):
             # process-exclusive (and this process may already hold it), so
             # non-CPU runs execute jobs sequentially — the splitting/merge
             # contract (asr.sh job arrays) is what cluster dispatch reuses
-            concurrent = str(cfg.get("device")) == "cpu"
-            procs = []
-            rcs = []
-            for j, shard in enumerate(shards, 1):
-                args = [_sys.executable, "-m",
-                        "llm_guided_asr_tpu.bin.asr_inference",
-                        "--output_dir", str(dec_dir / f"job{j}"),
-                        "--data_path_and_name_and_type",
-                        f"{shard},speech,sound",
-                        "--asr_train_config", str(train_exp / "config.yaml"),
-                        "--asr_model_file", str(model_file),
-                        "--beam_size", str(cfg["beam_size"]),
-                        "--ctc_weight", str(cfg["ctc_weight"]),
-                        "--nbest", str(cfg["nbest"])]
-                if cfg.get("device"):
-                    args += ["--device", str(cfg["device"])]
-                for k, v in fusion.items():
-                    args += [f"--{k}", str(v)]
-                if concurrent:
-                    procs.append(subprocess.Popen(args))
-                else:
-                    rcs.append(subprocess.run(args).returncode)
-            rcs += [p.wait() for p in procs]
-            if any(rcs):
-                raise RuntimeError(f"decode jobs failed: rcs={rcs}")
+            # array job through the cmd.sh abstraction (decode_cmd analog):
+            # JOB is substituted per shard; backend from --cmd_backend
+            # (local|stdout|slurm|sge|ssh, utils/job.py)
+            from llm_guided_asr_tpu.utils.job import JobOptions, JobRunner
+
+            args = [_sys.executable, "-m",
+                    "llm_guided_asr_tpu.bin.asr_inference",
+                    "--output_dir", str(dec_dir / "jobJOB"),
+                    "--data_path_and_name_and_type",
+                    f"{shard_dir}/wav.scp.JOB,speech,sound",
+                    "--asr_train_config", str(train_exp / "config.yaml"),
+                    "--asr_model_file", str(model_file),
+                    "--beam_size", str(cfg["beam_size"]),
+                    "--ctc_weight", str(cfg["ctc_weight"]),
+                    "--nbest", str(cfg["nbest"])]
+            if cfg.get("device"):
+                args += ["--device", str(cfg["device"])]
+            for k, v in fusion.items():
+                args += [f"--{k}", str(v)]
+            runner = JobRunner(str(cfg.get("cmd_backend", "local")),
+                               conf=cfg.get("cmd_conf"))
+            # a TPU chip is process-exclusive (and this process may already
+            # hold it), so non-CPU local runs execute jobs sequentially
+            seq = (str(cfg.get("device")) != "cpu"
+                   and runner.backend in ("local", "stdout"))
+            rc = runner.run(
+                args, str(dec_dir / "log" / "decode.JOB.log"), array=(1, nj),
+                options=JobOptions(max_jobs_run=1 if seq else None),
+            )
+            if rc:
+                raise RuntimeError(
+                    f"decode jobs failed rc={rc} (logs: {dec_dir}/log)"
+                )
             # merge job outputs (asr.sh concatenates the per-job scp files)
             merged = dec_dir / "1best_recog"
             merged.mkdir(parents=True, exist_ok=True)
@@ -385,6 +433,39 @@ def main(cmd=None):
         )
         logger.info(f"stage13 [{test_split}]: {result['metric']}={result['err']:.2f}")
         print(json.dumps(result))
+
+    if stage <= 14 <= stop:
+        # stage 14: pack the trained model into a portable bundle
+        # (asr.sh:1727 packing via espnet2/bin/pack.py)
+        from llm_guided_asr_tpu.bin.pack import pack
+
+        model_file = next(train_exp.glob("valid.*.ave_*best.msgpack"), None) or (
+            train_exp / "latest.msgpack"
+        )
+        bundle = expdir / "pack" / "asr_model.zip"
+        stats = stats_dir / "train" / "feats_stats.npz"
+        pack(str(bundle), str(train_exp / "config.yaml"), str(model_file),
+             stats_file=str(stats) if stats.exists() else None)
+        logger.info(f"stage14: packed -> {bundle}")
+
+    if stage <= 15 <= stop:
+        # stage 15: model-zoo export (asr.sh:1760 upload_hf).  No network
+        # egress in this environment, so the stage produces the exact upload
+        # artifact (bundle + model card) for a later `huggingface-cli upload`.
+        card = expdir / "pack" / "README.md"
+        card.parent.mkdir(parents=True, exist_ok=True)
+        result_file = expdir / "score" / ("test" if "test" in dirs else "valid")
+        lines = ["---", "tags: [automatic-speech-recognition, llm-guided-asr-tpu]",
+                 "---", "", f"# {expdir.name}", "",
+                 "Trained with llm_guided_asr_tpu (asr_pipeline stages "
+                 f"{stage}-{stop}).", ""]
+        res = result_file / "result.txt"
+        if res.exists():
+            lines += ["## Results", "", "```",
+                      res.read_text().strip()[:2000], "```"]
+        card.write_text("\n".join(lines) + "\n")
+        logger.info(f"stage15: export artifact ready under {expdir / 'pack'} "
+                    "(upload requires network; run huggingface-cli there)")
 
 
 if __name__ == "__main__":
