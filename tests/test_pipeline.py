@@ -48,7 +48,7 @@ def test_pipeline_stages_3_to_13(tmp_path, capsys):
         "--train_dir", str(root / "train"),
         "--valid_dir", str(root / "valid"),
         "--expdir", str(expdir),
-        "--stage", "3", "--stop_stage", "13",
+        "--stage", "1", "--stop_stage", "15",
         "--beam_size", "5", "--ctc_weight", "0.3",
     ])
     # artifacts of every stage
@@ -62,6 +62,9 @@ def test_pipeline_stages_3_to_13(tmp_path, capsys):
     result = json.loads((expdir / "score" / "valid" / "result.json").read_text())  # 13
     assert result["metric"] == "CER"
     assert result["err"] <= 15.0, f"pipeline CER too high: {result}"
+    assert (expdir / "pack" / "asr_model.zip").exists()                   # 14
+    card = (expdir / "pack" / "README.md").read_text()                    # 15
+    assert "automatic-speech-recognition" in card and "Results" in card
 
     # multi-job decode splitting (asr.sh:1480): re-decode with decode_nj=2,
     # merged outputs must equal the single-job decode
@@ -155,3 +158,20 @@ def test_pipeline_lm_ngram_stages(tmp_path):
     rpt = (expdir / "score" / "valid" / "result.txt").read_text()
     assert "Scores: (#C #S #D #I)" in rpt and "REF:" in rpt and "HYP:" in rpt
     assert (expdir / "score" / "valid" / "per_utt.txt").exists()
+
+
+def test_pipeline_stage1_rejects_mismatched_ids(tmp_path):
+    from llm_guided_asr_tpu.bin.asr_pipeline import main as pipeline_main
+
+    for split in ("train", "valid"):
+        d = tmp_path / split
+        d.mkdir()
+        (d / "wav.scp").write_text("u1 a.wav\nu2 b.wav\n")
+        (d / "text").write_text("u1 ab\nu3 ba\n")  # u2/u3 mismatch
+    with pytest.raises(ValueError, match="utt-id mismatch"):
+        pipeline_main([
+            "--train_dir", str(tmp_path / "train"),
+            "--valid_dir", str(tmp_path / "valid"),
+            "--expdir", str(tmp_path / "exp"),
+            "--stage", "1", "--stop_stage", "1",
+        ])
