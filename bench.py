@@ -200,9 +200,14 @@ def main():
 
             from llm_guided_asr_tpu.train.trainer import init_train_state, make_train_step
 
+            from llm_guided_asr_tpu.train.optim import ChunkPlan
+
             tx = optax.adamw(1e-3)
-            state = init_train_state(variables, tx)
-            grad_step, apply_step, _ = make_train_step(model, tx)
+            # chunked-flat optimizer application (615 leaves -> ~8 flat
+            # buffers; per-leaf chain measured 14.2 ms vs 4.9 ms on v5e)
+            plan = ChunkPlan(variables["params"])
+            state = init_train_state(variables, tx, flat_plan=plan)
+            grad_step, apply_step, _ = make_train_step(model, tx, flat_plan=plan)
             tbatch = {
                 "speech": speech, "speech_lengths": lengths,
                 "text": text, "text_lengths": tlens,

@@ -139,11 +139,18 @@ class RelPositionMultiHeadedAttention(nn.Module):
 
     score = ((q + u) k^T + rel_shift((q + v) p^T)) / sqrt(d_k)
     where p is the projected relative positional embedding of length 2T-1.
+
+    impl: "auto" uses the fused Pallas kernel (ops/rel_attention.py) on TPU
+    when eligible (key-only mask, no attention dropout, T <= 512) — it avoids
+    the [B, H, T, 2T-1] materialization + rel-shift copies (~1.2 ms/layer
+    fwd+bwd at the flagship dims); "dense" forces the XLA path (bit-parity
+    with ingested reference checkpoints, attention-map sowing).
     """
 
     num_heads: int
     dropout_rate: float = 0.0
     dtype: Dtype = jnp.float32
+    impl: str = "auto"  # auto | dense | fused
 
     @nn.compact
     def __call__(
@@ -170,6 +177,48 @@ class RelPositionMultiHeadedAttention(nn.Module):
         vb = self.param("pos_bias_v", nn.initializers.xavier_uniform(), (h, d_k))
         u = u.astype(self.dtype)
         vb = vb.astype(self.dtype)
+
+        use_fused = (
+            self.impl in ("auto", "fused")
+            # impl="fused" forces the kernel even off-TPU (interpret mode;
+            # lets CPU tests cover this wiring), "auto" requires real TPU
+            and (self.impl == "fused" or jax.default_backend() == "tpu")
+            # attention plots (train/attention_plot.py) need the sown probs:
+            # when the caller made "intermediates" mutable, take the dense
+            # path which materializes and sows them
+            and not self.is_mutable_collection("intermediates")
+            and self.dropout_rate == 0.0
+            and mask is not None and mask.ndim == 3 and mask.shape[1] == 1
+            and pos_emb.shape[0] == 1 and pos_emb.shape[1] == 2 * t - 1
+            and t <= 512 and d_k % 8 == 0
+        )
+        if use_fused:
+            from llm_guided_asr_tpu.ops.rel_attention import (
+                rel_attention_pad_pos,
+                rel_flash_attention,
+            )
+
+            tp = -(-t // 128) * 128
+            pad = tp - t
+
+            def to_bhtd(y):
+                y = jnp.moveaxis(y, 2, 1)  # [B, H, T, dk]
+                return jnp.pad(y, ((0, 0), (0, 0), (0, pad), (0, 0)))
+
+            qu = to_bhtd(q + u)
+            qv = to_bhtd(q + vb)
+            kk = to_bhtd(k)
+            vv = to_bhtd(v)
+            p_pad = rel_attention_pad_pos(p[0], t, tp)
+            kv_valid = jnp.pad(
+                mask[:, 0, :].astype(jnp.int32), ((0, 0), (0, pad))
+            )
+            out = rel_flash_attention(
+                qu, qv, kk, vv, p_pad.astype(qu.dtype), kv_valid,
+                1.0 / math.sqrt(d_k),
+            )
+            out = jnp.moveaxis(out[:, :, :t], 1, 2).reshape(x.shape[0], t, d_model)
+            return nn.Dense(d_model, dtype=self.dtype, name="linear_out")(out)
 
         # content score
         ac = jnp.einsum("bqhd,bkhd->bhqk", q + u, k)

@@ -1,0 +1,269 @@
+"""Fused rel-pos self-attention Pallas kernel (Transformer-XL scoring).
+
+The dense rel-pos path (models/transformer.py RelPositionMultiHeadedAttention)
+materializes a [B, H, T, 2T-1] position-score tensor and rel-shifts it with
+pad/reshape copies; measured fwd+bwd on v5e that costs ~1.2 ms/layer at the
+flagship operating point (B=32, T=312, D=256) — +60% over absolute-position
+attention, ~14 ms of a 59 ms train step across 12 conformer blocks.
+
+This kernel computes, per (batch, head) grid cell, entirely in VMEM:
+
+    s1 = qu k^T                  (MXU)
+    s2 = qv p^T                  (MXU, p = projected rel-pos table)
+    bd[i, j] = s2[i, (Tp-1) - i + j]   (barrel-shift, no HBM round trip)
+    out = softmax(mask(s1 + bd) * scale) v
+
+The per-row shift uses a log-step barrel shifter over lane rolls
+(pltpu.roll + row-bit selects) — O(log T) vector ops instead of the XLA
+pad/reshape/slice chain.  The backward recomputes scores in-kernel and
+emits dqu, dqv, dk, dv and the (head-shared-over-batch) dp via
+sequential-grid accumulation.
+
+Whole-(b,h) tiles keep everything resident for T <= ~768 (the ASR encoder
+regime); longer sequences fall back to the dense path at the caller.
+
+Reference semantics: espnet attention.py RelPositionMultiHeadedAttention
+(zero_triu=False), numerically identical modulo f32 accumulation order.
+"""
+
+from __future__ import annotations
+
+import functools
+import os
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+NEG_INF = -1e30
+
+
+def _interpret() -> bool:
+    """CPU tests run the kernel in interpreter mode (no Mosaic backend)."""
+    if os.environ.get("LLMASR_PALLAS_INTERPRET"):
+        return True
+    try:
+        return jax.devices()[0].platform != "tpu"
+    except Exception:
+        return True
+
+
+def _row_barrel_roll(x: jnp.ndarray, direction: int) -> jnp.ndarray:
+    """Roll row ii of x by ``direction * ii`` positions along the lane axis.
+
+    direction=+1 rolls each row right by its row index, -1 left.  Log-step:
+    for each bit b of the row index, conditionally roll the whole tile.
+    """
+    t = x.shape[0]
+    p = x.shape[1]
+    rows = jax.lax.broadcasted_iota(jnp.int32, x.shape, 0)
+    shift = 1
+    bit = 0
+    while shift < t:
+        # pltpu.roll requires non-negative shifts; left roll s == right p-s
+        s = shift if direction > 0 else p - shift
+        rolled = pltpu.roll(x, shift=s, axis=1)
+        take = ((rows >> bit) & 1) == 1
+        x = jnp.where(take, rolled, x)
+        shift <<= 1
+        bit += 1
+    return x
+
+
+def _shift_bd(s2: jnp.ndarray, t: int) -> jnp.ndarray:
+    """[T, P] -> [T, T]: bd[i, j] = s2[i, (T-1) - i + j] (espnet rel_shift)."""
+    # roll right by row index, then uniformly left by (t-1):
+    # result[i, j] = s2[i, ((j - i) + (t-1)) mod P]
+    x = _row_barrel_roll(s2, +1)
+    x = pltpu.roll(x, shift=s2.shape[1] - (t - 1), axis=1)
+    return x[:, :t]
+
+
+def _unshift_bd(dbd: jnp.ndarray, p_len: int, t: int) -> jnp.ndarray:
+    """Adjoint of _shift_bd: scatter [T, T] back into [T, P]."""
+    pad = jnp.zeros((t, p_len - t), dbd.dtype)
+    x = jnp.concatenate([dbd, pad], axis=1)
+    x = pltpu.roll(x, shift=t - 1, axis=1)
+    x = _row_barrel_roll(x, -1)
+    return x
+
+
+def _scores(qu, qv, k, p, valid_row, sm_scale, tp):
+    s1 = jax.lax.dot_general(qu, k, (((1,), (1,)), ((), ())),
+                             preferred_element_type=jnp.float32)
+    s2 = jax.lax.dot_general(qv, p, (((1,), (1,)), ((), ())),
+                             preferred_element_type=jnp.float32)
+    bd = _shift_bd(s2, tp)
+    scores = (s1 + bd) * sm_scale
+    return jnp.where(valid_row > 0, scores, NEG_INF)
+
+
+def _fwd_kernel(qu_ref, qv_ref, k_ref, v_ref, p_ref, valid_ref,
+                out_ref, l_ref, m_ref, *, sm_scale: float):
+    tp = qu_ref.shape[2]
+    qu = qu_ref[0, 0].astype(jnp.float32)
+    qv = qv_ref[0, 0].astype(jnp.float32)
+    k = k_ref[0, 0].astype(jnp.float32)
+    v = v_ref[0, 0].astype(jnp.float32)
+    p = p_ref[0].astype(jnp.float32)
+    valid_row = valid_ref[...].reshape(1, tp)
+
+    scores = _scores(qu, qv, k, p, valid_row, sm_scale, tp)
+    m = jnp.max(scores, axis=1, keepdims=True)
+    e = jnp.exp(scores - m)
+    l = jnp.sum(e, axis=1, keepdims=True)
+    out = jax.lax.dot_general(e, v, (((1,), (0,)), ((), ())),
+                              preferred_element_type=jnp.float32) / l
+    out_ref[0, 0] = out.astype(out_ref.dtype)
+    l_ref[0, 0] = l  # [Tp, 1]
+    m_ref[0, 0] = m
+
+
+def _bwd_kernel(qu_ref, qv_ref, k_ref, v_ref, p_ref, valid_ref,
+                out_ref, l_ref, m_ref, dout_ref,
+                dqu_ref, dqv_ref, dk_ref, dv_ref, dp_ref, *, sm_scale: float):
+    tp = qu_ref.shape[2]
+    p_len = p_ref.shape[1]
+    qu = qu_ref[0, 0].astype(jnp.float32)
+    qv = qv_ref[0, 0].astype(jnp.float32)
+    k = k_ref[0, 0].astype(jnp.float32)
+    v = v_ref[0, 0].astype(jnp.float32)
+    p = p_ref[0].astype(jnp.float32)
+    out = out_ref[0, 0].astype(jnp.float32)
+    dout = dout_ref[0, 0].astype(jnp.float32)
+    l = l_ref[0, 0]  # [Tp, 1]
+    m = m_ref[0, 0]
+    valid_row = valid_ref[...].reshape(1, tp)
+
+    scores = _scores(qu, qv, k, p, valid_row, sm_scale, tp)
+    prob = jnp.exp(scores - m) / l  # [T, T]
+
+    dprob = jax.lax.dot_general(dout, v, (((1,), (1,)), ((), ())),
+                                preferred_element_type=jnp.float32)
+    delta = jnp.sum(dout * out, axis=1, keepdims=True)
+    dscores = prob * (dprob - delta) * sm_scale  # [T, T]
+
+    dqu = jax.lax.dot_general(dscores, k, (((1,), (0,)), ((), ())),
+                              preferred_element_type=jnp.float32)
+    dk = jax.lax.dot_general(dscores, qu, (((0,), (0,)), ((), ())),
+                             preferred_element_type=jnp.float32)
+    dv = jax.lax.dot_general(prob, dout, (((0,), (0,)), ((), ())),
+                             preferred_element_type=jnp.float32)
+    ds2 = _unshift_bd(dscores, p_len, tp)  # [T, P]
+    dqv = jax.lax.dot_general(ds2, p, (((1,), (0,)), ((), ())),
+                              preferred_element_type=jnp.float32)
+    dp = jax.lax.dot_general(ds2, qv, (((0,), (0,)), ((), ())),
+                             preferred_element_type=jnp.float32)
+
+    dqu_ref[0, 0] = dqu.astype(dqu_ref.dtype)
+    dqv_ref[0, 0] = dqv.astype(dqv_ref.dtype)
+    dk_ref[0, 0] = dk.astype(dk_ref.dtype)
+    dv_ref[0, 0] = dv.astype(dv_ref.dtype)
+    # p is shared across the batch grid axis (innermost, so the per-head
+    # block stays resident across consecutive visits): read-modify-write
+    # accumulation is race-free; zero it on the first batch cell
+    @pl.when(pl.program_id(1) == 0)
+    def _init():
+        dp_ref[...] = jnp.zeros_like(dp_ref)
+
+    dp_ref[...] += dp[None].astype(dp_ref.dtype)
+
+
+def _specs(tp, p_len, dk):
+    # Mosaic requires the last two block dims divisible by (8, 128) or equal
+    # to the array dims: kv_valid rides as [B, 1, Tp] and l/m as
+    # [B, H, Tp, 1] so every block's trailing dims match the array's.
+    # Grid is (H, B) — batch innermost — so the bwd dp block (indexed by the
+    # head alone) is revisited on CONSECUTIVE grid steps; accumulation into a
+    # non-consecutively-revisited output block is undefined on real TPUs
+    # (the pipeline writes the block out between visits).
+    qspec = pl.BlockSpec((1, 1, tp, dk), lambda hi, bi: (bi, hi, 0, 0))
+    pspec = pl.BlockSpec((1, p_len, dk), lambda hi, bi: (hi, 0, 0))
+    vspec = pl.BlockSpec((1, 1, tp), lambda hi, bi: (bi, 0, 0))
+    lspec = pl.BlockSpec((1, 1, tp, 1), lambda hi, bi: (bi, hi, 0, 0))
+    return qspec, pspec, vspec, lspec
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(6,))
+def rel_flash_attention(qu, qv, k, v, p, kv_valid, sm_scale: float):
+    """Fused rel-pos attention.
+
+    qu, qv, k, v: [B, H, Tp, dk]  (q + pos_bias_u, q + pos_bias_v, keys,
+                  values; Tp padded to a multiple of 128)
+    p:            [H, P, dk] projected rel-pos table with the original
+                  2T-1 rows embedded so that row (Tp-1) is relative
+                  position 0 (see rel_attention_pad_pos)
+    kv_valid:     [B, Tp] int/bool key-validity mask
+    Returns [B, H, Tp, dk] (query rows past the true T hold junk; callers
+    mask them as the dense path does).
+    """
+    out, _, _ = _fwd_call(qu, qv, k, v, p, kv_valid, sm_scale)
+    return out
+
+
+def _fwd_call(qu, qv, k, v, p, kv_valid, sm_scale):
+    b, h, tp, dk = qu.shape
+    p_len = p.shape[1]
+    qspec, pspec, vspec, lspec = _specs(tp, p_len, dk)
+    out, l, m = pl.pallas_call(
+        functools.partial(_fwd_kernel, sm_scale=sm_scale),
+        grid=(h, b),
+        in_specs=[qspec, qspec, qspec, qspec, pspec, vspec],
+        out_specs=[qspec, lspec, lspec],
+        out_shape=[
+            jax.ShapeDtypeStruct((b, h, tp, dk), qu.dtype),
+            jax.ShapeDtypeStruct((b, h, tp, 1), jnp.float32),
+            jax.ShapeDtypeStruct((b, h, tp, 1), jnp.float32),
+        ],
+        interpret=_interpret(),
+    )(qu, qv, k, v, p, kv_valid[:, None, :])
+    return out, l, m
+
+
+def _vjp_fwd(qu, qv, k, v, p, kv_valid, sm_scale):
+    out, l, m = _fwd_call(qu, qv, k, v, p, kv_valid, sm_scale)
+    return out, (qu, qv, k, v, p, kv_valid, out, l, m)
+
+
+def _vjp_bwd(sm_scale, res, dout):
+    qu, qv, k, v, p, kv_valid, out, l, m = res
+    b, h, tp, dk = qu.shape
+    p_len = p.shape[1]
+    qspec, pspec, vspec, lspec = _specs(tp, p_len, dk)
+    dqu, dqv, dk_, dv, dp = pl.pallas_call(
+        functools.partial(_bwd_kernel, sm_scale=sm_scale),
+        grid=(h, b),
+        in_specs=[qspec, qspec, qspec, qspec, pspec, vspec,
+                  qspec, lspec, lspec, qspec],
+        out_specs=[qspec, qspec, qspec, qspec, pspec],
+        out_shape=[
+            jax.ShapeDtypeStruct((b, h, tp, dk), qu.dtype),
+            jax.ShapeDtypeStruct((b, h, tp, dk), qu.dtype),
+            jax.ShapeDtypeStruct((b, h, tp, dk), k.dtype),
+            jax.ShapeDtypeStruct((b, h, tp, dk), v.dtype),
+            jax.ShapeDtypeStruct((h, p_len, dk), jnp.float32),
+        ],
+        interpret=_interpret(),
+    )(qu, qv, k, v, p, kv_valid[:, None, :], out, l, m, dout)
+    return (dqu, dqv, dk_, dv, dp.astype(p.dtype), None)
+
+
+rel_flash_attention.defvjp(_vjp_fwd, _vjp_bwd)
+
+
+def rel_attention_pad_pos(p: jnp.ndarray, t: int, tp: int) -> jnp.ndarray:
+    """Embed the dense path's [2T-1, H, dk] rel-pos projection into the
+    kernel's [H, P, dk] padded table.
+
+    The dense path indexes pos row (T-1) - (i - j) (models/transformer.py
+    _rel_shift); the kernel indexes (Tp-1) - (i - j), so the original rows
+    sit at offset Tp - T.  P is rounded up to a multiple of 128."""
+    two_t_1, h, dk = p.shape
+    t_orig = (two_t_1 + 1) // 2
+    assert t_orig == t, (two_t_1, t)
+    p_len = -(-(tp + t) // 128) * 128  # >= (Tp-1) + (T-1) + 1, 128-aligned
+    out = jnp.zeros((h, p_len, dk), p.dtype)
+    return jax.lax.dynamic_update_slice(
+        out, jnp.moveaxis(p, 1, 0), (0, tp - t, 0)
+    )

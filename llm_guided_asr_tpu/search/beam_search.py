@@ -50,7 +50,8 @@ class BeamState(NamedTuple):
     step: jnp.ndarray  # scalar i
     alive_tokens: jnp.ndarray  # [K, Lmax] (sos at 0)
     alive_len: jnp.ndarray  # [K]
-    alive_score: jnp.ndarray  # [K]
+    alive_score: jnp.ndarray  # [K] total (= alive_base + ctc_weight * psi)
+    alive_base: jnp.ndarray  # [K] cumulative NON-CTC part (att+lm+penalty)
     alive_parts: jnp.ndarray  # [K, 4] unweighted (decoder, ctc, lm, length_bonus)
     ctc: CTCPrefixState
     fin_tokens: jnp.ndarray  # [K, Lmax]
@@ -91,7 +92,11 @@ class BatchBeamSearch:
         # a catastrophic +inf CTC delta (psi_finite - NEG_INF)
         self.K = min(beam_size, vocab_size)
         beam_size = self.K
-        self.W = min(vocab_size, max(beam_size + 1, int(pre_beam_ratio * beam_size)))
+        # espnet-exact pre-beam width (beam_search.py:105): int(ratio * K),
+        # capped at the vocab.  At beam 1 this is 1 — only the single best
+        # full-scorer token is CTC-rescored, which changes hypotheses
+        # (caught by the beam-1 golden parity fixture).
+        self.W = max(1, min(vocab_size, int(pre_beam_ratio * beam_size)))
         self.ctc_weight = float(ctc_weight)
         self.att_weight = 1.0 - float(ctc_weight)
         self.penalty = float(penalty)
@@ -124,6 +129,7 @@ class BatchBeamSearch:
             alive_tokens=jnp.full((K, lmax), self.sos, jnp.int32),
             alive_len=jnp.ones((K,), jnp.int32),
             alive_score=jnp.where(jnp.arange(K) == 0, 0.0, NEG_INF),
+            alive_base=jnp.where(jnp.arange(K) == 0, 0.0, NEG_INF),
             alive_parts=jnp.zeros((K, 4)),
             ctc=ctc_prefix_init(ctc_logp, enc_len, K, self.blank_id),
             fin_tokens=jnp.zeros((K, lmax), jnp.int32),
@@ -179,16 +185,18 @@ class BatchBeamSearch:
                     ctc_logp, enc_len, s.ctc, cand,
                     blank_id=self.blank_id, eos_id=self.eos,
                 )
-                local_ctc = psi - s.ctc.psi[:, None]
-                # a zero-probability prefix (psi = NEG_INF, e.g. a retired or
-                # dead slot) must not yield a +1e10 "improvement" delta
-                local_ctc = jnp.where(
-                    s.ctc.psi[:, None] <= NEG_INF / 2, NEG_INF, local_ctc
-                )
+                # STABLE absolute-psi scoring.  espnet accumulates weighted
+                # per-step deltas (scorers/ctc.py:80-85 presub - prev), whose
+                # sum telescopes to ctc_weight * psi(g.c) — but through a
+                # blank the deltas are +-1e10 and their f32 cancellation
+                # leaves O(100) noise (a blank-then-eos path once decoded at
+                # score +119).  Scoring from the absolute prefix probability
+                # gives the same mathematical total with no logzero
+                # round-trip; the non-CTC cumulative rides in alive_base.
                 cand_score = (
-                    s.alive_score[:, None]
+                    s.alive_base[:, None]
                     + top_full
-                    + self.ctc_weight * local_ctc
+                    + self.ctc_weight * psi
                     + self.penalty
                 )
             else:
@@ -215,15 +223,16 @@ class BatchBeamSearch:
             is_eos_sel = token == self.eos
 
             # per-scorer breakdown (espnet Hypothesis.scores: raw unweighted
-            # cumulative score per scorer, beam_search.py merge_scores:263)
+            # cumulative score per scorer, beam_search.py merge_scores:263).
+            # The cumulative CTC part telescopes to the absolute prefix
+            # probability, so it is SET (not accumulated) from psi.
             att_part = att_logp[parent, token]
-            ctc_part = (
-                local_ctc[parent, cidx] if self.ctc_weight != 0.0 else jnp.zeros((K,))
-            )
             lm_part = lm_logp[parent, token] if lm_logp is not None else jnp.zeros((K,))
             new_parts = s.alive_parts[parent] + jnp.stack(
-                [att_part, ctc_part, lm_part, jnp.ones((K,))], axis=1
+                [att_part, jnp.zeros((K,)), lm_part, jnp.ones((K,))], axis=1
             )
+            if self.ctc_weight != 0.0:
+                new_parts = new_parts.at[:, 1].set(psi[parent, cidx])
 
             # finished-buffer merge (only eos hyps at/after minlen retire;
             # below-minlen eos hyps are dropped entirely, like the reference)
@@ -239,6 +248,10 @@ class BatchBeamSearch:
 
             # 5. alive beam: eos slots are dead for the rest of the search
             new_score = jnp.where(is_eos_sel, NEG_INF, new_score)
+            new_base = jnp.where(
+                is_eos_sel, NEG_INF,
+                s.alive_base[parent] + top_full[parent, cidx] + self.penalty,
+            ) if self.ctc_weight != 0.0 else new_score
             if self.ctc_weight != 0.0:
                 new_ctc = ctc_prefix_advance(
                     ctc_logp, enc_len, s.ctc, token, parent,
@@ -259,6 +272,7 @@ class BatchBeamSearch:
                     alive_tokens=new_tokens,
                     alive_len=new_len,
                     alive_score=new_score,
+                    alive_base=new_base,
                     alive_parts=new_parts,
                     ctc=new_ctc,
                     fin_tokens=fin_tokens,

@@ -742,6 +742,9 @@ class ASRTask:
             data_parallel=config.get("data_parallel"),
             model_parallel=int(config.get("model_parallel", 1)),
             sharded_optim=bool(config.get("sharded_optim", False)),
+            # chunked-flat optimizer application; per-leaf freeze masks need
+            # the per-leaf path (optax.masked sees the params tree)
+            flat_optim=bool(config.get("flat_optim", False)) and freeze_mask is None,
             val_scheduler_criterion=tuple(
                 config.get("val_scheduler_criterion") or ("valid", "loss")
             ),

@@ -11,7 +11,9 @@ from __future__ import annotations
 
 from typing import Any, Callable, Dict, Optional, Sequence
 
+import jax
 import jax.numpy as jnp
+import numpy as np
 import optax
 
 
@@ -272,3 +274,65 @@ def build_optimizer(
     if plateau:
         return optax.inject_hyperparams(_build)(plateau_scale=1.0)
     return _build()
+
+
+# ---------------------------------------------------------------------------
+# chunked-flat optimizer application
+# ---------------------------------------------------------------------------
+# The flagship conformer has ~615 parameter leaves; per-leaf optimizer update
+# chains measured 14.2 ms/step on v5e vs 4.9 ms for the same 34M params in a
+# few flat buffers (launch/op overhead, not bandwidth).  The plan concatenates
+# raveled leaves into n_chunks ~equal flat vectors; the whole update chain
+# (clip -> adamw -> schedule) and the non-finite skip gate then run on K
+# leaves instead of 615 (the reference's GradScaler skip, trainer.py:748).
+# Incompatible with per-leaf optax.masked freeze masks - callers keep the
+# per-leaf path when freeze_param is active.
+
+class ChunkPlan:
+    """Assignment of param leaves to flat chunks (contiguous, size-balanced)."""
+
+    def __init__(self, params: Any, n_chunks: int = 8):
+        leaves, treedef = jax.tree_util.tree_flatten(params)
+        self.treedef = treedef
+        self.shapes = [l.shape for l in leaves]
+        self.dtypes = [l.dtype for l in leaves]
+        sizes = [int(np.prod(s)) if s else 1 for s in self.shapes]
+        total = sum(sizes)
+        target = max(1, total // max(1, n_chunks))
+        self.assign: list = []  # chunk id per leaf
+        self.offsets: list = []  # start offset of each leaf within its chunk
+        chunk, acc = 0, 0
+        for sz in sizes:
+            if acc >= target and chunk < n_chunks - 1:
+                chunk, acc = chunk + 1, 0
+            self.assign.append(chunk)
+            self.offsets.append(acc)
+            acc += sz
+        self.n_chunks = chunk + 1
+        self.chunk_sizes = [0] * self.n_chunks
+        for cid, off, sz in zip(self.assign, self.offsets, sizes):
+            self.chunk_sizes[cid] = max(self.chunk_sizes[cid], off + sz)
+        self.sizes = sizes
+
+    def flatten(self, tree: Any) -> list:
+        """pytree -> list of K flat f32 vectors (one concatenate per chunk)."""
+        leaves = jax.tree_util.tree_leaves(tree)
+        out = []
+        for cid in range(self.n_chunks):
+            parts = [
+                leaves[i].ravel().astype(jnp.float32)
+                for i in range(len(leaves)) if self.assign[i] == cid
+            ]
+            out.append(jnp.concatenate(parts) if len(parts) > 1 else parts[0])
+        return out
+
+    def unflatten(self, chunks: list) -> Any:
+        leaves = []
+        for i, (shape, dtype) in enumerate(zip(self.shapes, self.dtypes)):
+            cid, off = self.assign[i], self.offsets[i]
+            sz = self.sizes[i]
+            leaves.append(
+                jax.lax.dynamic_slice_in_dim(chunks[cid], off, sz)
+                .reshape(shape).astype(dtype)
+            )
+        return jax.tree_util.tree_unflatten(self.treedef, leaves)

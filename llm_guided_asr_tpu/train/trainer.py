@@ -79,6 +79,12 @@ class TrainerOptions:
     # dropout-mask PRNG implementation: "rbg" (hardware generator; threefry
     # mask generation measured ~1/3 of the whole v5e train step) | "threefry"
     rng_impl: str = "rbg"
+    # chunked-flat optimizer application (optim.ChunkPlan): the flagship
+    # conformer's ~615 leaves make the per-leaf adamw chain launch-bound
+    # (14.2 ms vs 4.9 ms flat for the same 34M params on v5e).  Opt-in;
+    # incompatible with per-leaf freeze masks (tasks force it off when
+    # freeze_param is set) and with mesh/sharded_optim runs.
+    flat_optim: bool = False
 
 
 class TrainState(dict):
@@ -89,13 +95,14 @@ class TrainState(dict):
     """
 
 
-def init_train_state(variables: Dict, tx: optax.GradientTransformation) -> Dict:
+def init_train_state(variables: Dict, tx: optax.GradientTransformation,
+                     flat_plan=None) -> Dict:
     params = variables["params"]
     extra = {k: v for k, v in variables.items() if k != "params"}
     return {
         "step": jnp.zeros((), jnp.int32),
         "params": params,
-        "opt_state": tx.init(params),
+        "opt_state": tx.init(flat_plan.flatten(params) if flat_plan else params),
         "extra": extra,
     }
 
@@ -106,12 +113,21 @@ def make_train_step(
     accum_grad: int = 1,
     donate: bool = True,
     batch_args: Tuple[str, ...] = DEFAULT_BATCH_ARGS,
+    flat_plan=None,
 ):
     """Build the jitted microbatch-gradient and update functions.
 
     Returns (grad_step, apply_step):
       grad_step(params, extra, batch, rng) -> (grads, new_extra, stats, weight)
       apply_step(state_params, opt_state, grads) -> (params, opt_state)
+
+    ``flat_plan`` (optim.ChunkPlan) switches apply_step to the chunked-flat
+    path: grads/params are concatenated into a few flat buffers, the whole
+    update chain + non-finite skip gate run there (per-leaf update chains
+    measured 14.2 ms vs 4.9 ms for the same params on v5e), and new params
+    are sliced back out.  ``tx`` must then have been init'd on the flat
+    chunks (init_train_state(flat_plan=...)); incompatible with per-leaf
+    freeze masks.
     """
 
     def batch_to_args(batch):
@@ -152,6 +168,20 @@ def make_train_step(
     def apply_step(params, opt_state, grads):
         # AMP inf/nan-skip analog (GradScaler, trainer.py:748): a non-finite
         # gradient anywhere skips the whole update
+        if flat_plan is not None:
+            fg = flat_plan.flatten(grads)
+            fp = flat_plan.flatten(params)
+            finite = jnp.all(
+                jnp.asarray([jnp.all(jnp.isfinite(c)) for c in fg])
+            )
+            updates, new_opt_state = tx.update(fg, opt_state, fp)
+            new_fp = [jnp.where(finite, p + u, p) for p, u in zip(fp, updates)]
+            new_opt_state = jax.tree_util.tree_map(
+                lambda n, o: jnp.where(finite, n, o)
+                if hasattr(n, "dtype") else n,
+                new_opt_state, opt_state,
+            )
+            return flat_plan.unflatten(new_fp), new_opt_state
         finite = jnp.all(
             jnp.asarray(
                 [jnp.all(jnp.isfinite(g)) for g in jax.tree_util.tree_leaves(grads)]
@@ -381,7 +411,15 @@ class Trainer:
             best_criteria=options.best_model_criterion,
             exclude_prefixes=options.exclude_prefixes,
         )
-        state = init_train_state(variables, tx)
+        flat_plan = None
+        if options.flat_optim:
+            if resolve_mesh(options) is not None:
+                logger.warning("flat_optim disabled: incompatible with mesh runs")
+            else:
+                from llm_guided_asr_tpu.train.optim import ChunkPlan
+
+                flat_plan = ChunkPlan(variables["params"])
+        state = init_train_state(variables, tx, flat_plan=flat_plan)
         start_epoch = 1
         if options.resume and ckpt.has_checkpoint():
             loaded = ckpt.load_checkpoint()
@@ -405,7 +443,7 @@ class Trainer:
             else tuple(options.batch_args)
         )
         grad_step, apply_step, accum_add = make_train_step(
-            model, tx, options.accum_grad, batch_args=bargs
+            model, tx, options.accum_grad, batch_args=bargs, flat_plan=flat_plan
         )
         valid_step = make_valid_step(model, bargs)
         greedy_step = make_ctc_greedy_step(model) if options.report_ctc_er else None

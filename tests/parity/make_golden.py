@@ -98,14 +98,50 @@ def main():
         x0 = enc_out[0, : int(enc_lens[0])]
         nbest = bs(x=x0, maxlenratio=0.0, minlenratio=0.0)
 
+        # second operating point: beam-1 (decode_bs1_ctc0.3, the latency
+        # config) on the same utterance
+        bs1 = BeamSearch(
+            beam_size=1, vocab_size=VOCAB, sos=SOS, eos=EOS,
+            scorers={
+                "decoder": dec,
+                "ctc": CTCPrefixScorer(ctc=ctc, eos=EOS),
+                "length_bonus": LengthBonus(VOCAB),
+            },
+            weights={
+                "decoder": 1.0 - CTC_WEIGHT, "ctc": CTC_WEIGHT, "length_bonus": 0.0,
+            },
+            pre_beam_score_key="full",
+        )
+        bs1.eval()
+        nbest_b1 = bs1(x=x0, maxlenratio=0.0, minlenratio=0.0)
+
+        # third fixture: a 3x longer utterance (different shape regime —
+        # deeper CTC DP, longer beam loop)
+        T_LONG = 170
+        feats_long = rng.standard_normal((1, T_LONG, INPUT_SIZE)).astype(np.float32)
+        feats_long_lens = np.array([T_LONG], np.int64)
+        enc_long, enc_long_lens, _ = enc(
+            torch.from_numpy(feats_long), torch.from_numpy(feats_long_lens)
+        )
+        ctc_logp_long = ctc.log_softmax(enc_long)
+        x_long = enc_long[0, : int(enc_long_lens[0])]
+        nbest_long = bs(x=x_long, maxlenratio=0.0, minlenratio=0.0)
+
     hyp_tokens = [h.yseq.tolist() for h in nbest[:5]]
     hyp_scores = [float(h.score) for h in nbest[:5]]
+    hyp_tokens_b1 = [h.yseq.tolist() for h in nbest_b1[:1]]
+    hyp_scores_b1 = [float(h.score) for h in nbest_b1[:1]]
+    hyp_tokens_long = [h.yseq.tolist() for h in nbest_long[:5]]
+    hyp_scores_long = [float(h.score) for h in nbest_long[:5]]
 
     arrays = {
         "feats": feats, "feats_lens": feats_lens,
         "ys_in": ys_in, "ys_in_lens": ys_in_lens,
         "enc_out": enc_out.numpy(), "enc_lens": enc_lens.numpy(),
         "ctc_logp": ctc_logp.numpy(), "dec_logp": dec_logp.numpy(),
+        "feats_long": feats_long, "feats_long_lens": feats_long_lens,
+        "enc_out_long": enc_long.numpy(), "enc_long_lens": enc_long_lens.numpy(),
+        "ctc_logp_long": ctc_logp_long.numpy(),
     }
     for name, mod in [("enc", enc), ("dec", dec), ("ctc", ctc)]:
         for k, v in mod.state_dict().items():
@@ -116,6 +152,8 @@ def main():
         "units": UNITS, "blocks": BLOCKS, "dec_blocks": DEC_BLOCKS,
         "kernel": KERNEL, "sos": SOS, "eos": EOS, "ctc_weight": CTC_WEIGHT,
         "beam": BEAM, "hyp_tokens": hyp_tokens, "hyp_scores": hyp_scores,
+        "hyp_tokens_beam1": hyp_tokens_b1, "hyp_scores_beam1": hyp_scores_b1,
+        "hyp_tokens_long": hyp_tokens_long, "hyp_scores_long": hyp_scores_long,
         "espnet_version": open(f"{REF}/espnet/version.txt").read().strip(),
     }
     (OUT / "golden_conformer.json").write_text(json.dumps(meta, indent=1))
