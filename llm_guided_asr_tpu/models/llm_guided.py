@@ -290,14 +290,29 @@ class LLMGuidedASRModel(nn.Module):
             jnp.broadcast_to(valid[:1], (beam, tp))
         )
         prompt_nvalid = jnp.sum(valid[0].astype(jnp.int32))
-        resp_states = jnp.zeros((beam, resp_max, cfg.llm.hidden_size), jnp.float32)
+        # guided-decoder caches (forward_one_step_cached analog,
+        # transformer_decoder.py:1134-1235): the memory K/V projections are
+        # utterance-constant — computing them inside every decode step was
+        # ~6 layers x 2 x [T,D]x[D,D] matmuls/step, the measured bulk of the
+        # guided per-step cost; and per-layer input-stream buffers make the
+        # decoder pass incremental (one position/step) instead of re-running
+        # the full response buffer.
+        d_model = cfg.encoder.output_size
+        n_blocks = len(self.decoders)
+        gd_mem = [
+            layer(None, None, encoder_out.astype(self.dtype), None,
+                  project_mem_kv_only=True)
+            for layer in self.decoders
+        ]
         return {
             "k": jax.lax.stop_gradient(k_buf),
             "v": jax.lax.stop_gradient(v_buf),
             "kv_valid": kv_valid,
             "prompt_nvalid": prompt_nvalid,
             "prompt_len": tp,
-            "resp_states": resp_states,
+            "gd_mem_k": jnp.stack([m[0] for m in gd_mem]),  # [L, 1, T, H, dk]
+            "gd_mem_v": jnp.stack([m[1] for m in gd_mem]),
+            "gd_xs": jnp.zeros((n_blocks, beam, resp_max, d_model), self.dtype),
         }
 
     def decode_step(
@@ -308,13 +323,13 @@ class LLMGuidedASRModel(nn.Module):
         last_token: jnp.ndarray,  # [K] most recent response token (sos at step 0)
         step: jnp.ndarray,  # scalar response position index
     ):
-        """One cached decode step: LLM on the new token only -> guided decoder
-        over the response-state buffer -> log-probs [K, V]."""
+        """One cached decode step: LLM on the new token only -> incremental
+        guided decoder (one position, cached memory K/V) -> log-probs [K, V]."""
         cfg = self.cfg
         k_buf, v_buf = state["k"], state["v"]
         n_layers, beam, tc = k_buf.shape[:3]
         tp = state["prompt_len"]
-        resp_max = state["resp_states"].shape[1]
+        resp_max = state["gd_xs"].shape[2]
 
         cache = {"layers": [(k_buf[i], v_buf[i]) for i in range(n_layers)]}
         positions = jnp.broadcast_to(
@@ -339,9 +354,7 @@ class LLMGuidedASRModel(nn.Module):
             k_buf = jax.lax.dynamic_update_slice(k_buf, k[None].astype(k_buf.dtype), (i, 0, write, 0, 0))
             v_buf = jax.lax.dynamic_update_slice(v_buf, v[None].astype(v_buf.dtype), (i, 0, write, 0, 0))
         kv_valid = state["kv_valid"].at[:, write].set(True)
-        resp_states = jax.lax.dynamic_update_slice(
-            state["resp_states"], hidden.astype(jnp.float32), (0, step, 0)
-        )
+        gd_xs = state["gd_xs"]
 
         if use_lm_logits:
             # 'log_softmax' mode: the LLM's next-token distribution is the
@@ -350,13 +363,38 @@ class LLMGuidedASRModel(nn.Module):
                 jax.lax.stop_gradient(lm_logits[:, -1]).astype(jnp.float32), axis=-1
             )
         else:
-            # guided decoder over the response buffer (cheap: enc_dim x resp_max)
-            lens = jnp.full((beam,), step + 1, jnp.int32)
-            enc_k = jnp.broadcast_to(encoder_out[0], (beam,) + encoder_out.shape[1:])
-            enc_lens_k = jnp.full((beam,), encoder_out_lengths[0], jnp.int32)
-            last_logits = self._guided_decode_from_states(
-                resp_states.astype(self.dtype), lens, enc_k, enc_lens_k, at_position=step
-            )  # [K, V]: vocab projection on the current position only
+            # incremental guided decoder: ONE position through the blocks;
+            # self-attn keys come from the per-layer input-stream buffers,
+            # cross-attn uses the utterance-constant memory K/V computed in
+            # decode_prefix.  Equivalent to the full causal forward restricted
+            # to positions <= step (cached-vs-uncached parity tested).
+            x_cur = self.embed(hidden.astype(self.dtype))  # [K, 1, D]
+            tgt_mask = jnp.broadcast_to(
+                (jnp.arange(resp_max) <= step)[None, None, :],
+                (beam, 1, resp_max),
+            )
+            mem = jnp.broadcast_to(
+                encoder_out[0:1], (beam,) + encoder_out.shape[1:]
+            ).astype(self.dtype)
+            mem_mask = (
+                jnp.arange(encoder_out.shape[1]) < encoder_out_lengths[0]
+            )[None, None, :]
+            mem_mask = jnp.broadcast_to(mem_mask, (beam, 1, encoder_out.shape[1]))
+            for i, layer in enumerate(self.decoders):
+                gd_xs = jax.lax.dynamic_update_slice(
+                    gd_xs, x_cur[None].astype(gd_xs.dtype), (i, 0, step, 0)
+                )
+                mem_k = jnp.broadcast_to(
+                    state["gd_mem_k"][i], (beam,) + state["gd_mem_k"].shape[2:]
+                )
+                mem_v = jnp.broadcast_to(
+                    state["gd_mem_v"][i], (beam,) + state["gd_mem_v"].shape[2:]
+                )
+                x_cur = layer(
+                    x_cur, tgt_mask, mem, mem_mask, True,
+                    self_kv=gd_xs[i], mem_kv=(mem_k, mem_v),
+                )
+            last_logits = self.output_layer(self.after_norm(x_cur))[:, 0]
             logp = jax.nn.log_softmax(last_logits.astype(jnp.float32), axis=-1)
         new_state = {
             "k": k_buf,
@@ -364,7 +402,9 @@ class LLMGuidedASRModel(nn.Module):
             "kv_valid": kv_valid,
             "prompt_nvalid": state["prompt_nvalid"],
             "prompt_len": tp,
-            "resp_states": resp_states,
+            "gd_mem_k": state["gd_mem_k"],
+            "gd_mem_v": state["gd_mem_v"],
+            "gd_xs": gd_xs,
         }
         return logp, new_state
 

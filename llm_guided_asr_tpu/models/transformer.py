@@ -95,17 +95,28 @@ class MultiHeadedAttention(nn.Module):
         mask: Optional[jnp.ndarray] = None,  # [B, Tq, Tk] or [B, 1, Tk]; True=attend
         deterministic: bool = True,
         return_weights: bool = False,  # guided-attention loss consumers
+        kv_precomputed=None,  # optional ([B,Tk,H,dk], [B,Tk,H,dk]) — skip k/v proj
+        project_kv_only: bool = False,  # return (k, v) projections and stop
     ) -> jnp.ndarray:
-        d_model = query.shape[-1]
+        d_model = (query if query is not None else key).shape[-1]
         h, d_k = self.num_heads, d_model // self.num_heads
 
         def proj(x, name):
             y = nn.Dense(d_model, dtype=self.dtype, name=name)(x)
             return y.reshape(*y.shape[:-1], h, d_k)
 
+        if project_kv_only:
+            # cached cross-attention (decode_step hot loop): the memory k/v
+            # projections are utterance-constant — compute them once here and
+            # feed them back per step via kv_precomputed
+            return proj(key, "linear_k"), proj(value, "linear_v")
+
         q = proj(query, "linear_q")  # [B, Tq, H, dk]
-        k = proj(key, "linear_k")
-        v = proj(value, "linear_v")
+        if kv_precomputed is not None:
+            k, v = kv_precomputed
+        else:
+            k = proj(key, "linear_k")
+            v = proj(value, "linear_v")
 
         scores = jnp.einsum("bqhd,bkhd->bhqk", q, k) / math.sqrt(d_k)
         attn = _masked_softmax(scores, mask)
@@ -370,7 +381,14 @@ class DecoderLayer(nn.Module):
         memory_mask: Optional[jnp.ndarray],  # [B, 1 or Lq, T]
         deterministic: bool = True,
         self_kv: Optional[jnp.ndarray] = None,  # [B, Lk_self, D] full key/value stream
+        mem_kv=None,  # precomputed memory (k, v) projections (decode cache)
+        project_mem_kv_only: bool = False,  # return src_attn's (k, v) of memory
     ) -> jnp.ndarray:
+        if project_mem_kv_only:
+            return MultiHeadedAttention(
+                self.num_heads, self.src_attention_dropout_rate, dtype=self.dtype,
+                name="src_attn",
+            )(None, memory, memory, None, project_kv_only=True)
         drop = nn.Dropout(self.dropout_rate)
         norm1 = LayerNorm(dtype=self.dtype, name="norm1")
         h = norm1(tgt)
@@ -382,7 +400,7 @@ class DecoderLayer(nn.Module):
         h = LayerNorm(dtype=self.dtype, name="norm2")(x)
         h = MultiHeadedAttention(
             self.num_heads, self.src_attention_dropout_rate, dtype=self.dtype, name="src_attn"
-        )(h, memory, memory, memory_mask, deterministic)
+        )(h, memory, memory, memory_mask, deterministic, kv_precomputed=mem_kv)
         x = x + drop(h, deterministic=deterministic)
         h = LayerNorm(dtype=self.dtype, name="norm3")(x)
         h = PositionwiseFeedForward(

@@ -106,19 +106,62 @@ class BatchBeamSearch:
         self._search_jit = jax.jit(
             self._search, static_argnames=("lmax",)
         )
-        # batched multi-utterance decode: vmap the whole search (the reference
-        # decodes utterance-by-utterance even in BatchBeamSearch; here the
-        # while_loop lifts under vmap so all utterances share one compile and
-        # run lock-step on device until the longest finishes)
+        # batched multi-utterance decode: ONE while_loop over lockstep lanes
+        # (the reference decodes utterance-by-utterance even in
+        # BatchBeamSearch; vmapping the whole while_loop instead measured a
+        # +74% tax at B=1 and near-linear per-lane cost — the batched loop
+        # carry gets select-masked every iteration and per-lane step counters
+        # turn every KV-cache dynamic_update_slice into a scatter)
         self._batch_search_jit = jax.jit(
             self._vmapped_search, static_argnames=("lmax",)
         )
 
     def _vmapped_search(self, encs, enc_lens, maxlens, minlens, lmax: int):
-        def one(enc, enc_len, maxlen, minlen):
-            return self._search(enc[None], enc_len, maxlen, minlen, None, lmax)
+        """Lockstep batched search: a single while_loop with a SHARED scalar
+        step counter; only the per-lane body is vmapped.
 
-        return jax.vmap(one)(encs, enc_lens, maxlens, minlens)
+        - The shared counter keeps KV-cache writes (decode_step's
+          dynamic_update_slice at prompt_len + step) unbatched-index dus.
+        - Finished lanes' result-bearing leaves (BeamState) are frozen with a
+          per-lane active mask; scorer KV caches free-run — their post-finish
+          junk is never read because _finalize consumes only the frozen
+          BeamState.
+        """
+        b = encs.shape[0]
+
+        def init_one(enc, enc_len):
+            ctc_logp = self._ctc_table(enc[None])
+            return ctc_logp, self._init_carry(ctc_logp, enc[None], enc_len, lmax)
+
+        ctc_logps, (S, ATT) = jax.vmap(init_one)(encs, enc_lens)
+        maxl = jnp.minimum(maxlens, lmax - 1)
+
+        def active_mask(S, step):
+            viable = jnp.max(S.alive_score, axis=-1) > jnp.min(S.fin_score, axis=-1)
+            return (step < maxl) & viable
+
+        def cond(carry):
+            step, S, _ = carry
+            return jnp.any(active_mask(S, step))
+
+        def body(carry):
+            step, S, ATT = carry
+            active = active_mask(S, step)
+            new_S, new_ATT = jax.vmap(
+                lambda enc, enc_len, minlen, ctc_logp, s, att: self._body_core(
+                    enc[None], enc_len, minlen, ctc_logp, s, att, step
+                )
+            )(encs, enc_lens, minlens, ctc_logps, S, ATT)
+
+            def frz(n, o):
+                mask = active.reshape((b,) + (1,) * (n.ndim - 1))
+                return jnp.where(mask, n, o)
+
+            return step + 1, jax.tree_util.tree_map(frz, new_S, S), new_ATT
+
+        step0 = jnp.asarray(0, jnp.int32)
+        _, S, _ = jax.lax.while_loop(cond, body, (step0, S, ATT))
+        return jax.vmap(self._finalize)(S)
 
     # -- core loop ------------------------------------------------------
     def _init_carry(self, ctc_logp, enc, enc_len, lmax: int, scorer_ctx=None):
@@ -155,7 +198,6 @@ class BatchBeamSearch:
         return self._finalize(final)
 
     def _run_loop(self, enc, enc_len, maxlen, minlen, carry, ctc_logp):
-        K, W, V = self.K, self.W, self.vocab_size
         lmax = carry[0].alive_tokens.shape[1]
 
         def cond(carry):
@@ -166,124 +208,140 @@ class BatchBeamSearch:
 
         def body(carry):
             s, att_state = carry
-            # 1. full scorers
-            att_logp, att_state = self.att_scorer.step(
-                enc, enc_len, att_state, s.alive_tokens, s.alive_len, s.step
-            )
-            full = self.att_weight * att_logp
-            lm_logp = None
-            if self.lm_score_fn is not None and self.lm_weight != 0.0:
-                lm_logp = self.lm_score_fn(s.alive_tokens, s.alive_len)
-                full = full + self.lm_weight * lm_logp
-            # 2. pre-beam
-            top_full, cand = jax.lax.top_k(full, W)  # [K, W]
-            # 3. partial scorer: CTC prefix — psi is scan-free (a reduction
-            # over the parent rows); the T-length DP recurrence runs later,
-            # only for the K selected extensions (ctc_prefix_advance)
-            if self.ctc_weight != 0.0:
-                psi = ctc_prefix_psi(
-                    ctc_logp, enc_len, s.ctc, cand,
-                    blank_id=self.blank_id, eos_id=self.eos,
-                )
-                # STABLE absolute-psi scoring.  espnet accumulates weighted
-                # per-step deltas (scorers/ctc.py:80-85 presub - prev), whose
-                # sum telescopes to ctc_weight * psi(g.c) — but through a
-                # blank the deltas are +-1e10 and their f32 cancellation
-                # leaves O(100) noise (a blank-then-eos path once decoded at
-                # score +119).  Scoring from the absolute prefix probability
-                # gives the same mathematical total with no logzero
-                # round-trip; the non-CTC cumulative rides in alive_base.
-                cand_score = (
-                    s.alive_base[:, None]
-                    + top_full
-                    + self.ctc_weight * psi
-                    + self.penalty
-                )
-            else:
-                psi = jnp.zeros((K, W))
-                cand_score = s.alive_score[:, None] + top_full + self.penalty
-
-            # 4. espnet-exact selection (beam_search.py:316 + post_process:500):
-            # top-K over ALL candidates first (eos included, competing on raw
-            # score); THEN the selected eos hyps retire into the finished
-            # buffer (if past minlen) and their beam slots die for this step.
-            # Retiring best-eos-candidates unconditionally (even when they
-            # would not survive the beam) admits hypotheses the reference
-            # prunes — caught by the golden hypothesis-parity test.
-            new_score, flat_idx = jax.lax.top_k(cand_score.reshape(-1), K)
-            parent = flat_idx // W
-            cidx = flat_idx % W
-            token = cand[parent, cidx]
-            ins = s.alive_len[parent]
-            new_tokens = s.alive_tokens[parent]
-            new_tokens = jnp.where(
-                jnp.arange(lmax)[None, :] == ins[:, None], token[:, None], new_tokens
-            )
-            new_len = ins + 1
-            is_eos_sel = token == self.eos
-
-            # per-scorer breakdown (espnet Hypothesis.scores: raw unweighted
-            # cumulative score per scorer, beam_search.py merge_scores:263).
-            # The cumulative CTC part telescopes to the absolute prefix
-            # probability, so it is SET (not accumulated) from psi.
-            att_part = att_logp[parent, token]
-            lm_part = lm_logp[parent, token] if lm_logp is not None else jnp.zeros((K,))
-            new_parts = s.alive_parts[parent] + jnp.stack(
-                [att_part, jnp.zeros((K,)), lm_part, jnp.ones((K,))], axis=1
-            )
-            if self.ctc_weight != 0.0:
-                new_parts = new_parts.at[:, 1].set(psi[parent, cidx])
-
-            # finished-buffer merge (only eos hyps at/after minlen retire;
-            # below-minlen eos hyps are dropped entirely, like the reference)
-            fin_cand = jnp.where(is_eos_sel & (s.step >= minlen), new_score, NEG_INF)
-            all_fin_scores = jnp.concatenate([s.fin_score, fin_cand])
-            all_fin_tokens = jnp.concatenate([s.fin_tokens, new_tokens])
-            all_fin_len = jnp.concatenate([s.fin_len, new_len])
-            all_fin_parts = jnp.concatenate([s.fin_parts, new_parts])
-            fin_top, fin_idx = jax.lax.top_k(all_fin_scores, K)
-            fin_tokens = all_fin_tokens[fin_idx]
-            fin_len = all_fin_len[fin_idx]
-            fin_parts = all_fin_parts[fin_idx]
-
-            # 5. alive beam: eos slots are dead for the rest of the search
-            new_score = jnp.where(is_eos_sel, NEG_INF, new_score)
-            new_base = jnp.where(
-                is_eos_sel, NEG_INF,
-                s.alive_base[parent] + top_full[parent, cidx] + self.penalty,
-            ) if self.ctc_weight != 0.0 else new_score
-            if self.ctc_weight != 0.0:
-                new_ctc = ctc_prefix_advance(
-                    ctc_logp, enc_len, s.ctc, token, parent,
-                    psi[parent, cidx], blank_id=self.blank_id,
-                )
-            else:
-                new_ctc = s.ctc._replace(
-                    psi=psi[parent, cidx],
-                    last=token.astype(jnp.int32),
-                    empty=jnp.zeros(parent.shape, bool),
-                    r=s.ctc.r[parent],
-                )
-            att_state = self.att_scorer.select(att_state, parent)
-
-            return (
-                BeamState(
-                    step=s.step + 1,
-                    alive_tokens=new_tokens,
-                    alive_len=new_len,
-                    alive_score=new_score,
-                    alive_base=new_base,
-                    alive_parts=new_parts,
-                    ctc=new_ctc,
-                    fin_tokens=fin_tokens,
-                    fin_len=fin_len,
-                    fin_score=fin_top,
-                    fin_parts=fin_parts,
-                ),
-                att_state,
+            return self._body_core(
+                enc, enc_len, minlen, ctc_logp, s, att_state, s.step
             )
 
         return jax.lax.while_loop(cond, body, carry)
+
+    def _body_core(self, enc, enc_len, minlen, ctc_logp, s, att_state, step):
+        """One beam step at scalar ``step``.
+
+        ``step`` is an explicit scalar (not read from ``s.step``) so the
+        lockstep batched search can share ONE counter across lanes: KV-cache
+        writes at positions derived from it stay unbatched dynamic-update-
+        slices instead of lowering to per-lane scatters under vmap
+        (measured as the bulk of the batch-decode vmap tax).
+        """
+        K, W = self.K, self.W
+        lmax = s.alive_tokens.shape[1]
+        # 1. full scorers
+        att_logp, att_state = self.att_scorer.step(
+            enc, enc_len, att_state, s.alive_tokens, s.alive_len, step
+        )
+        full = self.att_weight * att_logp
+        lm_logp = None
+        if self.lm_score_fn is not None and self.lm_weight != 0.0:
+            lm_logp = self.lm_score_fn(s.alive_tokens, s.alive_len)
+            full = full + self.lm_weight * lm_logp
+        # 2. pre-beam
+        top_full, cand = jax.lax.top_k(full, W)  # [K, W]
+        # 3. partial scorer: CTC prefix — psi is scan-free (a reduction
+        # over the parent rows); the T-length DP recurrence runs later,
+        # only for the K selected extensions (ctc_prefix_advance)
+        if self.ctc_weight != 0.0:
+            psi = ctc_prefix_psi(
+                ctc_logp, enc_len, s.ctc, cand,
+                blank_id=self.blank_id, eos_id=self.eos,
+            )
+            # STABLE absolute-psi scoring.  espnet accumulates weighted
+            # per-step deltas (scorers/ctc.py:80-85 presub - prev), whose
+            # sum telescopes to ctc_weight * psi(g.c) — but through a
+            # blank the deltas are +-1e10 and their f32 cancellation
+            # leaves O(100) noise (a blank-then-eos path once decoded at
+            # score +119).  Scoring from the absolute prefix probability
+            # gives the same mathematical total with no logzero
+            # round-trip; the non-CTC cumulative rides in alive_base.
+            cand_score = (
+                s.alive_base[:, None]
+                + top_full
+                + self.ctc_weight * psi
+                + self.penalty
+            )
+        else:
+            psi = jnp.zeros((K, W))
+            cand_score = s.alive_score[:, None] + top_full + self.penalty
+
+        # 4. espnet-exact selection (beam_search.py:316 + post_process:500):
+        # top-K over ALL candidates first (eos included, competing on raw
+        # score); THEN the selected eos hyps retire into the finished
+        # buffer (if past minlen) and their beam slots die for this step.
+        # Retiring best-eos-candidates unconditionally (even when they
+        # would not survive the beam) admits hypotheses the reference
+        # prunes — caught by the golden hypothesis-parity test.
+        new_score, flat_idx = jax.lax.top_k(cand_score.reshape(-1), K)
+        parent = flat_idx // W
+        cidx = flat_idx % W
+        token = cand[parent, cidx]
+        ins = s.alive_len[parent]
+        new_tokens = s.alive_tokens[parent]
+        new_tokens = jnp.where(
+            jnp.arange(lmax)[None, :] == ins[:, None], token[:, None], new_tokens
+        )
+        new_len = ins + 1
+        is_eos_sel = token == self.eos
+
+        # per-scorer breakdown (espnet Hypothesis.scores: raw unweighted
+        # cumulative score per scorer, beam_search.py merge_scores:263).
+        # The cumulative CTC part telescopes to the absolute prefix
+        # probability, so it is SET (not accumulated) from psi.
+        att_part = att_logp[parent, token]
+        lm_part = lm_logp[parent, token] if lm_logp is not None else jnp.zeros((K,))
+        new_parts = s.alive_parts[parent] + jnp.stack(
+            [att_part, jnp.zeros((K,)), lm_part, jnp.ones((K,))], axis=1
+        )
+        if self.ctc_weight != 0.0:
+            new_parts = new_parts.at[:, 1].set(psi[parent, cidx])
+
+        # finished-buffer merge (only eos hyps at/after minlen retire;
+        # below-minlen eos hyps are dropped entirely, like the reference)
+        fin_cand = jnp.where(is_eos_sel & (step >= minlen), new_score, NEG_INF)
+        all_fin_scores = jnp.concatenate([s.fin_score, fin_cand])
+        all_fin_tokens = jnp.concatenate([s.fin_tokens, new_tokens])
+        all_fin_len = jnp.concatenate([s.fin_len, new_len])
+        all_fin_parts = jnp.concatenate([s.fin_parts, new_parts])
+        fin_top, fin_idx = jax.lax.top_k(all_fin_scores, K)
+        fin_tokens = all_fin_tokens[fin_idx]
+        fin_len = all_fin_len[fin_idx]
+        fin_parts = all_fin_parts[fin_idx]
+
+        # 5. alive beam: eos slots are dead for the rest of the search
+        new_score = jnp.where(is_eos_sel, NEG_INF, new_score)
+        new_base = jnp.where(
+            is_eos_sel, NEG_INF,
+            s.alive_base[parent] + top_full[parent, cidx] + self.penalty,
+        ) if self.ctc_weight != 0.0 else new_score
+        if self.ctc_weight != 0.0:
+            new_ctc = ctc_prefix_advance(
+                ctc_logp, enc_len, s.ctc, token, parent,
+                psi[parent, cidx], blank_id=self.blank_id,
+            )
+        else:
+            new_ctc = s.ctc._replace(
+                psi=psi[parent, cidx],
+                last=token.astype(jnp.int32),
+                empty=jnp.zeros(parent.shape, bool),
+                r=s.ctc.r[parent],
+            )
+        att_state = self.att_scorer.select(att_state, parent)
+
+        return (
+            BeamState(
+                step=step + 1,
+                alive_tokens=new_tokens,
+                alive_len=new_len,
+                alive_score=new_score,
+                alive_base=new_base,
+                alive_parts=new_parts,
+                ctc=new_ctc,
+                fin_tokens=fin_tokens,
+                fin_len=fin_len,
+                fin_score=fin_top,
+                fin_parts=fin_parts,
+            ),
+            att_state,
+        )
+
 
     def _finalize(self, final: BeamState):
         # merge still-alive hyps (maxlen reached) into finished (post_process

@@ -57,7 +57,9 @@ class StatelessAttScorer:
 class CachedGuidedScorer:
     """LLM-guided decoder scoring with static KV buffers (one LLM token/step)."""
 
-    _GATHER_AXES = {"k": 1, "v": 1, "kv_valid": 0, "resp_states": 0}
+    # beam-reshuffle axes on select(); gd_mem_* are utterance-constant
+    # (shared across the beam) and ride through untouched
+    _GATHER_AXES = {"k": 1, "v": 1, "kv_valid": 0, "gd_xs": 1}
 
     def __init__(self, model, variables):
         self.model = model
