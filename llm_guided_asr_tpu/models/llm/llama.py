@@ -134,6 +134,7 @@ class LlamaAttention(nn.Module):
         positions: jnp.ndarray,  # [B, T]
         attn_mask: jnp.ndarray,  # [B, T, Tk] bool True=attend (incl. causality)
         cache: Optional[Tuple[jnp.ndarray, jnp.ndarray]] = None,  # (k, v) [B, Tc, Hkv, hd]
+        cache_write_pos=None,  # scalar: dus-write new k/v INTO the padded cache
     ):
         cfg = self.cfg
         h = cfg.num_attention_heads
@@ -153,21 +154,42 @@ class LlamaAttention(nn.Module):
         q = apply_rope(q, positions, inv_freq)
         k = apply_rope(k, positions, inv_freq)
 
-        new_cache = (k, v)  # K/V of the NEW tokens only (caller owns the buffer)
-        if cache is not None:
+        if cache is not None and cache_write_pos is not None:
+            # decode hot path: write the new token's k/v IN PLACE into the
+            # caller's padded buffer and attend over the buffer — the old
+            # concat path copied the whole cache (and the GQA repeat doubled
+            # it again) every layer every step, the measured per-lane cost of
+            # batched guided decode
             ck, cv = cache
-            k = jnp.concatenate([ck, k], axis=1)
-            v = jnp.concatenate([cv, v], axis=1)
+            ck = jax.lax.dynamic_update_slice(
+                ck, k.astype(ck.dtype), (0, cache_write_pos, 0, 0)
+            )
+            cv = jax.lax.dynamic_update_slice(
+                cv, v.astype(cv.dtype), (0, cache_write_pos, 0, 0)
+            )
+            new_cache = (ck, cv)
+            k, v = ck.astype(self.dtype), cv.astype(self.dtype)
+        else:
+            new_cache = (k, v)  # K/V of the NEW tokens only (caller owns the buffer)
+            if cache is not None:
+                ck, cv = cache
+                k = jnp.concatenate([ck, k], axis=1)
+                v = jnp.concatenate([cv, v], axis=1)
 
         rep = h // hkv
         if rep > 1:
-            k = jnp.repeat(k, rep, axis=2)
-            v = jnp.repeat(v, rep, axis=2)
-
-        scores = jnp.einsum("bqhd,bkhd->bhqk", q, k) / math.sqrt(hd)
-        scores = jnp.where(attn_mask[:, None, :, :], scores, NEG_INF)
-        attn = jax.nn.softmax(scores.astype(jnp.float32), axis=-1).astype(self.dtype)
-        out = jnp.einsum("bhqk,bkhd->bqhd", attn, v).reshape(b, t, h * hd)
+            # grouped-query attention WITHOUT materializing the repeated
+            # k/v (jnp.repeat doubled the cache traffic per layer per step)
+            qg = q.reshape(b, t, hkv, rep, hd)
+            scores = jnp.einsum("bqgrd,bkgd->bgrqk", qg, k) / math.sqrt(hd)
+            scores = jnp.where(attn_mask[:, None, None, :, :], scores, NEG_INF)
+            attn = jax.nn.softmax(scores.astype(jnp.float32), axis=-1).astype(self.dtype)
+            out = jnp.einsum("bgrqk,bkgd->bqgrd", attn, v).reshape(b, t, h * hd)
+        else:
+            scores = jnp.einsum("bqhd,bkhd->bhqk", q, k) / math.sqrt(hd)
+            scores = jnp.where(attn_mask[:, None, :, :], scores, NEG_INF)
+            attn = jax.nn.softmax(scores.astype(jnp.float32), axis=-1).astype(self.dtype)
+            out = jnp.einsum("bhqk,bkhd->bqhd", attn, v).reshape(b, t, h * hd)
         out = nn.Dense(cfg.hidden_size, use_bias=False, dtype=self.dtype, name="o_proj")(out)
         return out, new_cache
 
@@ -191,10 +213,10 @@ class LlamaBlock(nn.Module):
     dtype: Dtype = jnp.bfloat16
 
     @nn.compact
-    def __call__(self, x, positions, attn_mask, cache=None):
+    def __call__(self, x, positions, attn_mask, cache=None, cache_write_pos=None):
         h = RMSNorm(self.cfg.rms_norm_eps, dtype=self.dtype, name="input_layernorm")(x)
         h, new_cache = LlamaAttention(self.cfg, dtype=self.dtype, name="self_attn")(
-            h, positions, attn_mask, cache
+            h, positions, attn_mask, cache, cache_write_pos
         )
         x = x + h
         h = RMSNorm(self.cfg.rms_norm_eps, dtype=self.dtype, name="post_attention_layernorm")(x)
@@ -219,6 +241,9 @@ class LlamaModel(nn.Module):
         return_logits: bool = False,
         embed_override: Optional[jnp.ndarray] = None,  # [B, T, H]
         override_mask: Optional[jnp.ndarray] = None,  # [B, T] bool: use override
+        cache_write_pos=None,  # scalar: in-place decode (T must be 1); the new
+        # token's k/v are dus-written into the padded cache buffers, which come
+        # back updated in out_cache — no concat, no repeat (decode hot path)
     ):
         cfg = self.cfg
         b, t = input_ids.shape
@@ -226,13 +251,20 @@ class LlamaModel(nn.Module):
             positions = jnp.cumsum(valid.astype(jnp.int32), axis=1) - 1
             positions = jnp.maximum(positions, 0)
 
-        # attention mask over [query t, key (cache + t)]
-        causal = jnp.tril(jnp.ones((t, t), bool))
-        qk_mask = causal[None, :, :] & valid[:, None, :] & valid[:, :, None]
-        if cache is not None:
+        if cache_write_pos is not None:
+            assert cache is not None and t == 1, "in-place decode needs cache, T=1"
             tc = cache_valid.shape[1]
-            cmask = jnp.broadcast_to(cache_valid[:, None, :], (b, t, tc)) & valid[:, :, None]
-            qk_mask = jnp.concatenate([cmask, qk_mask], axis=2)
+            # keys = the padded buffer only; the query's own slot is valid
+            cache_valid = cache_valid.at[:, cache_write_pos].set(True)
+            qk_mask = jnp.broadcast_to(cache_valid[:, None, :], (b, t, tc))
+        else:
+            # attention mask over [query t, key (cache + t)]
+            causal = jnp.tril(jnp.ones((t, t), bool))
+            qk_mask = causal[None, :, :] & valid[:, None, :] & valid[:, :, None]
+            if cache is not None:
+                tc = cache_valid.shape[1]
+                cmask = jnp.broadcast_to(cache_valid[:, None, :], (b, t, tc)) & valid[:, :, None]
+                qk_mask = jnp.concatenate([cmask, qk_mask], axis=2)
 
         emb = nn.Embed(cfg.vocab_size, cfg.hidden_size, dtype=self.dtype, name="embed_tokens")
         x = emb(input_ids)
@@ -244,7 +276,7 @@ class LlamaModel(nn.Module):
         for i in range(cfg.num_hidden_layers):
             layer_cache = None if cache is None else cache["layers"][i]
             x, kv = LlamaBlock(cfg, dtype=self.dtype, name=f"layers_{i}")(
-                x, positions, qk_mask, layer_cache
+                x, positions, qk_mask, layer_cache, cache_write_pos
             )
             new_cache.append(kv)
         x = RMSNorm(cfg.rms_norm_eps, dtype=self.dtype, name="norm")(x)

@@ -281,11 +281,17 @@ class LLMGuidedASRModel(nn.Module):
         n_layers = cfg.llm.num_hidden_layers
         hkv = cfg.llm.num_key_value_heads
         hd = cfg.llm.hidden_size // cfg.llm.num_attention_heads
-        k_buf = jnp.zeros((n_layers, beam, tc, hkv, hd), jnp.float32)
-        v_buf = jnp.zeros((n_layers, beam, tc, hkv, hd), jnp.float32)
-        for i, (k, v) in enumerate(cache["layers"]):
-            k_buf = k_buf.at[i, :, :tp].set(jnp.broadcast_to(k[:1], (beam, tp, hkv, hd)))
-            v_buf = v_buf.at[i, :, :tp].set(jnp.broadcast_to(v[:1], (beam, tp, hkv, hd)))
+        # per-layer padded KV buffers (tuples, NOT a stacked [L,...] array:
+        # the in-place decode path returns each layer's updated buffer —
+        # re-stacking would copy the full cache every step)
+        k_bufs, v_bufs = [], []
+        for k, v in cache["layers"]:
+            kb = jnp.zeros((beam, tc, hkv, hd), jnp.float32)
+            vb = jnp.zeros((beam, tc, hkv, hd), jnp.float32)
+            kb = kb.at[:, :tp].set(jnp.broadcast_to(k[:1], (beam, tp, hkv, hd)))
+            vb = vb.at[:, :tp].set(jnp.broadcast_to(v[:1], (beam, tp, hkv, hd)))
+            k_bufs.append(jax.lax.stop_gradient(kb))
+            v_bufs.append(jax.lax.stop_gradient(vb))
         kv_valid = jnp.zeros((beam, tc), bool).at[:, :tp].set(
             jnp.broadcast_to(valid[:1], (beam, tp))
         )
@@ -305,8 +311,8 @@ class LLMGuidedASRModel(nn.Module):
             for layer in self.decoders
         ]
         return {
-            "k": jax.lax.stop_gradient(k_buf),
-            "v": jax.lax.stop_gradient(v_buf),
+            "k": tuple(k_bufs),
+            "v": tuple(v_bufs),
             "kv_valid": kv_valid,
             "prompt_nvalid": prompt_nvalid,
             "prompt_len": tp,
@@ -326,12 +332,14 @@ class LLMGuidedASRModel(nn.Module):
         """One cached decode step: LLM on the new token only -> incremental
         guided decoder (one position, cached memory K/V) -> log-probs [K, V]."""
         cfg = self.cfg
-        k_buf, v_buf = state["k"], state["v"]
-        n_layers, beam, tc = k_buf.shape[:3]
+        k_bufs, v_bufs = state["k"], state["v"]
+        n_layers = len(k_bufs)
+        beam, tc = k_bufs[0].shape[:2]
         tp = state["prompt_len"]
         resp_max = state["gd_xs"].shape[2]
+        write = tp + step
 
-        cache = {"layers": [(k_buf[i], v_buf[i]) for i in range(n_layers)]}
+        cache = {"layers": [(k_bufs[i], v_bufs[i]) for i in range(n_layers)]}
         positions = jnp.broadcast_to(
             (state["prompt_nvalid"] + step)[None, None], (beam, 1)
         )
@@ -343,16 +351,16 @@ class LLMGuidedASRModel(nn.Module):
             cache_valid=state["kv_valid"],
             positions=positions,
             return_logits=use_lm_logits,
+            cache_write_pos=write,  # in-place: no concat/repeat of the cache
         )
         if use_lm_logits:
             hidden, lm_logits, new_kv = llm_out
         else:
             hidden, new_kv = llm_out
         hidden = jax.lax.stop_gradient(hidden)
-        write = tp + step
-        for i, (k, v) in enumerate(new_kv["layers"]):
-            k_buf = jax.lax.dynamic_update_slice(k_buf, k[None].astype(k_buf.dtype), (i, 0, write, 0, 0))
-            v_buf = jax.lax.dynamic_update_slice(v_buf, v[None].astype(v_buf.dtype), (i, 0, write, 0, 0))
+        # in-place mode returns each layer's UPDATED full buffer
+        k_bufs = tuple(jax.lax.stop_gradient(k) for k, _ in new_kv["layers"])
+        v_bufs = tuple(jax.lax.stop_gradient(v) for _, v in new_kv["layers"])
         kv_valid = state["kv_valid"].at[:, write].set(True)
         gd_xs = state["gd_xs"]
 
@@ -397,8 +405,8 @@ class LLMGuidedASRModel(nn.Module):
             last_logits = self.output_layer(self.after_norm(x_cur))[:, 0]
             logp = jax.nn.log_softmax(last_logits.astype(jnp.float32), axis=-1)
         new_state = {
-            "k": k_buf,
-            "v": v_buf,
+            "k": k_bufs,
+            "v": v_bufs,
             "kv_valid": kv_valid,
             "prompt_nvalid": state["prompt_nvalid"],
             "prompt_len": tp,

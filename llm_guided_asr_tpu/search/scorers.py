@@ -58,8 +58,9 @@ class CachedGuidedScorer:
     """LLM-guided decoder scoring with static KV buffers (one LLM token/step)."""
 
     # beam-reshuffle axes on select(); gd_mem_* are utterance-constant
-    # (shared across the beam) and ride through untouched
-    _GATHER_AXES = {"k": 1, "v": 1, "kv_valid": 0, "gd_xs": 1}
+    # (shared across the beam) and ride through untouched.  "k"/"v" are
+    # TUPLES of per-layer [beam, Tc, Hkv, hd] buffers (in-place decode path).
+    _GATHER_AXES = {"k": 0, "v": 0, "kv_valid": 0, "gd_xs": 1}
 
     def __init__(self, model, variables):
         self.model = model
@@ -104,5 +105,7 @@ class CachedGuidedScorer:
             if ax is None:
                 out[key] = val
             else:
-                out[key] = jnp.take(val, parent, axis=ax)
+                out[key] = jax.tree_util.tree_map(
+                    lambda a: jnp.take(a, parent, axis=ax), val
+                )
         return out
