@@ -161,12 +161,15 @@ class LlamaAttention(nn.Module):
             # it again) every layer every step, the measured per-lane cost of
             # batched guided decode
             ck, cv = cache
-            ck = jax.lax.dynamic_update_slice(
-                ck, k.astype(ck.dtype), (0, cache_write_pos, 0, 0)
-            )
-            cv = jax.lax.dynamic_update_slice(
-                cv, v.astype(cv.dtype), (0, cache_write_pos, 0, 0)
-            )
+            # iota-select write (not dynamic_update_slice): a scatter into a
+            # while_loop carry buffer hard-crashed the axon TPU runtime
+            # ("TPU worker process crashed"), reproducibly; the select lowers
+            # to a fused elementwise update and runs fine
+            sel = (
+                jnp.arange(ck.shape[1]) == cache_write_pos
+            )[None, :, None, None]
+            ck = jnp.where(sel, k.astype(ck.dtype), ck)
+            cv = jnp.where(sel, v.astype(cv.dtype), cv)
             new_cache = (ck, cv)
             k, v = ck.astype(self.dtype), cv.astype(self.dtype)
         else:
@@ -255,7 +258,7 @@ class LlamaModel(nn.Module):
             assert cache is not None and t == 1, "in-place decode needs cache, T=1"
             tc = cache_valid.shape[1]
             # keys = the padded buffer only; the query's own slot is valid
-            cache_valid = cache_valid.at[:, cache_write_pos].set(True)
+            cache_valid = cache_valid | (jnp.arange(tc) == cache_write_pos)[None, :]
             qk_mask = jnp.broadcast_to(cache_valid[:, None, :], (b, t, tc))
         else:
             # attention mask over [query t, key (cache + t)]

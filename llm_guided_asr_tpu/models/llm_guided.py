@@ -26,6 +26,7 @@ from __future__ import annotations
 
 import dataclasses
 import logging
+import os
 from typing import Any, Dict, Optional, Tuple
 
 import flax.linen as nn
@@ -344,6 +345,14 @@ class LLMGuidedASRModel(nn.Module):
             (state["prompt_nvalid"] + step)[None, None], (beam, 1)
         )
         use_lm_logits = cfg.llm_score_mode == "log_softmax"
+        # In-place KV writes (cache_write_pos) are opt-in: combined with the
+        # CTC prefix machinery in one beam-search while_loop they reproducibly
+        # hard-crash the axon TPU runtime ("TPU worker process crashed") —
+        # the same step runs fine standalone, in a plain while_loop, and with
+        # ctc_weight=0, so this is a runtime bug, not a semantics issue.
+        # The legacy path concats the cache per layer (more HBM traffic) but
+        # still benefits from the grouped-GQA no-repeat attention.
+        inplace = os.environ.get("LLMASR_KV_INPLACE", "0") == "1"
         llm_out = self.llm(
             last_token[:, None],
             jnp.ones((beam, 1), bool),
@@ -351,16 +360,35 @@ class LLMGuidedASRModel(nn.Module):
             cache_valid=state["kv_valid"],
             positions=positions,
             return_logits=use_lm_logits,
-            cache_write_pos=write,  # in-place: no concat/repeat of the cache
+            cache_write_pos=write if inplace else None,
         )
         if use_lm_logits:
             hidden, lm_logits, new_kv = llm_out
         else:
             hidden, new_kv = llm_out
         hidden = jax.lax.stop_gradient(hidden)
-        # in-place mode returns each layer's UPDATED full buffer
-        k_bufs = tuple(jax.lax.stop_gradient(k) for k, _ in new_kv["layers"])
-        v_bufs = tuple(jax.lax.stop_gradient(v) for _, v in new_kv["layers"])
+        if inplace:
+            # in-place mode returns each layer's UPDATED full buffer
+            k_bufs = tuple(jax.lax.stop_gradient(k) for k, _ in new_kv["layers"])
+            v_bufs = tuple(jax.lax.stop_gradient(v) for _, v in new_kv["layers"])
+        else:
+            # legacy: new_kv holds the new token's k/v only; write them in
+            k_bufs = tuple(
+                jax.lax.dynamic_update_slice(
+                    k_bufs[i],
+                    jax.lax.stop_gradient(k).astype(k_bufs[i].dtype),
+                    (0, write, 0, 0),
+                )
+                for i, (k, _) in enumerate(new_kv["layers"])
+            )
+            v_bufs = tuple(
+                jax.lax.dynamic_update_slice(
+                    v_bufs[i],
+                    jax.lax.stop_gradient(v).astype(v_bufs[i].dtype),
+                    (0, write, 0, 0),
+                )
+                for i, (_, v) in enumerate(new_kv["layers"])
+            )
         kv_valid = state["kv_valid"].at[:, write].set(True)
         gd_xs = state["gd_xs"]
 
