@@ -34,16 +34,22 @@ class EnhConfig:
     num_spk: int = 2
     n_fft: int = 512
     hop_length: int = 128
-    separator_type: str = "rnn"  # rnn | conformer | tcn | dprnn | skim | tfgridnet
+    # rnn | conformer | tcn | dprnn | skim | tfgridnet
+    # | transformer | dptnet | bsrnn | dccrn | dpcl   (models/enh_extra.py)
+    separator_type: str = "rnn"
     hidden: int = 256
     layers: int = 3
     kernel_size: int = 3
     mask_nonlinear: str = "relu"  # relu | sigmoid
-    # dual-path separators (dprnn/skim): frames per chunk/segment
+    # dual-path separators (dprnn/skim/dptnet): frames per chunk/segment
     chunk_size: int = 25
     # tfgridnet: embedding channels + full-band attention heads
     tf_channels: int = 16
     attn_heads: int = 2
+    # bsrnn: number of frequency bands
+    num_bands: int = 8
+    # dpcl: T-F embedding dimension
+    emb_dim: int = 20
 
     @classmethod
     def from_dict(cls, d: dict) -> "EnhConfig":
@@ -470,6 +476,8 @@ class ESPnetEnhancementModel(nn.Module):
     dtype: Dtype = jnp.float32
 
     def setup(self):
+        from llm_guided_asr_tpu.models import enh_extra
+
         sep_cls = {
             "rnn": RNNSeparator,
             "conformer": ConformerSeparator,
@@ -477,6 +485,11 @@ class ESPnetEnhancementModel(nn.Module):
             "dprnn": DPRNNSeparator,
             "skim": SkiMSeparator,
             "tfgridnet": TFGridNetSeparator,
+            "transformer": enh_extra.TransformerSeparator,
+            "dptnet": enh_extra.DPTNetSeparator,
+            "bsrnn": enh_extra.BSRNNSeparator,
+            "dccrn": enh_extra.DCCRNSeparator,
+            "dpcl": enh_extra.DPCLSeparator,
         }[self.cfg.separator_type]
         self.separator = sep_cls(self.cfg, dtype=self.dtype, name="separator")
 
@@ -487,9 +500,19 @@ class ESPnetEnhancementModel(nn.Module):
         """[B, N] mixture -> ([S, B, N] estimates, frame lengths)."""
         cfg = self.cfg
         spec = stft(speech_mix, n_fft=cfg.n_fft, hop_length=cfg.hop_length)  # [B,T,F]
+        domain = getattr(self.separator, "domain", "mag_mask")
         if cfg.separator_type == "tfgridnet":
             # complex-spectrum estimation (no masking)
             est_specs = self.separator(spec, deterministic)  # [S,B,T,F] complex
+        elif domain == "complex_mask":
+            masks = self.separator(spec, deterministic)  # [S,B,T,F] complex
+            est_specs = spec[None] * masks
+        elif domain == "embedding":
+            from llm_guided_asr_tpu.models.enh_extra import kmeans_masks
+
+            emb = self.separator(jnp.abs(spec).astype(self.dtype), deterministic)
+            masks = kmeans_masks(emb, cfg.num_spk)  # [S,B,T,F] binary
+            est_specs = spec[None] * masks.astype(spec.dtype)
         else:
             mag = jnp.abs(spec)
             masks = self.separator(mag.astype(self.dtype), deterministic)  # [S,B,T,F]
@@ -514,8 +537,24 @@ class ESPnetEnhancementModel(nn.Module):
         *refs: jnp.ndarray,  # S tensors [B, N] (speech_ref1..refS)
         deterministic: bool = True,
     ) -> Tuple[jnp.ndarray, Dict[str, jnp.ndarray], jnp.ndarray]:
-        ests, _ = self.separate(speech_mix, speech_mix_lengths, deterministic)
         refs_arr = jnp.stack(refs, axis=0)  # [S, B, N]
+        if self.cfg.separator_type == "dpcl":
+            # Deep clustering: train on the affinity loss over embeddings
+            # (k-means mask assignment is non-differentiable; reference
+            # enh/espnet_model.py routes DPCL through its own criterion).
+            from llm_guided_asr_tpu.models.enh_extra import dpcl_loss
+
+            cfg = self.cfg
+            spec = stft(speech_mix, n_fft=cfg.n_fft, hop_length=cfg.hop_length)
+            mix_mag = jnp.abs(spec)
+            emb = self.separator(mix_mag.astype(self.dtype), deterministic)
+            ref_mags = jnp.stack(
+                [jnp.abs(stft(r, n_fft=cfg.n_fft, hop_length=cfg.hop_length))
+                 for r in refs], axis=0)  # [S, B, T, F]
+            loss = dpcl_loss(emb, ref_mags, mix_mag)
+            stats = {"loss": loss}
+            return loss, stats, jnp.asarray(speech_mix.shape[0], jnp.float32)
+        ests, _ = self.separate(speech_mix, speech_mix_lengths, deterministic)
         loss, perm = pit_si_snr_loss(refs_arr, ests, speech_mix_lengths)
         stats = {"loss": loss, "si_snr": -loss}
         return loss, stats, jnp.asarray(speech_mix.shape[0], jnp.float32)
