@@ -50,6 +50,10 @@ class EnhConfig:
     num_bands: int = 8
     # dpcl: T-F embedding dimension
     emb_dim: int = 20
+    # training criterion + assignment solver (models/enh_losses.py;
+    # reference enh/loss/criterions + enh/loss/wrappers)
+    loss_type: str = "si_snr"  # si_snr|snr|ci_sdr|mse_time|l1_time|mse_spec|...
+    loss_wrapper: str = "pit"  # pit | fixed_order | mixit
 
     @classmethod
     def from_dict(cls, d: dict) -> "EnhConfig":
@@ -555,6 +559,15 @@ class ESPnetEnhancementModel(nn.Module):
             stats = {"loss": loss}
             return loss, stats, jnp.asarray(speech_mix.shape[0], jnp.float32)
         ests, _ = self.separate(speech_mix, speech_mix_lengths, deterministic)
-        loss, perm = pit_si_snr_loss(refs_arr, ests, speech_mix_lengths)
-        stats = {"loss": loss, "si_snr": -loss}
+        from llm_guided_asr_tpu.models.enh_losses import (
+            build_criterion,
+            build_wrapper,
+        )
+
+        crit = build_criterion(self.cfg.loss_type)
+        wrap = build_wrapper(self.cfg.loss_wrapper)
+        loss, perm = wrap(refs_arr, ests, speech_mix_lengths, crit)
+        stats = {"loss": loss}
+        if self.cfg.loss_type == "si_snr":
+            stats["si_snr"] = -loss
         return loss, stats, jnp.asarray(speech_mix.shape[0], jnp.float32)
