@@ -262,6 +262,10 @@ def _build_diar(config):
         heads=int(mc.get("heads", 2)),
         units=int(mc.get("units", 256)),
         layers=int(mc.get("layers", 2)),
+        use_attractor=bool(mc.get("use_attractor", False)),
+        attractor_unit=int(mc.get("attractor_unit", 128)),
+        attractor_weight=float(mc.get("attractor_weight", 1.0)),
+        diar_weight=float(mc.get("diar_weight", 1.0)),
     )
     model = DiarizationModel(cfg)
     names = ("speech", "speech_lengths", "spk_labels")
