@@ -84,18 +84,12 @@ def _build_enh(config):
 
 def _build_spk(config):
     from llm_guided_asr_tpu.models.spk import SpeakerModel, SpkConfig
-    from llm_guided_asr_tpu.ops.frontend import FrontendConfig
 
     mc = dict(config.get("model_conf", {}) or {})
-    cfg = SpkConfig(
-        n_speakers=int(mc.get("n_speakers", 100)),
-        frontend=FrontendConfig.from_dict(config.get("frontend_conf", {}) or {}),
-        hidden=int(mc.get("hidden", 256)),
-        layers=int(mc.get("layers", 3)),
-        embed_dim=int(mc.get("embed_dim", 192)),
-        aam_margin=float(mc.get("aam_margin", 0.2)),
-        aam_scale=float(mc.get("aam_scale", 30.0)),
-    )
+    # registry choices (encoder/pooling/projector/loss + their hyperparams)
+    # ride through SpkConfig.from_dict; frontend comes from frontend_conf
+    mc.setdefault("frontend", config.get("frontend_conf", {}) or {})
+    cfg = SpkConfig.from_dict(mc)
     model = SpeakerModel(cfg)
     names = ("speech", "speech_lengths", "spk_labels", "spk_labels_lengths")
     dummy = (
