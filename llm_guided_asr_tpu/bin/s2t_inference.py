@@ -114,6 +114,87 @@ class Speech2TextS2T:
         return separator.join(p for p in pieces if p)
 
 
+class Speech2Language:
+    """Language identification (espnet2/bin/s2t_inference_language.py:24):
+    one teacher-forced decoder step on [sos], softmax restricted to the
+    contiguous language-symbol id range, return the n-best (lang, prob)."""
+
+    def __init__(
+        self,
+        train_config,
+        model_file=None,
+        first_lang_sym: str = "<abk>",
+        last_lang_sym: str = "<zul>",
+        nbest: int = 1,
+        speech_pad_multiple: int = 1600,
+    ):
+        from llm_guided_asr_tpu.tasks.generic import GenericTask
+        from llm_guided_asr_tpu.utils.config import read_token_list
+
+        self.model, self.variables, self.config = GenericTask.build_model_from_file(
+            train_config, model_file
+        )
+        self.token_list = read_token_list(self.config["token_list"])
+        self.first_lang_id = self.token_list.index(first_lang_sym)
+        self.last_lang_id = self.token_list.index(last_lang_sym)
+        self.nbest = nbest
+        self.speech_pad_multiple = speech_pad_multiple
+
+    def __call__(self, speech: np.ndarray):
+        import jax
+
+        from llm_guided_asr_tpu.data.dataset import round_up
+
+        n = len(speech)
+        padded = np.zeros(
+            (round_up(max(n, 1), self.speech_pad_multiple),), np.float32
+        )
+        padded[:n] = speech
+        enc, enc_lens = self.model.apply(
+            self.variables, jnp.asarray(padded[None]), jnp.asarray([n]),
+            method=self.model.encode,
+        )
+        sos = self.model.cfg.sos_id
+        logits = self.model.apply(
+            self.variables, enc, enc_lens,
+            jnp.asarray([[sos]], jnp.int32), jnp.asarray([1]),
+            method=self.model.decoder_logits,
+        )  # [1, 1, V]
+        span = logits[0, 0, self.first_lang_id : self.last_lang_id + 1]
+        prob = jax.nn.softmax(span.astype(jnp.float32))
+        k = min(self.nbest, int(prob.shape[0]))
+        idx = np.argsort(-np.asarray(prob))[:k]
+        return [
+            (self.token_list[self.first_lang_id + int(i)], float(prob[int(i)]))
+            for i in idx
+        ]
+
+
+def inference_language(
+    output_dir: str,
+    wav_scp: str,
+    train_config: str,
+    model_file: Optional[str] = None,
+    first_lang_sym: str = "<abk>",
+    last_lang_sym: str = "<zul>",
+    nbest: int = 1,
+):
+    from llm_guided_asr_tpu.data.fileio import DatadirWriter, SoundScpReader
+
+    s2l = Speech2Language(train_config, model_file,
+                          first_lang_sym=first_lang_sym,
+                          last_lang_sym=last_lang_sym, nbest=nbest)
+    reader = SoundScpReader(wav_scp)
+    with DatadirWriter(output_dir) as writer:
+        for uid in reader.keys():
+            rate, wav = reader[uid]
+            results = s2l(np.asarray(wav, np.float32))
+            for rank, (lang, prob) in enumerate(results, 1):
+                writer[f"{rank}best_recog/text"][uid] = lang
+                writer[f"{rank}best_recog/score"][uid] = str(prob)
+    logger.info(f"identified language for {len(reader)} utterances -> {output_dir}")
+
+
 def inference(
     output_dir: str,
     wav_scp: str,
@@ -149,10 +230,23 @@ def main(cmd=None):
         "model_file": None,
         "beam_size": 5,
         "text_prev": "",
+        "mode": "text",  # text | language (s2t_inference_language.py analog)
+        "first_lang_sym": "<abk>",
+        "last_lang_sym": "<zul>",
+        "nbest": 1,
         "device": None,
     })
     logging.basicConfig(level=logging.INFO)
     resolve_device(config.get("device"))
+    if config.get("mode") == "language":
+        inference_language(
+            config["output_dir"], config["wav_scp"], config["train_config"],
+            config.get("model_file"),
+            first_lang_sym=config.get("first_lang_sym", "<abk>"),
+            last_lang_sym=config.get("last_lang_sym", "<zul>"),
+            nbest=int(config.get("nbest", 1)),
+        )
+        return
     inference(config["output_dir"], config["wav_scp"], config["train_config"],
               config.get("model_file"),
               beam_size=int(config.get("beam_size", 5)),

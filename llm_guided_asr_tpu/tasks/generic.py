@@ -231,17 +231,32 @@ def _build_s2t(config):
     from llm_guided_asr_tpu.tasks.asr import build_model_config
 
     model = S2TModel(build_model_config(config))
-    names = (
-        "speech", "speech_lengths", "text", "text_lengths",
-        "text_prev", "text_prev_lengths", "text_ctc", "text_ctc_lengths",
-    )
+
+    def batch_args(batch):
+        """text_prev / text_ctc are optional streams (the reference model
+        treats them as None-able, s2t/espnet_model.py forward kwargs):
+        absent -> empty prompt / text-as-CTC-target fallbacks."""
+        b = batch["speech"].shape[0]
+        if "text_prev" in batch:
+            prev, plens = batch["text_prev"], batch["text_prev_lengths"]
+        else:
+            prev = jnp.zeros((b, 0), jnp.int32)
+            plens = jnp.zeros((b,), jnp.int32)
+        ctc = batch.get("text_ctc", batch["text"])
+        clens = batch.get("text_ctc_lengths", batch["text_lengths"])
+        return (
+            batch["speech"], batch["speech_lengths"],
+            batch["text"], batch["text_lengths"],
+            prev, plens, ctc, clens,
+        )
+
     dummy = (
         jnp.zeros((2, 4000), jnp.float32), jnp.asarray([4000, 4000]),
         jnp.ones((2, 3), jnp.int32), jnp.asarray([3, 2]),
         jnp.ones((2, 2), jnp.int32), jnp.asarray([2, 0]),
         jnp.ones((2, 3), jnp.int32), jnp.asarray([3, 2]),
     )
-    return model, names, dummy
+    return model, batch_args, dummy
 
 
 def _build_diar(config):
