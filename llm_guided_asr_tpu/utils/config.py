@@ -61,6 +61,10 @@ def dump_yaml(config: Dict[str, Any], path: Union[str, Path]):
 
 def _parse_value(s: str) -> Any:
     """YAML-parse a CLI value string ('true'->True, '3'->3, '[1,2]'->list...)."""
+    # a bare '-' (the stdout/stdin convention, e.g. --output -) YAML-parses
+    # as a one-element block sequence [None]; keep it a string
+    if s == "-":
+        return s
     try:
         return yaml.safe_load(s)
     except yaml.YAMLError:

@@ -91,3 +91,44 @@ def test_launch_propagates_env_and_failures(tmp_path):
     with pytest.raises(RuntimeError, match="exited with 3"):
         launch([sys.executable, str(bad)], num_processes=2,
                log_dir=str(tmp_path / "logs2"))
+
+
+def test_whisper_export_vocabulary(tmp_path):
+    """Id-ordered export with G-marker space conversion, timestamp padding
+    to the full model vocab, added tokens, and the SOT speaker-change
+    symbol (reference espnet2/bin/whisper_export_vocabulary.py:79-93)."""
+    import pytest
+    from tokenizers import Tokenizer
+    from tokenizers.models import WordLevel
+    from transformers import PreTrainedTokenizerFast
+
+    from llm_guided_asr_tpu.bin.whisper_export_vocabulary import export_vocabulary
+
+    vocab = {"<unk>": 0, "hello": 1, "Ġworld": 2, "Ġfoo": 3}
+    tok = Tokenizer(WordLevel(vocab, unk_token="<unk>"))
+    fast = PreTrainedTokenizerFast(tokenizer_object=tok, unk_token="<unk>")
+    tdir = tmp_path / "tok"
+    fast.save_pretrained(tdir)
+
+    out = tmp_path / "tokens.txt"
+    export_vocabulary(str(out), "whisper_en", str(tdir), full_vocab_size=8)
+    lines = out.read_text().split("\n")[:-1]
+    assert lines[:4] == ["<unk>", "hello", " world", " foo"]
+    assert lines[4:] == ["<|0.00|>", "<|0.02|>", "<|0.04|>", "<|0.06|>"]
+
+    # added tokens extend the full size; sot appends <sc> last
+    extra = tmp_path / "extra.txt"
+    extra.write_text("<boo>\n<baz>\n")
+    export_vocabulary(str(out), "whisper_multilingual", str(tdir),
+                      whisper_language="chinese", full_vocab_size=8,
+                      add_token_file_name=str(extra), sot_asr=True)
+    lines = out.read_text().split("\n")[:-1]
+    assert lines[4:6] == ["<boo>", "<baz>"]
+    assert len(lines) == 8 + 2 + 1 and lines[-1] == "<sc>"
+    assert lines[6:10] == ["<|0.00|>", "<|0.02|>", "<|0.04|>", "<|0.06|>"]
+
+    with pytest.raises(ValueError, match="language unsupported"):
+        export_vocabulary(str(out), "whisper_multilingual", str(tdir),
+                          whisper_language="klingon", full_vocab_size=8)
+    with pytest.raises(ValueError, match="tokenizer unsupported"):
+        export_vocabulary(str(out), "whisper_v9", str(tdir))
