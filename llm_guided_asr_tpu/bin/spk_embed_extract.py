@@ -50,20 +50,49 @@ def extract(
     logger.info(f"extracted {len(reader)} embeddings -> {out}")
 
 
+_TRIAL_LABELS = {"1": 1, "0": 0, "target": 1, "nontarget": 0}
+
+
 def score_trials(embed_scp: str, trials_file: str, output_file: str):
-    """trials: 'uid1 uid2' per line -> 'uid1 uid2 cos' per line."""
+    """trials: 'uid1 uid2 [label]' per line -> 'uid1 uid2 cos' per line.
+
+    When a third column gives the ground truth (1/0 or target/nontarget),
+    also writes EER/minDCF (NIST p_target=0.05, as spk_trainer.py:202-215)
+    to <output_file's dir>/verification_result.txt and returns the report.
+    """
     from llm_guided_asr_tpu.data.fileio import read_2columns_text
 
     table = read_2columns_text(embed_scp)
+    scores, labels = [], []
     with open(trials_file) as f, open(output_file, "w") as out:
         for line in f:
-            u1, u2 = line.split()[:2]
+            parts = line.split()
+            if not parts:
+                continue
+            u1, u2 = parts[:2]
             a = np.load(table[u1])
             b = np.load(table[u2])
             cos = float(
                 np.dot(a, b) / (np.linalg.norm(a) * np.linalg.norm(b) + 1e-9)
             )
             out.write(f"{u1} {u2} {cos:.4f}\n")
+            if len(parts) > 2 and parts[2].lower() in _TRIAL_LABELS:
+                scores.append(cos)
+                labels.append(_TRIAL_LABELS[parts[2].lower()])
+    if scores and 0 < sum(labels) < len(labels):
+        from llm_guided_asr_tpu.utils.det import verification_report
+
+        report = verification_report(scores, labels)
+        result = Path(output_file).parent / "verification_result.txt"
+        with open(result, "w") as f:
+            for k, v in report.items():
+                f.write(f"{k} {v:.6f}\n")
+        logger.info(
+            f"EER {report['eer']:.3f}% minDCF {report['mindcf']:.4f} "
+            f"({int(report['n_trials'])} trials) -> {result}"
+        )
+        return report
+    return None
 
 
 def main(cmd=None):

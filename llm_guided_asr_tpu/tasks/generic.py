@@ -58,6 +58,9 @@ GENERIC_DEFAULTS: Dict[str, Any] = {
     "train_data_path_and_name_and_type": [],
     "valid_data_path_and_name_and_type": [],
     "speech_pad_multiple": 1600,
+    # spk only: 'uid1 uid2 label' trial file over VALID uids -> per-epoch
+    # EER/minDCF valid stats (spk_trainer.py trial validation analog)
+    "spk_trials": None,
     "text_pad_multiple": 8,
     "output_dir": "exp/run",
     "dry_run": False,
@@ -97,6 +100,58 @@ def _build_spk(config):
         jnp.zeros((2, 1), jnp.int32), jnp.asarray([1, 1]),
     )
     return model, names, dummy
+
+
+def _make_spk_trial_eval(model, valid_ds, trials_path, pad_multiple=4000):
+    """Per-epoch verification EER/minDCF over trial pairs.
+
+    The reference spk_trainer validates with trials, not a loss
+    (spk_trainer.py:87-215: cosine scores over utterance pairs ->
+    tuneThresholdfromScore EER + NIST minDCF).  Enabled via the
+    ``spk_trials`` config key: a file of 'uid1 uid2 label' lines whose uids
+    index the VALID dataset's speech source.
+    """
+    import numpy as np
+
+    from llm_guided_asr_tpu.data.dataset import round_up
+    from llm_guided_asr_tpu.utils.det import verification_report
+
+    label_map = {"1": 1, "0": 0, "target": 1, "nontarget": 0}
+    trials = []
+    with open(trials_path) as f:
+        for line in f:
+            parts = line.split()
+            if len(parts) < 3 or parts[2].lower() not in label_map:
+                raise ValueError(
+                    f"spk_trials line needs 'uid1 uid2 label(0/1/target/"
+                    f"nontarget)': {line!r}"
+                )
+            trials.append((parts[0], parts[1], label_map[parts[2].lower()]))
+    uids = sorted({u for t in trials for u in t[:2]})
+
+    embed_fn = jax.jit(
+        lambda v, s, l: model.apply(v, s, l, method=model.extract_embedding)
+    )
+
+    def eval_fn(params, extra):
+        variables = {"params": params, **extra}
+        embs = {}
+        for uid in uids:
+            wav = np.asarray(valid_ds[uid]["speech"], np.float32).reshape(-1)
+            n = len(wav)
+            padded = np.zeros((round_up(max(n, 1), pad_multiple),), np.float32)
+            padded[:n] = wav
+            emb = np.asarray(
+                embed_fn(variables, jnp.asarray(padded[None]), jnp.asarray([n]))
+            )[0]
+            embs[uid] = emb / (np.linalg.norm(emb) + 1e-9)
+        scores = [float(np.dot(embs[u1], embs[u2])) for u1, u2, _ in trials]
+        labels = [t[2] for t in trials]
+        rep = verification_report(scores, labels)
+        return {"eer": rep["eer"], "mindcf": rep["mindcf"],
+                "n_trials": rep["n_trials"]}
+
+    return eval_fn
 
 
 def _build_tts(config):
@@ -1108,6 +1163,12 @@ class GenericTask:
         train_iter = build_iter_factory(config, train_ds, shuffle=True)
         valid_iter = build_iter_factory(config, valid_ds, shuffle=False)
 
+        epoch_eval_fn = None
+        if config.get("task") == "spk" and config.get("spk_trials"):
+            epoch_eval_fn = _make_spk_trial_eval(
+                model, valid_ds, config["spk_trials"],
+                pad_multiple=int(config.get("speech_pad_multiple", 1600)),
+            )
         options = TrainerOptions(
             max_epoch=int(config.get("max_epoch", 40)),
             accum_grad=int(config.get("accum_grad", 1)),
@@ -1118,6 +1179,7 @@ class GenericTask:
             resume=bool(config.get("resume", False)),
             seed=int(config.get("seed", 0)),
             batch_args=batch_args,
+            epoch_eval_fn=epoch_eval_fn,
         )
         return Trainer.run(model, variables, tx, train_iter, valid_iter, output_dir, options)
 

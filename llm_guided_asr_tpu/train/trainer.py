@@ -65,6 +65,11 @@ class TrainerOptions:
     wandb_project: Optional[str] = None
     wandb_name: Optional[str] = None
     report_ctc_er: bool = False  # greedy-CTC token error rate on valid
+    # task-defined extra validation: called once per epoch after the loss
+    # validation with (params, extra) -> {stat: float}, registered into the
+    # 'valid' phase (reference: spk_trainer.validate_one_epoch computing
+    # EER/minDCF over trial pairs instead of a loss, spk_trainer.py:87-215)
+    epoch_eval_fn: Optional[Callable[[Dict, Dict], Dict[str, float]]] = None
     # -- parallelism (reference DDP wrap, trainer.py:262-293) --------------
     # data_parallel=None + model_parallel=1 => single-device (no mesh).
     # data_parallel=0 => all visible devices on the 'data' axis.
@@ -531,6 +536,10 @@ class Trainer:
                         hyp_t, hyp_n, batch["text"], batch["text_lengths"]
                     )
                 sub.register(stats, float(weight))
+            if options.epoch_eval_fn is not None:
+                extra_stats = options.epoch_eval_fn(state["params"], state["extra"])
+                if extra_stats:
+                    sub.register({k: float(v) for k, v in extra_stats.items()}, 1.0)
             reporter.finish_phase(sub)
             reporter.log_epoch()
 

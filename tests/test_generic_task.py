@@ -348,3 +348,62 @@ def test_slu_transcript_conditioning(tmp_path):
         deterministic=True,
     )
     assert float(loss) != float(loss2)
+
+
+def test_spk_trial_validation_eer(tmp_path):
+    """spk task with spk_trials: per-epoch EER/minDCF valid stats and an
+    eer-based best-model criterion (spk_trainer.py trial-validation analog)."""
+    from llm_guided_asr_tpu.tasks.generic import GenericTask
+
+    rng = np.random.default_rng(0)
+    freqs = {0: 220, 1: 1400}
+    root = tmp_path / "data"
+    for split, n in [("train", 8), ("valid", 6)]:
+        d = root / split
+        d.mkdir(parents=True)
+        with open(d / "wav.scp", "w") as scp, open(d / "utt2spk", "w") as lab:
+            for i in range(n):
+                spk = i % 2
+                t = np.arange(3200) / SR
+                sig = (0.4 * np.sin(2 * np.pi * freqs[spk] * t)
+                       + 0.01 * rng.standard_normal(3200)).astype(np.float32)
+                p = d / f"u{i}.wav"
+                write_wav(p, SR, sig)
+                scp.write(f"u{i} {p}\n")
+                lab.write(f"u{i} {spk}\n")
+    trials = tmp_path / "trials"
+    trials.write_text(
+        "u0 u2 target\nu1 u3 target\nu0 u1 nontarget\nu2 u3 nontarget\n"
+        "u4 u0 1\nu5 u0 0\n"
+    )
+    exp = tmp_path / "exp"
+    config = {
+        "task": "spk",
+        "model_conf": {"n_speakers": 2, "hidden": 16, "layers": 1,
+                       "embed_dim": 8},
+        "frontend_conf": {"n_fft": 256, "hop_length": 128, "n_mels": 23},
+        "optim": "adam", "optim_conf": {"lr": 0.003}, "scheduler": "none",
+        "batch_type": "unsorted", "batch_size": 4, "max_epoch": 2,
+        "keep_nbest_models": 1, "log_interval": 50,
+        "speech_pad_multiple": 3200,
+        "best_model_criterion": [["valid", "eer", "min"]],
+        "spk_trials": str(trials),
+        "train_data_path_and_name_and_type": [
+            [str(root / "train" / "wav.scp"), "speech", "sound"],
+            [str(root / "train" / "utt2spk"), "spk_labels", "text_int"]],
+        "valid_data_path_and_name_and_type": [
+            [str(root / "valid" / "wav.scp"), "speech", "sound"],
+            [str(root / "valid" / "utt2spk"), "spk_labels", "text_int"]],
+        "output_dir": str(exp),
+        "token_list": None,
+    }
+    (tmp_path / "spk.yaml").write_text(yaml.safe_dump(config))
+    GenericTask.main(["--config", str(tmp_path / "spk.yaml")])
+    assert (exp / "valid.eer.best.msgpack").exists()
+    import json
+
+    stats = json.loads((exp / "reporter.json").read_text())["stats"]
+    last = stats[max(stats, key=int)]["valid"]
+    assert "eer" in last and "mindcf" in last
+    assert 0.0 <= last["eer"] <= 100.0
+    assert last["n_trials"] == 6.0

@@ -1,0 +1,152 @@
+"""Dissect the flagship train step on the TPU (MFU hunt, VERDICT r2 weak #1).
+
+Ablations, all fenced with a host read (the axon tunnel ACKs block_until_ready
+before execution — see NOTES.md round 3 item 4):
+
+  A. full grad+apply step, rel-attention impl=auto (Pallas fused on TPU)
+  B. same, impl=dense (the XLA pad/reshape rel-shift path)
+  C. encoder-only fwd+bwd, fused vs dense (isolates the attention delta)
+  D. grad_step alone vs apply_step alone (optimizer share)
+
+Run on the TPU (default backend): `python tools/prof_train.py [B]`.
+"""
+
+from __future__ import annotations
+
+import functools
+import sys
+import time
+from pathlib import Path
+
+sys.path.insert(0, str(Path(__file__).resolve().parent.parent))
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+SR = 16000
+SECONDS = 10.0
+V5E_BF16_FLOPS = 394e12
+
+
+def fence(x):
+    jax.device_get(jax.tree_util.tree_leaves(x)[0].ravel()[0])
+
+
+def timeit(fn, *args, iters=10, windows=4):
+    out = fn(*args)
+    fence(out)
+    best = None
+    for rep in range(windows):
+        t0 = time.perf_counter()
+        for _ in range(iters):
+            out = fn(*args)
+        fence(out)
+        dt = (time.perf_counter() - t0) / iters
+        if rep == 0:
+            continue
+        best = dt if best is None else min(best, dt)
+    return best
+
+
+def set_rel_impl(impl: str):
+    from llm_guided_asr_tpu.models import conformer, transformer
+
+    base = transformer.RelPositionMultiHeadedAttention
+    if impl == "auto":
+        conformer.RelPositionMultiHeadedAttention = base
+    else:
+        conformer.RelPositionMultiHeadedAttention = functools.partial(
+            base, impl=impl
+        )
+
+
+def build(batch):
+    import optax
+
+    sys.path.insert(0, str(Path(__file__).resolve().parent.parent))
+    from bench import build_flagship
+
+    from llm_guided_asr_tpu.train.optim import ChunkPlan
+    from llm_guided_asr_tpu.train.trainer import init_train_state, make_train_step
+
+    dtype = jnp.bfloat16 if jax.default_backend() != "cpu" else jnp.float32
+    model = build_flagship(dtype)
+    samples = int(SECONDS * SR)
+    rng = np.random.default_rng(0)
+    speech = jnp.asarray(rng.standard_normal((batch, samples)), jnp.float32) * 0.1
+    lengths = jnp.full((batch,), samples, jnp.int32)
+    text = jnp.ones((batch, 24), jnp.int32)
+    tlens = jnp.full((batch,), 24, jnp.int32)
+    variables = model.init(
+        {"params": jax.random.PRNGKey(0), "dropout": jax.random.PRNGKey(1)},
+        speech, lengths, text, tlens, deterministic=True,
+    )
+    tx = optax.adamw(1e-3)
+    plan = ChunkPlan(variables["params"])
+    state = init_train_state(variables, tx, flat_plan=plan)
+    grad_step, apply_step, _ = make_train_step(model, tx, flat_plan=plan)
+    tbatch = {"speech": speech, "speech_lengths": lengths,
+              "text": text, "text_lengths": tlens}
+    rngk = jax.random.key(2, impl="rbg")
+    return model, variables, state, grad_step, apply_step, tbatch, rngk
+
+
+def step_flops(grad_step, params, extra, tbatch, rngk):
+    try:
+        cost = jax.jit(grad_step).lower(
+            params, extra, tbatch, rngk
+        ).compile().cost_analysis()
+        return (cost or {}).get("flops", 0.0)
+    except Exception:
+        return 0.0
+
+
+def main():
+    batch = int(sys.argv[1]) if len(sys.argv) > 1 else 32
+    print(f"backend={jax.default_backend()} B={batch}", flush=True)
+
+    for impl in ("auto", "dense"):
+        set_rel_impl(impl)
+        model, variables, state, grad_step, apply_step, tbatch, rngk = build(batch)
+        params, extra, opt = state["params"], state["extra"], state["opt_state"]
+
+        def full(p, o):
+            g, e, st, w = grad_step(p, extra, tbatch, rngk)
+            return apply_step(p, o, g)
+
+        print(f"[{impl}] compiling...", flush=True)
+        t_full = timeit(lambda: full(params, opt), iters=10)
+        g, *_ = grad_step(params, extra, tbatch, rngk)
+        t_grad = timeit(lambda: grad_step(params, extra, tbatch, rngk), iters=10)
+        t_apply = timeit(lambda: apply_step(params, opt, g), iters=10)
+        flops = step_flops(grad_step, params, extra, tbatch, rngk)
+        mfu = flops / t_full / V5E_BF16_FLOPS if flops else 0.0
+        sps = batch * SECONDS / t_full
+        print(
+            f"[{impl}] full={t_full * 1e3:.2f}ms grad={t_grad * 1e3:.2f}ms "
+            f"apply={t_apply * 1e3:.2f}ms sps={sps:.0f} mfu={mfu:.4f}",
+            flush=True,
+        )
+
+        # encoder-only fwd+bwd (frontend+specaug excluded): isolates attention
+        def enc_loss(p, feats, feat_lens):
+            enc, enc_lens = model.apply(
+                {"params": p, **extra}, feats, feat_lens,
+                deterministic=False,
+                rngs={"dropout": rngk},
+                method=lambda m, f, fl: m.encoder_forward(f, fl)
+                if hasattr(m, "encoder_forward") else m.encode(f, fl),
+            )
+            return jnp.sum(enc.astype(jnp.float32) ** 2)
+
+        enc_grad = jax.jit(jax.grad(enc_loss))
+        t_enc = timeit(
+            lambda: enc_grad(params, tbatch["speech"], tbatch["speech_lengths"]),
+            iters=10,
+        )
+        print(f"[{impl}] encode fwd+bwd={t_enc * 1e3:.2f}ms", flush=True)
+
+
+if __name__ == "__main__":
+    main()
