@@ -1,0 +1,262 @@
+"""MEGA transducer prediction network (moving-average-equipped gated attention).
+
+TPU-first rebuild of the reference MEGA decoder stack
+(espnet2/asr_transducer/decoder/mega_decoder.py:19-372,
+ decoder/blocks/mega.py:22-283,
+ decoder/modules/mega/multi_head_damped_ema.py:15-221,
+ decoder/modules/mega/positional_bias.py:12-184,
+ decoder/modules/mega/feed_forward.py:6-72).
+
+Design notes (how this differs from the torch original):
+- The repo's transducer searches recompute the full label prefix each
+  emission (search/transducer_beam.py), so only the full-sequence causal
+  forward is needed — no per-hyp state dicts / select_state surgery.
+- The multi-head damped EMA is a depthwise causal convolution with kernel
+  k[d, l] = proj[d, :] . (damping * expansion)[d, :] * w[d, :]^l.  The
+  reference computes it with rfft/irfft; label prefixes are short (U <=
+  a few hundred), so we materialize the [L, L] lower-triangular Toeplitz
+  matrix of the kernel once per forward and contract on the MXU
+  (einsum "dml,bld->bmd") — O(D L^2) flops but one big matmul instead of
+  an FFT chain, which measures faster on TPU at these lengths.
+- Attention is single-head over the shared qk_size with the additive
+  relative-position bias ("simple" learned toeplitz vector or "rotary"
+  sinusoid bias), causal-masked, f32 softmax.
+"""
+
+from __future__ import annotations
+
+import math
+from typing import Any
+
+import flax.linen as nn
+import jax
+import jax.numpy as jnp
+
+Dtype = Any
+
+
+def _norm_init(std: float = 0.02):
+    return nn.initializers.normal(stddev=std)
+
+
+class MultiHeadDampedEMA(nn.Module):
+    """Damped EMA over the sequence (multi_head_damped_ema.py:15-221).
+
+    y[t] = sum_{j<=t} kernel[t-j] * x[j]  with
+    kernel[l] = sum_n proj[d,n]/sqrt(N) * (damp*expand)[d,n] * q[d,n]^l,
+    q = 1 - sigmoid(damping)*sigmoid(decay).
+    """
+
+    size: int
+    num_heads: int = 4
+    dtype: Dtype = jnp.float32
+
+    def setup(self):
+        d, n = self.size, self.num_heads
+        self.damping_factor = self.param("damping_factor", _norm_init(0.2), (d, n))
+        self.decay_factor = self.param("decay_factor", _norm_init(0.2), (d, n))
+
+        def expansion_init(key, shape):
+            base = jnp.ones(shape)
+            if n > 1:
+                sign = jnp.where(jnp.arange(n) % 2 == 1, -1.0, 1.0)
+                base = base * sign[None, :]
+            return base + jax.random.normal(key, shape) * 0.02
+
+        self.ema_expansion_matrix = self.param("ema_expansion_matrix", expansion_init, (d, n))
+        self.kernel_projection_matrix = self.param(
+            "kernel_projection_matrix", _norm_init(1.0), (d, n)
+        )
+        self.residual_weight = self.param("residual_weight", _norm_init(1.0), (d,))
+
+    def kernel(self, length: int) -> jnp.ndarray:
+        """EMA kernel [D, L] (compute_ema_kernel, multi_head_damped_ema.py:105-128)."""
+        damping = jax.nn.sigmoid(self.damping_factor)  # [D, N]
+        decay = jax.nn.sigmoid(self.decay_factor)
+        q = 1.0 - damping * decay  # prev_timestep_weight
+        # vandermonde in log space for stability: q^l = exp(l * log q)
+        lpow = jnp.arange(length)[None, None, :] * jnp.log(q)[:, :, None]  # [D,N,L]
+        k = (damping * self.ema_expansion_matrix)[:, :, None] * jnp.exp(lpow)
+        proj = self.kernel_projection_matrix * math.sqrt(1.0 / self.num_heads)
+        return jnp.einsum("dnl,dn->dl", k, proj)  # [D, L]
+
+    def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
+        """Causal depthwise EMA conv: [B, L, D] -> [B, L, D] (+ activation by caller).
+
+        Toeplitz-matmul formulation: out[b, m, d] = sum_{l<=m} K[d, m-l] x[b, l, d].
+        """
+        b, length, d = x.shape
+        kern = self.kernel(length)  # [D, L]
+        idx = jnp.arange(length)
+        lag = idx[:, None] - idx[None, :]  # [L(m), L(l)] = m - l
+        toep = jnp.where(lag >= 0, kern[:, jnp.clip(lag, 0, length - 1)], 0.0)  # [D, L, L]
+        out = jnp.einsum(
+            "dml,bld->bmd", toep.astype(jnp.float32), x.astype(jnp.float32)
+        )
+        residual = x.astype(jnp.float32) * self.residual_weight[None, None, :]
+        return (out + residual).astype(self.dtype)
+
+
+class SimpleRelativePositionBias(nn.Module):
+    """Learned toeplitz bias vector (positional_bias.py:12-71)."""
+
+    max_positions: int
+
+    @nn.compact
+    def __call__(self, length: int) -> jnp.ndarray:
+        b = self.param("relative_position_bias", _norm_init(0.02), (2 * self.max_positions - 1,))
+        # bias[i, j] = b[max_positions - 1 + (i - j)]
+        idx = jnp.arange(length)
+        rel = idx[:, None] - idx[None, :]
+        return b[self.max_positions - 1 + rel]
+
+
+class RotaryRelativePositionBias(nn.Module):
+    """Rotary sinusoid bias (positional_bias.py:74-184)."""
+
+    size: int
+    max_positions: int = 2048
+
+    @nn.compact
+    def __call__(self, length: int) -> jnp.ndarray:
+        alpha = self.param("alpha", _norm_init(0.02), (1, self.size))
+        beta = self.param("beta", _norm_init(0.02), (1, self.size))
+        half = self.size // 2
+        inv = jnp.exp(jnp.arange(half) * -(math.log(10000) / half))
+        ang = jnp.arange(length)[:, None] * inv[None, :]
+        sin, cos = jnp.sin(ang), jnp.cos(ang)
+
+        def rot(v):
+            v = jnp.broadcast_to(v, (length, self.size))
+            v1, v2 = v[:, :half], v[:, half:]
+            return jnp.concatenate([v1 * cos - v2 * sin, v2 * cos + v1 * sin], axis=1)
+
+        return rot(alpha) @ rot(beta).T  # [L, L]
+
+
+class MEGABlock(nn.Module):
+    """Gated single-head attention over EMA features (blocks/mega.py:22-283)."""
+
+    size: int
+    num_heads: int = 4
+    qk_size: int = 128
+    v_size: int = 1024
+    rel_pos_bias_type: str = "simple"  # simple | rotary
+    max_positions: int = 2048
+    dropout_rate: float = 0.0
+    dtype: Dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x: jnp.ndarray, valid: jnp.ndarray, deterministic: bool = True):
+        """[B, L, D] with valid [B, L] -> [B, L, D]; causal."""
+        b, length, d = x.shape
+        act = nn.silu
+        residual = x
+        x = jnp.where(valid[:, :, None], x, 0.0)
+
+        value = act(nn.Dense(self.v_size, dtype=self.dtype, kernel_init=_norm_init(), name="proj_v")(x))
+        ema_out = act(
+            MultiHeadDampedEMA(self.size, self.num_heads, dtype=self.dtype, name="ema")(x)
+        )
+        ema_out = nn.Dropout(self.dropout_rate)(ema_out, deterministic=deterministic)
+
+        base = nn.Dense(
+            self.qk_size + self.v_size + 2 * self.size,
+            dtype=self.dtype, kernel_init=_norm_init(), name="proj_mx",
+        )(ema_out)
+        residual_weight = jax.nn.sigmoid(base[..., : self.size])
+        qk_gates = act(base[..., self.size : self.size + self.qk_size + self.v_size])
+        intermediate = base[..., self.size + self.qk_size + self.v_size :]
+        qk = qk_gates[..., : self.qk_size]
+        att_gate = qk_gates[..., self.qk_size :]
+
+        qk_weight = self.param("qk_weight", _norm_init(), (2, self.qk_size))
+        qk_bias = self.param("qk_bias", nn.initializers.zeros, (2, self.qk_size))
+        query = qk * qk_weight[0] + qk_bias[0]
+        key = qk * qk_weight[1] + qk_bias[1]
+
+        if self.rel_pos_bias_type == "rotary":
+            bias = RotaryRelativePositionBias(
+                self.qk_size, self.max_positions, name="rel_pos_bias"
+            )(length)
+        else:
+            bias = SimpleRelativePositionBias(self.max_positions, name="rel_pos_bias")(length)
+
+        scores = (
+            jnp.einsum("bld,bmd->blm", query, key) * (self.qk_size ** -0.5)
+            + bias[None]
+        ).astype(jnp.float32)
+        causal = jnp.tril(jnp.ones((length, length), bool))
+        keep = causal[None] & valid[:, None, :]
+        scores = jnp.where(keep, scores, -1e30)
+        attn = jax.nn.softmax(scores, axis=-1).astype(self.dtype)
+        attn = nn.Dropout(self.dropout_rate)(attn, deterministic=deterministic)
+
+        self_out = jnp.einsum("blm,bmd->bld", attn, value)
+        h = act(
+            intermediate
+            + nn.Dense(self.size, dtype=self.dtype, kernel_init=_norm_init(), name="proj_h")(
+                self_out * att_gate
+            )
+        )
+        h = nn.Dropout(self.dropout_rate)(h, deterministic=deterministic)
+        out = residual + residual_weight * (h - residual)
+        return nn.LayerNorm(dtype=self.dtype, name="norm")(out)
+
+
+class NormalizedFeedForward(nn.Module):
+    """Post-norm residual FFN (modules/mega/feed_forward.py:6-72)."""
+
+    size: int
+    hidden_size: int
+    dropout_rate: float = 0.0
+    dtype: Dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x: jnp.ndarray, deterministic: bool = True) -> jnp.ndarray:
+        residual = x
+        h = nn.silu(nn.Dense(self.hidden_size, dtype=self.dtype, kernel_init=_norm_init(), name="linear1")(x))
+        h = nn.Dropout(self.dropout_rate)(h, deterministic=deterministic)
+        h = nn.Dense(self.size, dtype=self.dtype, kernel_init=_norm_init(), name="linear2")(h)
+        h = nn.Dropout(self.dropout_rate)(h, deterministic=deterministic)
+        return nn.LayerNorm(dtype=self.dtype, name="norm")(h + residual)
+
+
+class MEGADecoder(nn.Module):
+    """Transducer prediction network (mega_decoder.py:19-181).
+
+    Interface-compatible with the repo's other prediction networks:
+    ``__call__(labels [B, U]) -> [B, U+1, H]`` where position 0 is the
+    <blank>-context start (label id 0 prepended, as in StatelessDecoder).
+    """
+
+    vocab_size: int
+    cfg: Any  # TransducerDecoderConfig
+    dtype: Dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, labels: jnp.ndarray, deterministic: bool = True) -> jnp.ndarray:
+        cfg = self.cfg
+        b = labels.shape[0]
+        y = jnp.concatenate([jnp.zeros((b, 1), labels.dtype), labels], axis=1)
+        x = nn.Embed(self.vocab_size, cfg.hidden_size, dtype=self.dtype, name="embed")(
+            jnp.clip(y, 0, self.vocab_size - 1)
+        )
+        x = nn.Dropout(cfg.dropout_rate)(x, deterministic=deterministic)
+        valid = jnp.ones((b, y.shape[1]), bool)  # prefix positions are all real
+        n_blocks = getattr(cfg, "num_layers", 4) or 4
+        qk_size = getattr(cfg, "mega_qk_size", 64)
+        v_size = getattr(cfg, "mega_v_size", 0) or cfg.hidden_size * 2
+        heads = getattr(cfg, "mega_num_heads", 4)
+        bias_type = getattr(cfg, "mega_rel_pos_bias", "simple")
+        for i in range(n_blocks):
+            x = MEGABlock(
+                cfg.hidden_size, num_heads=heads, qk_size=qk_size, v_size=v_size,
+                rel_pos_bias_type=bias_type, dropout_rate=cfg.dropout_rate,
+                dtype=self.dtype, name=f"mega_{i}",
+            )(x, valid, deterministic)
+            x = NormalizedFeedForward(
+                cfg.hidden_size, cfg.hidden_size * 4,
+                dropout_rate=cfg.dropout_rate, dtype=self.dtype, name=f"ffn_{i}",
+            )(x, deterministic)
+        return nn.LayerNorm(dtype=self.dtype, name="final_norm")(x)

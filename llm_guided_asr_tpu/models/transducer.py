@@ -39,13 +39,18 @@ Dtype = Any
 
 @dataclasses.dataclass(frozen=True)
 class TransducerDecoderConfig:
-    decoder_type: str = "stateless"  # stateless | rnn | rwkv
+    decoder_type: str = "stateless"  # stateless | rnn | rwkv | mega
     embed_size: int = 256
     hidden_size: int = 256
     num_layers: int = 1
     dropout_rate: float = 0.0
     # rwkv-specific
     context_size: int = 256
+    # mega-specific (asr_transducer/decoder/mega_decoder.py defaults scaled)
+    mega_qk_size: int = 64
+    mega_v_size: int = 0  # 0 -> 2 * hidden_size
+    mega_num_heads: int = 4
+    mega_rel_pos_bias: str = "simple"  # simple | rotary
 
     @classmethod
     def from_dict(cls, d: dict) -> "TransducerDecoderConfig":
@@ -159,6 +164,10 @@ class TransducerModel(nn.Module):
             from llm_guided_asr_tpu.models.rwkv import RWKVDecoder
 
             self.decoder = RWKVDecoder(cfg.vocab_size, cfg.decoder, dtype=self.dtype, name="decoder")
+        elif dec_type == "mega":
+            from llm_guided_asr_tpu.models.mega_decoder import MEGADecoder
+
+            self.decoder = MEGADecoder(cfg.vocab_size, cfg.decoder, dtype=self.dtype, name="decoder")
         else:
             raise ValueError(dec_type)
         self.joint = JointNetwork(cfg.vocab_size, cfg.joint_size, dtype=self.dtype, name="joint")
