@@ -152,10 +152,12 @@ class RelPositionMultiHeadedAttention(nn.Module):
     where p is the projected relative positional embedding of length 2T-1.
 
     impl: "auto" uses the fused Pallas kernel (ops/rel_attention.py) on TPU
-    when eligible (key-only mask, no attention dropout, T <= 512) — it avoids
-    the [B, H, T, 2T-1] materialization + rel-shift copies (~1.2 ms/layer
-    fwd+bwd at the flagship dims); "dense" forces the XLA path (bit-parity
-    with ingested reference checkpoints, attention-map sowing).
+    when eligible (key-only mask, T <= 512) — it avoids the [B, H, T, 2T-1]
+    materialization + rel-shift copies (~1.2 ms/layer fwd+bwd at the
+    flagship dims).  Attention-prob dropout runs *inside* the kernel (keep
+    mask = counter-based hash seeded per step from the flax dropout rng),
+    so the kernel engages during training too.  "dense" forces the XLA path
+    (bit-parity with ingested reference checkpoints, attention-map sowing).
     """
 
     num_heads: int
@@ -198,7 +200,6 @@ class RelPositionMultiHeadedAttention(nn.Module):
             # when the caller made "intermediates" mutable, take the dense
             # path which materializes and sows them
             and not self.is_mutable_collection("intermediates")
-            and self.dropout_rate == 0.0
             and mask is not None and mask.ndim == 3 and mask.shape[1] == 1
             and pos_emb.shape[0] == 1 and pos_emb.shape[1] == 2 * t - 1
             and t <= 512 and d_k % 8 == 0
@@ -224,9 +225,22 @@ class RelPositionMultiHeadedAttention(nn.Module):
             kv_valid = jnp.pad(
                 mask[:, 0, :].astype(jnp.int32), ((0, 0), (0, pad))
             )
+            # attention-prob dropout rides inside the kernel: a per-step
+            # int32 seed folded out of the flax dropout key drives the
+            # counter-based in-kernel mask (ops/rel_attention.py
+            # dropout_keep_mask) — this is what lets the fused kernel run
+            # during *training* (dropout > 0), not only at inference
+            drop_rate = 0.0
+            seed = None
+            if self.dropout_rate > 0.0 and not deterministic:
+                drop_rate = float(self.dropout_rate)
+                kd = self.make_rng("dropout")
+                if jnp.issubdtype(kd.dtype, jax.dtypes.prng_key):
+                    kd = jax.random.key_data(kd)  # typed (e.g. rbg) key
+                seed = jnp.sum(kd.astype(jnp.uint32)).astype(jnp.int32)
             out = rel_flash_attention(
                 qu, qv, kk, vv, p_pad.astype(qu.dtype), kv_valid,
-                1.0 / math.sqrt(d_k),
+                1.0 / math.sqrt(d_k), seed=seed, dropout_rate=drop_rate,
             )
             out = jnp.moveaxis(out[:, :, :t], 1, 2).reshape(x.shape[0], t, d_model)
             return nn.Dense(d_model, dtype=self.dtype, name="linear_out")(out)

@@ -73,6 +73,10 @@ def _row_barrel_roll(x: jnp.ndarray, direction: int) -> jnp.ndarray:
 
 def _shift_bd(s2: jnp.ndarray, t: int) -> jnp.ndarray:
     """[T, P] -> [T, T]: bd[i, j] = s2[i, (T-1) - i + j] (espnet rel_shift)."""
+    if os.environ.get("LLMASR_RELATTN_NOSHIFT"):
+        # profiling ablation ONLY (tools/prof_relattn.py): skip the barrel
+        # shifter to measure its cost — results are WRONG with this set
+        return s2[:, :t]
     # roll right by row index, then uniformly left by (t-1):
     # result[i, j] = s2[i, ((j - i) + (t-1)) mod P]
     x = _row_barrel_roll(s2, +1)
@@ -84,12 +88,18 @@ def _unshift_bd(dbd: jnp.ndarray, p_len: int, t: int) -> jnp.ndarray:
     """Adjoint of _shift_bd: scatter [T, T] back into [T, P]."""
     pad = jnp.zeros((t, p_len - t), dbd.dtype)
     x = jnp.concatenate([dbd, pad], axis=1)
+    if os.environ.get("LLMASR_RELATTN_NOSHIFT"):
+        return x  # profiling ablation ONLY — see _shift_bd
     x = pltpu.roll(x, shift=t - 1, axis=1)
     x = _row_barrel_roll(x, -1)
     return x
 
 
 def _scores(qu, qv, k, p, valid_row, sm_scale, tp):
+    # operands stay in their storage dtype (bf16 in training) — the MXU runs
+    # bf16 x bf16 -> f32 at full rate, while pre-casting to f32 (the r3
+    # kernel) quarters matmul throughput; measured the difference at the op
+    # level with tools/prof_relattn.py
     s1 = jax.lax.dot_general(qu, k, (((1,), (1,)), ((), ())),
                              preferred_element_type=jnp.float32)
     s2 = jax.lax.dot_general(qv, p, (((1,), (1,)), ((), ())),
@@ -99,58 +109,114 @@ def _scores(qu, qv, k, p, valid_row, sm_scale, tp):
     return jnp.where(valid_row > 0, scores, NEG_INF)
 
 
-def _fwd_kernel(qu_ref, qv_ref, k_ref, v_ref, p_ref, valid_ref,
-                out_ref, l_ref, m_ref, *, sm_scale: float):
+def dropout_keep_mask(seed, hi: int, bi: int, shape, rate: float):
+    """Deterministic counter-based keep mask (True = keep), P(keep) = 1-rate.
+
+    A stateless xorshift-multiply hash of (seed, head, batch, row, col) —
+    chosen over pltpu.prng_random_bits because it runs identically in Mosaic
+    AND interpret mode (prng_seed has no CPU lowering), and because being a
+    pure function of indices it is trivially re-derived bit-identically in
+    the backward kernel.  The trainer already treats dropout RNG quality as
+    a perf knob (rbg hardware PRNG, train/trainer.py); a 3-round finalizer
+    is well beyond what dropout needs.
+
+    Exposed publicly so tests can reproduce the exact mask.
+    """
+    r = jax.lax.broadcasted_iota(jnp.uint32, shape, 0)
+    c = jax.lax.broadcasted_iota(jnp.uint32, shape, 1)
+    x = r * jnp.uint32(0x9E3779B1) + c * jnp.uint32(0x85EBCA77)
+    cell = jnp.uint32(seed) + jnp.uint32(hi) * jnp.uint32(0x927C1) \
+        + jnp.uint32(bi) * jnp.uint32(0x68E31DA5)
+    x = x ^ cell
+    x = (x ^ (x >> 15)) * jnp.uint32(0x2C1B3C6D)
+    x = (x ^ (x >> 12)) * jnp.uint32(0x297A2D39)
+    x = x ^ (x >> 15)
+    # P(x >= rate * 2^32) = 1 - rate for uniform u32
+    return x >= jnp.uint32(min(rate, 1.0) * 4294967296.0)
+
+
+def _fwd_kernel(seed_ref, qu_ref, qv_ref, k_ref, v_ref, p_ref, valid_ref,
+                out_ref, l_ref, m_ref, *, sm_scale: float, dropout_rate: float):
     tp = qu_ref.shape[2]
-    qu = qu_ref[0, 0].astype(jnp.float32)
-    qv = qv_ref[0, 0].astype(jnp.float32)
-    k = k_ref[0, 0].astype(jnp.float32)
-    v = v_ref[0, 0].astype(jnp.float32)
-    p = p_ref[0].astype(jnp.float32)
+    qu = qu_ref[0, 0]
+    qv = qv_ref[0, 0]
+    k = k_ref[0, 0]
+    v = v_ref[0, 0]
+    p = p_ref[0]
     valid_row = valid_ref[...].reshape(1, tp)
 
     scores = _scores(qu, qv, k, p, valid_row, sm_scale, tp)
     m = jnp.max(scores, axis=1, keepdims=True)
     e = jnp.exp(scores - m)
     l = jnp.sum(e, axis=1, keepdims=True)
-    out = jax.lax.dot_general(e, v, (((1,), (0,)), ((), ())),
+    if dropout_rate > 0.0:
+        # attention-prob dropout (espnet attention.py: self.dropout(attn));
+        # the l/m residuals describe the *pre-dropout* softmax and stay valid
+        keep = dropout_keep_mask(
+            seed_ref[0], pl.program_id(0), pl.program_id(1), e.shape,
+            dropout_rate,
+        )
+        e = jnp.where(keep, e, 0.0) / (1.0 - dropout_rate)
+    # probs ride the MXU in the storage dtype (the dense path also casts
+    # attn to self.dtype before the av einsum)
+    out = jax.lax.dot_general(e.astype(v.dtype), v, (((1,), (0,)), ((), ())),
                               preferred_element_type=jnp.float32) / l
     out_ref[0, 0] = out.astype(out_ref.dtype)
     l_ref[0, 0] = l  # [Tp, 1]
     m_ref[0, 0] = m
 
 
-def _bwd_kernel(qu_ref, qv_ref, k_ref, v_ref, p_ref, valid_ref,
+def _bwd_kernel(seed_ref, qu_ref, qv_ref, k_ref, v_ref, p_ref, valid_ref,
                 out_ref, l_ref, m_ref, dout_ref,
-                dqu_ref, dqv_ref, dk_ref, dv_ref, dp_ref, *, sm_scale: float):
+                dqu_ref, dqv_ref, dk_ref, dv_ref, dp_ref, *, sm_scale: float,
+                dropout_rate: float):
     tp = qu_ref.shape[2]
     p_len = p_ref.shape[1]
-    qu = qu_ref[0, 0].astype(jnp.float32)
-    qv = qv_ref[0, 0].astype(jnp.float32)
-    k = k_ref[0, 0].astype(jnp.float32)
-    v = v_ref[0, 0].astype(jnp.float32)
-    p = p_ref[0].astype(jnp.float32)
+    qu = qu_ref[0, 0]
+    qv = qv_ref[0, 0]
+    k = k_ref[0, 0]
+    v = v_ref[0, 0]
+    p = p_ref[0]
     out = out_ref[0, 0].astype(jnp.float32)
-    dout = dout_ref[0, 0].astype(jnp.float32)
+    dout = dout_ref[0, 0]
     l = l_ref[0, 0]  # [Tp, 1]
     m = m_ref[0, 0]
     valid_row = valid_ref[...].reshape(1, tp)
 
     scores = _scores(qu, qv, k, p, valid_row, sm_scale, tp)
-    prob = jnp.exp(scores - m) / l  # [T, T]
+    prob = jnp.exp(scores - m) / l  # [T, T] f32
+    prob_lo = prob.astype(v.dtype)
 
-    dprob = jax.lax.dot_general(dout, v, (((1,), (1,)), ((), ())),
-                                preferred_element_type=jnp.float32)
-    delta = jnp.sum(dout * out, axis=1, keepdims=True)
-    dscores = prob * (dprob - delta) * sm_scale  # [T, T]
+    if dropout_rate > 0.0:
+        # re-derive the forward's exact keep mask; with dropout the
+        # delta = sum(dout*out) shortcut no longer equals rowsum(dprob*prob)
+        # so compute it directly
+        keep = dropout_keep_mask(
+            seed_ref[0], pl.program_id(0), pl.program_id(1), prob.shape,
+            dropout_rate,
+        )
+        prob_d = (jnp.where(keep, prob, 0.0) / (1.0 - dropout_rate)).astype(v.dtype)
+        dprob = jax.lax.dot_general(dout, v, (((1,), (1,)), ((), ())),
+                                    preferred_element_type=jnp.float32)
+        dprob = jnp.where(keep, dprob, 0.0) / (1.0 - dropout_rate)
+        delta = jnp.sum(dprob * prob, axis=1, keepdims=True)
+        dv = jax.lax.dot_general(prob_d, dout, (((0,), (0,)), ((), ())),
+                                 preferred_element_type=jnp.float32)
+    else:
+        dprob = jax.lax.dot_general(dout, v, (((1,), (1,)), ((), ())),
+                                    preferred_element_type=jnp.float32)
+        delta = jnp.sum(dout.astype(jnp.float32) * out, axis=1, keepdims=True)
+        dv = jax.lax.dot_general(prob_lo, dout, (((0,), (0,)), ((), ())),
+                                 preferred_element_type=jnp.float32)
+    dscores = (prob * (dprob - delta) * sm_scale)  # [T, T] f32
+    ds_lo = dscores.astype(qu.dtype)
 
-    dqu = jax.lax.dot_general(dscores, k, (((1,), (0,)), ((), ())),
+    dqu = jax.lax.dot_general(ds_lo, k, (((1,), (0,)), ((), ())),
                               preferred_element_type=jnp.float32)
-    dk = jax.lax.dot_general(dscores, qu, (((0,), (0,)), ((), ())),
+    dk = jax.lax.dot_general(ds_lo, qu, (((0,), (0,)), ((), ())),
                              preferred_element_type=jnp.float32)
-    dv = jax.lax.dot_general(prob, dout, (((0,), (0,)), ((), ())),
-                             preferred_element_type=jnp.float32)
-    ds2 = _unshift_bd(dscores, p_len, tp)  # [T, P]
+    # unshift stays f32: tpu.dynamic_rotate only lowers for 32-bit data
+    ds2 = _unshift_bd(dscores, p_len, tp).astype(qu.dtype)  # [T, P]
     dqv = jax.lax.dot_general(ds2, p, (((1,), (0,)), ((), ())),
                               preferred_element_type=jnp.float32)
     dp = jax.lax.dot_general(ds2, qv, (((0,), (0,)), ((), ())),
@@ -185,8 +251,9 @@ def _specs(tp, p_len, dk):
     return qspec, pspec, vspec, lspec
 
 
-@functools.partial(jax.custom_vjp, nondiff_argnums=(6,))
-def rel_flash_attention(qu, qv, k, v, p, kv_valid, sm_scale: float):
+@functools.partial(jax.custom_vjp, nondiff_argnums=(6, 8))
+def rel_flash_attention(qu, qv, k, v, p, kv_valid, sm_scale: float,
+                        seed=None, dropout_rate: float = 0.0):
     """Fused rel-pos attention.
 
     qu, qv, k, v: [B, H, Tp, dk]  (q + pos_bias_u, q + pos_bias_v, keys,
@@ -195,46 +262,79 @@ def rel_flash_attention(qu, qv, k, v, p, kv_valid, sm_scale: float):
                   2T-1 rows embedded so that row (Tp-1) is relative
                   position 0 (see rel_attention_pad_pos)
     kv_valid:     [B, Tp] int/bool key-validity mask
+    seed:         int32 scalar/[] array — per-step dropout seed (traced);
+                  ignored when dropout_rate == 0
+    dropout_rate: static attention-prob dropout rate; the keep mask is a
+                  pure hash of (seed, head, batch, i, j), identical across
+                  forward and backward (dropout_keep_mask)
     Returns [B, H, Tp, dk] (query rows past the true T hold junk; callers
     mask them as the dense path does).
     """
-    out, _, _ = _fwd_call(qu, qv, k, v, p, kv_valid, sm_scale)
+    out, _, _ = _fwd_call(qu, qv, k, v, p, kv_valid, seed, sm_scale,
+                          dropout_rate)
     return out
 
 
-def _fwd_call(qu, qv, k, v, p, kv_valid, sm_scale):
+def _seed_arr(seed):
+    if seed is None:
+        return jnp.zeros((1,), jnp.int32)
+    return jnp.asarray(seed, jnp.int32).reshape(1)
+
+
+def _fwd_call(qu, qv, k, v, p, kv_valid, seed, sm_scale, dropout_rate):
     b, h, tp, dk = qu.shape
     p_len = p.shape[1]
     qspec, pspec, vspec, lspec = _specs(tp, p_len, dk)
+    sspec = pl.BlockSpec(memory_space=pltpu.SMEM)
     out, l, m = pl.pallas_call(
-        functools.partial(_fwd_kernel, sm_scale=sm_scale),
+        functools.partial(_fwd_kernel, sm_scale=sm_scale,
+                          dropout_rate=dropout_rate),
         grid=(h, b),
-        in_specs=[qspec, qspec, qspec, qspec, pspec, vspec],
+        in_specs=[sspec, qspec, qspec, qspec, qspec, pspec, vspec],
         out_specs=[qspec, lspec, lspec],
         out_shape=[
             jax.ShapeDtypeStruct((b, h, tp, dk), qu.dtype),
             jax.ShapeDtypeStruct((b, h, tp, 1), jnp.float32),
             jax.ShapeDtypeStruct((b, h, tp, 1), jnp.float32),
         ],
+        compiler_params=_fwd_params(),
         interpret=_interpret(),
-    )(qu, qv, k, v, p, kv_valid[:, None, :])
+    )(_seed_arr(seed), qu, qv, k, v, p, kv_valid[:, None, :])
     return out, l, m
 
 
-def _vjp_fwd(qu, qv, k, v, p, kv_valid, sm_scale):
-    out, l, m = _fwd_call(qu, qv, k, v, p, kv_valid, sm_scale)
-    return out, (qu, qv, k, v, p, kv_valid, out, l, m)
+def _fwd_params():
+    # no cross-program accumulation in the forward: both grid dims are
+    # embarrassingly parallel, let Mosaic pipeline freely
+    if _interpret():
+        return None
+    return pltpu.CompilerParams(dimension_semantics=("parallel", "parallel"))
 
 
-def _vjp_bwd(sm_scale, res, dout):
-    qu, qv, k, v, p, kv_valid, out, l, m = res
+def _bwd_params():
+    # dp accumulates across the batch (inner) grid axis -> arbitrary
+    if _interpret():
+        return None
+    return pltpu.CompilerParams(dimension_semantics=("parallel", "arbitrary"))
+
+
+def _vjp_fwd(qu, qv, k, v, p, kv_valid, sm_scale, seed, dropout_rate):
+    out, l, m = _fwd_call(qu, qv, k, v, p, kv_valid, seed, sm_scale,
+                          dropout_rate)
+    return out, (qu, qv, k, v, p, kv_valid, seed, out, l, m)
+
+
+def _vjp_bwd(sm_scale, dropout_rate, res, dout):
+    qu, qv, k, v, p, kv_valid, seed, out, l, m = res
     b, h, tp, dk = qu.shape
     p_len = p.shape[1]
     qspec, pspec, vspec, lspec = _specs(tp, p_len, dk)
+    sspec = pl.BlockSpec(memory_space=pltpu.SMEM)
     dqu, dqv, dk_, dv, dp = pl.pallas_call(
-        functools.partial(_bwd_kernel, sm_scale=sm_scale),
+        functools.partial(_bwd_kernel, sm_scale=sm_scale,
+                          dropout_rate=dropout_rate),
         grid=(h, b),
-        in_specs=[qspec, qspec, qspec, qspec, pspec, vspec,
+        in_specs=[sspec, qspec, qspec, qspec, qspec, pspec, vspec,
                   qspec, lspec, lspec, qspec],
         out_specs=[qspec, qspec, qspec, qspec, pspec],
         out_shape=[
@@ -244,9 +344,10 @@ def _vjp_bwd(sm_scale, res, dout):
             jax.ShapeDtypeStruct((b, h, tp, dk), v.dtype),
             jax.ShapeDtypeStruct((h, p_len, dk), jnp.float32),
         ],
+        compiler_params=_bwd_params(),
         interpret=_interpret(),
-    )(qu, qv, k, v, p, kv_valid[:, None, :], out, l, m, dout)
-    return (dqu, dqv, dk_, dv, dp.astype(p.dtype), None)
+    )(_seed_arr(seed), qu, qv, k, v, p, kv_valid[:, None, :], out, l, m, dout)
+    return (dqu, dqv, dk_, dv, dp.astype(p.dtype), None, None)
 
 
 rel_flash_attention.defvjp(_vjp_fwd, _vjp_bwd)

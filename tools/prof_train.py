@@ -26,7 +26,7 @@ import numpy as np
 
 SR = 16000
 SECONDS = 10.0
-V5E_BF16_FLOPS = 394e12
+V5E_BF16_FLOPS = 197e12  # per-chip bf16 peak (394 is the int8 number)
 
 
 def fence(x):
@@ -129,23 +129,48 @@ def main():
             flush=True,
         )
 
-        # encoder-only fwd+bwd (frontend+specaug excluded): isolates attention
+        # encoder-only fwd / fwd+bwd (training mode: dropout on, batch_stats
+        # mutable like the train step) — isolates the attention delta
         def enc_loss(p, feats, feat_lens):
-            enc, enc_lens = model.apply(
-                {"params": p, **extra}, feats, feat_lens,
-                deterministic=False,
-                rngs={"dropout": rngk},
-                method=lambda m, f, fl: m.encoder_forward(f, fl)
-                if hasattr(m, "encoder_forward") else m.encode(f, fl),
+            (enc, enc_lens), _ = model.apply(
+                {"params": p, **extra}, feats, feat_lens, False,
+                rngs={"dropout": rngk}, mutable=["batch_stats"],
+                method=model.encode,
             )
             return jnp.sum(enc.astype(jnp.float32) ** 2)
 
         enc_grad = jax.jit(jax.grad(enc_loss))
+        enc_fwd = jax.jit(enc_loss)
+        t_encf = timeit(
+            lambda: enc_fwd(params, tbatch["speech"], tbatch["speech_lengths"]),
+            iters=10,
+        )
         t_enc = timeit(
             lambda: enc_grad(params, tbatch["speech"], tbatch["speech_lengths"]),
             iters=10,
         )
-        print(f"[{impl}] encode fwd+bwd={t_enc * 1e3:.2f}ms", flush=True)
+        hlo = enc_grad.lower(
+            params, tbatch["speech"], tbatch["speech_lengths"]
+        ).compile().as_text()
+        n_pallas = hlo.count("tpu_custom_call")
+        print(
+            f"[{impl}] encode fwd={t_encf * 1e3:.2f}ms fwd+bwd={t_enc * 1e3:.2f}ms "
+            f"pallas_calls_in_enc_grad={n_pallas}",
+            flush=True,
+        )
+
+        # full loss fwd only (no bwd): what share of grad time is backward
+        def full_loss(p, b):
+            out, _ = model.apply(
+                {"params": p, **extra}, b["speech"], b["speech_lengths"],
+                b["text"], b["text_lengths"], False,
+                rngs={"dropout": rngk}, mutable=["batch_stats"],
+            )
+            return out[0]
+
+        fwd_fn = jax.jit(full_loss)
+        t_fwd = timeit(lambda: fwd_fn(params, tbatch), iters=10)
+        print(f"[{impl}] full loss fwd={t_fwd * 1e3:.2f}ms", flush=True)
 
 
 if __name__ == "__main__":
