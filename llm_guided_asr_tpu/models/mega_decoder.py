@@ -80,20 +80,36 @@ class MultiHeadDampedEMA(nn.Module):
         proj = self.kernel_projection_matrix * math.sqrt(1.0 / self.num_heads)
         return jnp.einsum("dnl,dn->dl", k, proj)  # [D, L]
 
+    # above this length the [D, L, L] Toeplitz intermediate (O(D L^2) memory
+    # — ~0.5 GB f32 at D=256, L=750, ADVICE r3) loses to the reference's FFT
+    # formulation; the transducer greedy decode's prefix buffer is t_max+1
+    # encoder FRAMES, so long utterances do hit this path
+    fft_threshold: int = 256
+
     def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
         """Causal depthwise EMA conv: [B, L, D] -> [B, L, D] (+ activation by caller).
 
-        Toeplitz-matmul formulation: out[b, m, d] = sum_{l<=m} K[d, m-l] x[b, l, d].
+        Short L: Toeplitz-matmul on the MXU, out[b,m,d] = sum_{l<=m}
+        K[d, m-l] x[b,l,d].  Long L: zero-padded rfft/irfft circular
+        convolution (the reference's own formulation,
+        multi_head_damped_ema.py:175-186) — O(D L log L) with no [D, L, L]
+        intermediate.  Both paths are equality-tested.
         """
         b, length, d = x.shape
-        kern = self.kernel(length)  # [D, L]
-        idx = jnp.arange(length)
-        lag = idx[:, None] - idx[None, :]  # [L(m), L(l)] = m - l
-        toep = jnp.where(lag >= 0, kern[:, jnp.clip(lag, 0, length - 1)], 0.0)  # [D, L, L]
-        out = jnp.einsum(
-            "dml,bld->bmd", toep.astype(jnp.float32), x.astype(jnp.float32)
-        )
-        residual = x.astype(jnp.float32) * self.residual_weight[None, None, :]
+        kern = self.kernel(length).astype(jnp.float32)  # [D, L]
+        xf = x.astype(jnp.float32)
+        if length <= self.fft_threshold:
+            idx = jnp.arange(length)
+            lag = idx[:, None] - idx[None, :]  # [L(m), L(l)] = m - l
+            toep = jnp.where(lag >= 0, kern[:, jnp.clip(lag, 0, length - 1)], 0.0)
+            out = jnp.einsum("dml,bld->bmd", toep, xf)
+        else:
+            n = 2 * length
+            kf = jnp.fft.rfft(kern, n=n, axis=-1)  # [D, n//2+1]
+            xfreq = jnp.fft.rfft(jnp.moveaxis(xf, 1, 2), n=n, axis=-1)  # [B, D, .]
+            conv = jnp.fft.irfft(xfreq * kf[None], n=n, axis=-1)[..., :length]
+            out = jnp.moveaxis(conv, 1, 2)  # [B, L, D]
+        residual = xf * self.residual_weight[None, None, :]
         return (out + residual).astype(self.dtype)
 
 
@@ -104,10 +120,19 @@ class SimpleRelativePositionBias(nn.Module):
 
     @nn.compact
     def __call__(self, length: int) -> jnp.ndarray:
+        if length > self.max_positions:
+            # the reference raises too (positional_bias.py forward); JAX
+            # would otherwise clamp the gather silently and return wrong
+            # (last-element) biases for far-apart pairs (ADVICE r3)
+            raise ValueError(
+                f"sequence length {length} > max_positions {self.max_positions}"
+            )
         b = self.param("relative_position_bias", _norm_init(0.02), (2 * self.max_positions - 1,))
-        # bias[i, j] = b[max_positions - 1 + (i - j)]
+        # bias[i, j] = b[max_positions - 1 + (j - i)] — matches the reference
+        # tile trick's layout (positional_bias.py:44-58) so ingested
+        # checkpoints keep their weight orientation
         idx = jnp.arange(length)
-        rel = idx[:, None] - idx[None, :]
+        rel = idx[None, :] - idx[:, None]
         return b[self.max_positions - 1 + rel]
 
 
@@ -119,6 +144,10 @@ class RotaryRelativePositionBias(nn.Module):
 
     @nn.compact
     def __call__(self, length: int) -> jnp.ndarray:
+        if length > self.max_positions:
+            raise ValueError(
+                f"sequence length {length} > max_positions {self.max_positions}"
+            )
         alpha = self.param("alpha", _norm_init(0.02), (1, self.size))
         beta = self.param("beta", _norm_init(0.02), (1, self.size))
         half = self.size // 2
@@ -144,6 +173,10 @@ class MEGABlock(nn.Module):
     rel_pos_bias_type: str = "simple"  # simple | rotary
     max_positions: int = 2048
     dropout_rate: float = 0.0
+    # separate attention / EMA dropout rates (blocks/mega.py att_dropout_rate,
+    # ema_dropout_rate); None -> dropout_rate
+    att_dropout_rate: Any = None
+    ema_dropout_rate: Any = None
     dtype: Dtype = jnp.float32
 
     @nn.compact
@@ -154,11 +187,17 @@ class MEGABlock(nn.Module):
         residual = x
         x = jnp.where(valid[:, :, None], x, 0.0)
 
+        att_drop = self.dropout_rate if self.att_dropout_rate is None else self.att_dropout_rate
+        ema_drop = self.dropout_rate if self.ema_dropout_rate is None else self.ema_dropout_rate
         value = act(nn.Dense(self.v_size, dtype=self.dtype, kernel_init=_norm_init(), name="proj_v")(x))
+        # the reference drops value BEFORE the attention matmul
+        # (blocks/mega.py forward: value = self.dropout(value)) in addition
+        # to the attention-weight dropout below
+        value = nn.Dropout(self.dropout_rate)(value, deterministic=deterministic)
         ema_out = act(
             MultiHeadDampedEMA(self.size, self.num_heads, dtype=self.dtype, name="ema")(x)
         )
-        ema_out = nn.Dropout(self.dropout_rate)(ema_out, deterministic=deterministic)
+        ema_out = nn.Dropout(ema_drop)(ema_out, deterministic=deterministic)
 
         base = nn.Dense(
             self.qk_size + self.v_size + 2 * self.size,
@@ -190,7 +229,7 @@ class MEGABlock(nn.Module):
         keep = causal[None] & valid[:, None, :]
         scores = jnp.where(keep, scores, -1e30)
         attn = jax.nn.softmax(scores, axis=-1).astype(self.dtype)
-        attn = nn.Dropout(self.dropout_rate)(attn, deterministic=deterministic)
+        attn = nn.Dropout(att_drop)(attn, deterministic=deterministic)
 
         self_out = jnp.einsum("blm,bmd->bld", attn, value)
         h = act(
@@ -249,14 +288,22 @@ class MEGADecoder(nn.Module):
         v_size = getattr(cfg, "mega_v_size", 0) or cfg.hidden_size * 2
         heads = getattr(cfg, "mega_num_heads", 4)
         bias_type = getattr(cfg, "mega_rel_pos_bias", "simple")
+        max_pos = getattr(cfg, "mega_max_positions", 2048)
+        # reference default linear_size=1024 at block_size=512, i.e. 2x
+        # (mega_decoder.py:46); 0 -> 2 * hidden_size
+        ffn_size = getattr(cfg, "mega_ffn_size", 0) or cfg.hidden_size * 2
+        att_drop = getattr(cfg, "mega_att_dropout_rate", None)
+        ema_drop = getattr(cfg, "mega_ema_dropout_rate", None)
         for i in range(n_blocks):
             x = MEGABlock(
                 cfg.hidden_size, num_heads=heads, qk_size=qk_size, v_size=v_size,
-                rel_pos_bias_type=bias_type, dropout_rate=cfg.dropout_rate,
+                rel_pos_bias_type=bias_type, max_positions=max_pos,
+                dropout_rate=cfg.dropout_rate, att_dropout_rate=att_drop,
+                ema_dropout_rate=ema_drop,
                 dtype=self.dtype, name=f"mega_{i}",
             )(x, valid, deterministic)
             x = NormalizedFeedForward(
-                cfg.hidden_size, cfg.hidden_size * 4,
+                cfg.hidden_size, ffn_size,
                 dropout_rate=cfg.dropout_rate, dtype=self.dtype, name=f"ffn_{i}",
             )(x, deterministic)
         return nn.LayerNorm(dtype=self.dtype, name="final_norm")(x)

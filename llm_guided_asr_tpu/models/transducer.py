@@ -51,6 +51,11 @@ class TransducerDecoderConfig:
     mega_v_size: int = 0  # 0 -> 2 * hidden_size
     mega_num_heads: int = 4
     mega_rel_pos_bias: str = "simple"  # simple | rotary
+    mega_max_positions: int = 2048  # positional-bias span (raises past it)
+    mega_ffn_size: int = 0  # 0 -> 2 * hidden_size (reference linear_size)
+    # None -> dropout_rate (reference att_dropout_rate / ema_dropout_rate)
+    mega_att_dropout_rate: Optional[float] = None
+    mega_ema_dropout_rate: Optional[float] = None
 
     @classmethod
     def from_dict(cls, d: dict) -> "TransducerDecoderConfig":

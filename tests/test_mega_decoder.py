@@ -70,6 +70,66 @@ def test_mega_decoder_causal(bias_type):
     assert not np.allclose(np.asarray(out[:, 5]), np.asarray(out2[:, 5]))
 
 
+def test_ema_fft_path_matches_toeplitz():
+    """Above fft_threshold the rfft/irfft formulation must equal the
+    Toeplitz matmul (ADVICE r3: no [D, L, L] intermediate at decode
+    lengths)."""
+    d, n, length, b = 6, 4, 40, 2
+    rng = np.random.default_rng(1)
+    x = jnp.asarray(rng.standard_normal((b, length, d)), jnp.float32)
+    toep = MultiHeadDampedEMA(d, n)  # default threshold 256 >= 40 -> matmul
+    fft = MultiHeadDampedEMA(d, n, fft_threshold=8)  # force FFT path
+    variables = toep.init(jax.random.PRNGKey(0), x)
+    out_t = toep.apply(variables, x)
+    out_f = fft.apply(variables, x)
+    np.testing.assert_allclose(np.asarray(out_t), np.asarray(out_f),
+                               rtol=2e-4, atol=2e-5)
+
+
+def test_simple_bias_reference_orientation_and_range_check():
+    """bias[i, j] = b[max_positions-1 + (j-i)] (reference tile-trick layout,
+    positional_bias.py:44-58) and length > max_positions raises."""
+    from llm_guided_asr_tpu.models.mega_decoder import SimpleRelativePositionBias
+
+    mod = SimpleRelativePositionBias(max_positions=8)
+    variables = mod.init(jax.random.PRNGKey(0), 5)
+    bias = mod.apply(variables, 5)
+    b = np.asarray(variables["params"]["relative_position_bias"])
+    for i in range(5):
+        for j in range(5):
+            np.testing.assert_allclose(float(bias[i, j]), b[7 + (j - i)])
+    with pytest.raises(ValueError, match="max_positions"):
+        mod.apply(variables, 9)
+
+
+def test_mega_config_plumbs_ffn_and_max_positions():
+    """mega_ffn_size / mega_max_positions reach the blocks; default FFN is
+    2*hidden (reference linear_size default), not 4*."""
+    cfg = TransducerDecoderConfig(
+        decoder_type="mega", hidden_size=16, num_layers=1, mega_qk_size=8,
+        mega_max_positions=4,
+    )
+    dec = MEGADecoder(VOCAB, cfg)
+    labels = jnp.asarray([[1, 2]], jnp.int32)  # L = 3 <= 4
+    variables = dec.init(
+        {"params": jax.random.PRNGKey(0), "dropout": jax.random.PRNGKey(1)}, labels
+    )
+    # default ffn hidden = 2 * 16
+    assert variables["params"]["ffn_0"]["linear1"]["kernel"].shape == (16, 32)
+    long_labels = jnp.asarray([[1, 2, 3, 4, 5]], jnp.int32)  # L = 6 > 4
+    with pytest.raises(ValueError, match="max_positions"):
+        dec.apply(variables, long_labels)
+    cfg2 = TransducerDecoderConfig(
+        decoder_type="mega", hidden_size=16, num_layers=1, mega_qk_size=8,
+        mega_ffn_size=48,
+    )
+    dec2 = MEGADecoder(VOCAB, cfg2)
+    v2 = dec2.init(
+        {"params": jax.random.PRNGKey(0), "dropout": jax.random.PRNGKey(1)}, labels
+    )
+    assert v2["params"]["ffn_0"]["linear1"]["kernel"].shape == (16, 48)
+
+
 def test_transducer_mega_forward_grads_and_decode():
     cfg = TransducerModelConfig(
         vocab_size=VOCAB,
