@@ -48,8 +48,28 @@ class EnhConfig:
     attn_heads: int = 2
     # bsrnn: number of frequency bands
     num_bands: int = 8
-    # dpcl: T-F embedding dimension
+    # dpcl / dan: T-F embedding dimension
     emb_dim: int = 20
+    # svoice: conv frame-encoder kernel (waveform samples per frame)
+    svoice_kernel: int = 8
+    # fasnet: beamforming window + context samples
+    fasnet_win: int = 256
+    fasnet_context: int = 64
+    # uses: frames per segment + carried memory-token count
+    uses_segment: int = 64
+    memory_size: int = 4
+    # tfgridnet v2/v3: sub-band unfold kernel/hop, attention q/k channels
+    emb_ks: int = 4
+    emb_hs: int = 4
+    attn_approx_qk_dim: int = 512  # v2: total q/k dim target across freq
+    attn_qk_channels: int = 4      # v3: fixed per-head q/k channels
+    # ineube: output stage + Wiener-filter context chunks
+    output_from: str = "dnn2"  # dnn1 | mfmcwf | dnn2
+    n_chunks: int = 1
+    # neural_beamformer: WPE dereverberation front
+    use_wpe: bool = False
+    taps: int = 3
+    delay: int = 2
     # training criterion + assignment solver (models/enh_losses.py;
     # reference enh/loss/criterions + enh/loss/wrappers)
     loss_type: str = "si_snr"  # si_snr|snr|ci_sdr|mse_time|l1_time|mse_spec|...
@@ -480,7 +500,7 @@ class ESPnetEnhancementModel(nn.Module):
     dtype: Dtype = jnp.float32
 
     def setup(self):
-        from llm_guided_asr_tpu.models import enh_extra
+        from llm_guided_asr_tpu.models import enh_extra, enh_zoo
 
         sep_cls = {
             "rnn": RNNSeparator,
@@ -494,6 +514,15 @@ class ESPnetEnhancementModel(nn.Module):
             "bsrnn": enh_extra.BSRNNSeparator,
             "dccrn": enh_extra.DCCRNSeparator,
             "dpcl": enh_extra.DPCLSeparator,
+            "dan": enh_zoo.DANSeparator,
+            "dpcl_e2e": enh_zoo.DPCLE2ESeparator,
+            "svoice": enh_zoo.SVoiceSeparator,
+            "fasnet": enh_zoo.FaSNetSeparator,
+            "uses": enh_zoo.USESSeparator,
+            "tfgridnetv2": enh_zoo.TFGridNetV2Separator,
+            "tfgridnetv3": enh_zoo.TFGridNetV3Separator,
+            "ineube": enh_zoo.INeuBeSeparator,
+            "neural_beamformer": enh_zoo.NeuralBeamformerSeparator,
         }[self.cfg.separator_type]
         self.separator = sep_cls(self.cfg, dtype=self.dtype, name="separator")
 
@@ -501,13 +530,32 @@ class ESPnetEnhancementModel(nn.Module):
         self, speech_mix: jnp.ndarray, speech_lengths: jnp.ndarray,
         deterministic: bool = True,
     ) -> Tuple[jnp.ndarray, jnp.ndarray]:
-        """[B, N] mixture -> ([S, B, N] estimates, frame lengths)."""
+        """[B, N] (or [B, N, C] multichannel) mixture -> ([S, B, N] estimates,
+        frame lengths)."""
         cfg = self.cfg
-        spec = stft(speech_mix, n_fft=cfg.n_fft, hop_length=cfg.hop_length)  # [B,T,F]
         domain = getattr(self.separator, "domain", "mag_mask")
-        if cfg.separator_type == "tfgridnet":
+        olens = stft_out_lengths(speech_lengths, cfg.n_fft, cfg.hop_length)
+        if domain in ("time", "time_multiscale"):
+            # waveform-domain separators (fasnet, svoice): no STFT round trip
+            ests = self.separator(speech_mix, deterministic)  # [S, B, N]
+            return ests, olens
+        if speech_mix.ndim == 3:  # [B, N, C] multichannel -> [B, T, F, C]
+            spec = jnp.stack(
+                [stft(speech_mix[..., c], n_fft=cfg.n_fft,
+                      hop_length=cfg.hop_length)
+                 for c in range(speech_mix.shape[-1])], axis=-1)
+            out_len = speech_mix.shape[1]
+        else:
+            spec = stft(speech_mix, n_fft=cfg.n_fft, hop_length=cfg.hop_length)
+            out_len = speech_mix.shape[1]
+        if cfg.separator_type == "tfgridnet" or domain == "complex_spec":
             # complex-spectrum estimation (no masking)
             est_specs = self.separator(spec, deterministic)  # [S,B,T,F] complex
+        elif domain == "dan":
+            # inference-time attractors via on-device soft k-means
+            mag = jnp.abs(spec)
+            masks = self.separator(mag.astype(self.dtype), None, deterministic)
+            est_specs = spec[None] * masks.astype(spec.dtype)
         elif domain == "complex_mask":
             masks = self.separator(spec, deterministic)  # [S,B,T,F] complex
             est_specs = spec[None] * masks
@@ -525,10 +573,9 @@ class ESPnetEnhancementModel(nn.Module):
         for i in range(cfg.num_spk):
             wav = istft(
                 est_specs[i], n_fft=cfg.n_fft, hop_length=cfg.hop_length,
-                length=speech_mix.shape[1],
+                length=out_len,
             )
             ests.append(wav)
-        olens = stft_out_lengths(speech_lengths, cfg.n_fft, cfg.hop_length)
         return jnp.stack(ests, axis=0), olens
 
     def collect_feats(self, speech_mix, speech_lengths):
@@ -558,7 +605,6 @@ class ESPnetEnhancementModel(nn.Module):
             loss = dpcl_loss(emb, ref_mags, mix_mag)
             stats = {"loss": loss}
             return loss, stats, jnp.asarray(speech_mix.shape[0], jnp.float32)
-        ests, _ = self.separate(speech_mix, speech_mix_lengths, deterministic)
         from llm_guided_asr_tpu.models.enh_losses import (
             build_criterion,
             build_wrapper,
@@ -566,6 +612,39 @@ class ESPnetEnhancementModel(nn.Module):
 
         crit = build_criterion(self.cfg.loss_type)
         wrap = build_wrapper(self.cfg.loss_wrapper)
+        cfg = self.cfg
+        if cfg.separator_type == "dan":
+            # oracle attractors from the reference magnitudes (the fixed
+            # source order of the oracle assignment makes PIT degenerate to
+            # fixed-order here, matching dan_separator.py training)
+            spec = stft(speech_mix, n_fft=cfg.n_fft, hop_length=cfg.hop_length)
+            ref_mags = jnp.stack(
+                [jnp.abs(stft(r, n_fft=cfg.n_fft, hop_length=cfg.hop_length))
+                 for r in refs], axis=0)
+            masks = self.separator(
+                jnp.abs(spec).astype(self.dtype), ref_mags, deterministic)
+            ests = jnp.stack([
+                istft(spec * masks[i].astype(spec.dtype), n_fft=cfg.n_fft,
+                      hop_length=cfg.hop_length, length=speech_mix.shape[1])
+                for i in range(cfg.num_spk)], axis=0)
+            loss, perm = wrap(refs_arr, ests, speech_mix_lengths, crit)
+            stats = {"loss": loss}
+            if cfg.loss_type == "si_snr":
+                stats["si_snr"] = -loss
+            return loss, stats, jnp.asarray(speech_mix.shape[0], jnp.float32)
+        if getattr(self.separator, "domain", "") == "time_multiscale":
+            # multi-scale training loss averaged over every block's decoded
+            # waveform (svoice_separator.py forward: list over layers)
+            all_ests = self.separator(
+                speech_mix, deterministic, all_scales=True)  # [L, S, B, N]
+            losses = [wrap(refs_arr, all_ests[j], speech_mix_lengths, crit)[0]
+                      for j in range(all_ests.shape[0])]
+            loss = jnp.mean(jnp.stack(losses))
+            stats = {"loss": loss}
+            if cfg.loss_type == "si_snr":
+                stats["si_snr"] = -loss
+            return loss, stats, jnp.asarray(speech_mix.shape[0], jnp.float32)
+        ests, _ = self.separate(speech_mix, speech_mix_lengths, deterministic)
         loss, perm = wrap(refs_arr, ests, speech_mix_lengths, crit)
         stats = {"loss": loss}
         if self.cfg.loss_type == "si_snr":
