@@ -71,6 +71,19 @@ class ConformerConfig:
     model_name_or_path: Optional[str] = None
     # multiconvformer only (multiconv_cgmlp.py kernel bank)
     multicgmlp_kernel_sizes: Tuple[int, ...] = (7, 15, 23, 31)
+    # state-spaces encoder only (encoder: s4; models/state_spaces.py —
+    # the compositional SequenceModel of espnet2/asr/state_spaces/):
+    # per-block layer cycle, residual wiring, norm, pooling
+    ss_layers: Tuple[str, ...] = ("s4", "ff")  # s4 | s4d | ff | mha per block
+    ss_d_state: int = 64
+    ss_prenorm: bool = True
+    ss_norm: str = "layer"  # layer | batch | none
+    ss_residual: str = "residual"  # residual|affine|feedforward|highway|decay
+    ss_pool: str = ""  # '' = no pooling | sample | avg | linear
+    ss_pool_stride: int = 1  # applied after each block group when > 1
+    ss_ff_expand: int = 2
+    ss_bidirectional: bool = True  # encoder default: non-causal SSM conv
+    ss_drop_path: float = 0.0  # stochastic depth per residual branch
 
     @classmethod
     def from_dict(cls, d: dict) -> "ConformerConfig":
@@ -81,6 +94,11 @@ class ConformerConfig:
             d["interctc_layer_idx"] = tuple(d["interctc_layer_idx"])
         if d.get("multicgmlp_kernel_sizes") is not None:
             d["multicgmlp_kernel_sizes"] = tuple(d["multicgmlp_kernel_sizes"])
+        if d.get("ss_layers") is not None:
+            ss = d["ss_layers"]
+            d["ss_layers"] = tuple(
+                s.strip() for s in (ss.split(",") if isinstance(ss, str) else ss)
+            )
         return cls(**d)
 
 
@@ -358,6 +376,12 @@ def make_encoder(encoder_type: str, cfg: "ConformerConfig", dtype=jnp.float32, n
             audio_only=True,
         )
         return AVHubertEncoder(av_cfg, cfg.output_size, dtype=dtype, name=name)
+    if encoder_type == "s4":
+        # compositional state-spaces stack as an encoder (VERDICT r3 #6;
+        # reference state_spaces/model.py used encoder-side)
+        from llm_guided_asr_tpu.models.state_spaces import S4Encoder
+
+        return S4Encoder(cfg, dtype=dtype, name=name)
     if encoder_type in ("wav2vec2_hf", "hubert_hf", "whisper_hf"):
         # pretrained-import encoders (VERDICT missing #6): architecture comes
         # from the HF config at cfg.model_name_or_path; weights are injected
