@@ -202,14 +202,27 @@ class ASRModel(nn.Module):
                 pre_cfg, dtype=self.dtype, name="preencoder"
             )
         if cfg.postencoder is not None:
-            from llm_guided_asr_tpu.models.preencoder import LengthAdaptorPostEncoder
-
             kind, post_cfg = cfg.postencoder
-            if kind != "length_adaptor":
+            if kind == "length_adaptor":
+                from llm_guided_asr_tpu.models.preencoder import (
+                    LengthAdaptorPostEncoder,
+                )
+
+                self.postencoder_mod = LengthAdaptorPostEncoder(
+                    post_cfg, dtype=self.dtype, name="postencoder"
+                )
+            elif kind == "hugging_face_transformers":
+                # pretrained BERT-family body over the acoustic encoder
+                # output (hugging_face_transformers_postencoder.py)
+                from llm_guided_asr_tpu.models.hf_encoder import (
+                    HFTransformersPostEncoder,
+                )
+
+                self.postencoder_mod = HFTransformersPostEncoder(
+                    post_cfg, dtype=self.dtype, name="postencoder"
+                )
+            else:
                 raise ValueError(f"unknown postencoder {kind!r}")
-            self.postencoder_mod = LengthAdaptorPostEncoder(
-                post_cfg, dtype=self.dtype, name="postencoder"
-            )
         if cfg.normalize == "global_mvn":
             # populated from collect-stats feats_stats.npz (global_mvn.py:26)
             dim = n_feat if n_feat is not None else 1

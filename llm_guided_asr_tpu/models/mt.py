@@ -38,6 +38,12 @@ class MTConfig:
     lsm_weight: float = 0.1
     length_normalized_loss: bool = False
     ignore_id: int = -1
+    # encoder: transformer (scratch) | hugging_face (pretrained BERT-family
+    # token encoder, hugging_face_transformers_encoder.py; weights injected
+    # by the task from hf_model_name_or_path)
+    encoder: str = "transformer"
+    hf_model_name_or_path: str = ""
+    lang_token_id: int = -1
 
     @property
     def sos_id(self) -> int:
@@ -58,20 +64,45 @@ class MTModel(nn.Module):
 
     def setup(self):
         cfg = self.cfg
-        src_vocab = cfg.src_vocab_size or cfg.vocab_size
-        self.src_embed = nn.Embed(src_vocab, cfg.adim, dtype=self.dtype, name="src_embed")
-        self.pos = PositionalEncoding(0.1, dtype=self.dtype, name="pos")
-        self.blocks = [
-            TransformerEncoderLayer(cfg.heads, cfg.units, 0.1, dtype=self.dtype,
-                                    name=f"block_{i}")
-            for i in range(cfg.elayers)
-        ]
-        self.after_norm = nn.LayerNorm(dtype=self.dtype, name="after_norm")
+        if cfg.encoder == "hugging_face":
+            from transformers import AutoConfig
+
+            from llm_guided_asr_tpu.models.hf_encoder import (
+                BertBodyConfig,
+                HFTransformersEncoder,
+            )
+
+            body = BertBodyConfig.from_hf_config(
+                AutoConfig.from_pretrained(cfg.hf_model_name_or_path)
+            )
+            self.hf_encoder = HFTransformersEncoder(
+                body, lang_token_id=cfg.lang_token_id, dtype=self.dtype,
+                name="hf_encoder",
+            )
+            # project the pretrained hidden size into the decoder width
+            self.enc_proj = nn.Dense(cfg.adim, dtype=self.dtype, name="enc_proj")
+        else:
+            src_vocab = cfg.src_vocab_size or cfg.vocab_size
+            self.src_embed = nn.Embed(src_vocab, cfg.adim, dtype=self.dtype, name="src_embed")
+            self.pos = PositionalEncoding(0.1, dtype=self.dtype, name="pos")
+            self.blocks = [
+                TransformerEncoderLayer(cfg.heads, cfg.units, 0.1, dtype=self.dtype,
+                                        name=f"block_{i}")
+                for i in range(cfg.elayers)
+            ]
+            self.after_norm = nn.LayerNorm(dtype=self.dtype, name="after_norm")
         self.decoder = TransformerDecoder(cfg.vocab_size, cfg.decoder, dtype=self.dtype,
                                           name="decoder")
 
     def encode(self, src_text, src_text_lengths, deterministic: bool = True):
         valid = make_valid_mask(src_text_lengths, src_text.shape[1])
+        if self.cfg.encoder == "hugging_face":
+            x, lens = self.hf_encoder(
+                jnp.where(valid, src_text, 0), src_text_lengths, deterministic
+            )
+            x = self.enc_proj(x)
+            valid = make_valid_mask(lens, x.shape[1])
+            return jnp.where(valid[..., None], x, 0.0), lens
         x = self.src_embed(jnp.where(valid, src_text, 0))
         x = self.pos(x, deterministic)
         for blk in self.blocks:

@@ -180,17 +180,47 @@ def build_model_config(config: Dict[str, Any]) -> ASRModelConfig:
             SincPreencoderConfig.from_dict(config.get("preencoder_conf", {}) or {}),
         )
     postencoder = None
-    if config.get("postencoder"):
-        if config["postencoder"] != "length_adaptor":
-            raise ValueError(
-                f"unknown postencoder {config['postencoder']!r}; "
-                "known: length_adaptor"
-            )
+    if config.get("postencoder") == "length_adaptor":
         from llm_guided_asr_tpu.models.preencoder import LengthAdaptorConfig
 
         postencoder = (
             "length_adaptor",
             LengthAdaptorConfig.from_dict(config.get("postencoder_conf", {}) or {}),
+        )
+    elif config.get("postencoder") in ("hugging_face_transformers",
+                                       "hugging_face"):
+        # pretrained transformers body as the postencoder (reference
+        # tasks/asr.py postencoder_choices 'hugging_face_transformers')
+        from transformers import AutoConfig
+
+        from llm_guided_asr_tpu.models.hf_encoder import (
+            BertBodyConfig,
+            HFPostEncoderConfig,
+        )
+
+        pconf = dict(config.get("postencoder_conf", {}) or {})
+        name = pconf.get("model_name_or_path")
+        if not name:
+            raise ValueError(
+                "postencoder hugging_face_transformers needs "
+                "postencoder_conf.model_name_or_path"
+            )
+        body = BertBodyConfig.from_hf_config(AutoConfig.from_pretrained(name))
+        postencoder = (
+            "hugging_face_transformers",
+            HFPostEncoderConfig(
+                body=body,
+                length_adaptor_n_layers=int(
+                    pconf.get("length_adaptor_n_layers", 0)
+                ),
+                lang_token_id=int(pconf.get("lang_token_id", -1)),
+                model_name_or_path=name,
+            ),
+        )
+    elif config.get("postencoder"):
+        raise ValueError(
+            f"unknown postencoder {config['postencoder']!r}; "
+            "known: length_adaptor, hugging_face_transformers"
         )
 
     enc_conf = dict(config.get("encoder_conf", {}) or {})
@@ -198,7 +228,7 @@ def build_model_config(config: Dict[str, Any]) -> ASRModelConfig:
     known_encoders = (
         "conformer", "transformer", "e_branchformer", "branchformer",
         "contextual_block_conformer", "whisper_style", "longformer",
-        "multiconvformer", "rnn", "vgg_rnn", "avhubert",
+        "multiconvformer", "rnn", "vgg_rnn", "avhubert", "s4",
         "wav2vec2_hf", "hubert_hf", "whisper_hf",
     )
     if encoder_type not in known_encoders:
@@ -408,6 +438,22 @@ def init_model_variables(
         enc_params["ssl"] = pre
         variables["params"] = {**variables["params"], "encoder": enc_params}
         logger.info(f"loaded pretrained {enc_type} encoder weights from {name}")
+    if (
+        config.get("postencoder") in ("hugging_face_transformers", "hugging_face")
+        and not config.get("_skip_llm_weights")
+    ):
+        from llm_guided_asr_tpu.models.hf_encoder import load_hf_postencoder_params
+
+        _, post_cfg = model.cfg.postencoder
+        pre = load_hf_postencoder_params(post_cfg)
+        post_params = {**variables["params"]["postencoder"], **pre}
+        variables["params"] = {
+            **variables["params"], "postencoder": post_params
+        }
+        logger.info(
+            "loaded pretrained postencoder body from "
+            f"{post_cfg.model_name_or_path}"
+        )
     return variables
 
 

@@ -354,6 +354,13 @@ def _build_mt(config):
         elayers=int(mc.get("elayers", 6)),
         decoder=TransformerDecoderConfig.from_dict(config.get("decoder_conf", {}) or {}),
         lsm_weight=float(mc.get("lsm_weight", 0.1)),
+        encoder=config.get("encoder", "transformer"),
+        hf_model_name_or_path=(config.get("encoder_conf", {}) or {}).get(
+            "model_name_or_path", ""
+        ),
+        lang_token_id=int(
+            (config.get("encoder_conf", {}) or {}).get("lang_token_id", -1)
+        ),
     )
     model = MTModel(cfg)
     names = ("text", "text_lengths", "src_text", "src_text_lengths")
@@ -1152,6 +1159,22 @@ class GenericTask:
             "mask": jax.random.PRNGKey(2),
         }
         variables = dict(model.init(rngs, *dummy, deterministic=True))
+        if (
+            config.get("task") == "mt"
+            and config.get("encoder") == "hugging_face"
+            and not config.get("_skip_llm_weights")
+        ):
+            # pretrained token-encoder weights (hugging_face_transformers_
+            # encoder.py AutoModel.from_pretrained analog)
+            from llm_guided_asr_tpu.models.hf_encoder import load_hf_encoder_params
+
+            _, pre = load_hf_encoder_params(
+                (config.get("encoder_conf", {}) or {})["model_name_or_path"]
+            )
+            variables["params"] = {
+                **variables["params"],
+                "hf_encoder": {**variables["params"]["hf_encoder"], **pre},
+            }
 
         tx = build_optimizer(
             config.get("optim", "adam"), config.get("optim_conf"),
