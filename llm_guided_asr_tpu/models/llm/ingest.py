@@ -184,6 +184,106 @@ def stream_llm_params(
     return params
 
 
+def hf_tensor_shapes(cfg) -> Dict[str, Tuple[int, ...]]:
+    """HF safetensors tensor name -> shape for a Llama/Qwen-family config.
+
+    The exact inventory `stream_llm_params` expects (llama.py HF layout):
+    used to synthesize benchmark checkpoints at real scale (a Llama-3.2-1B
+    -shaped checkpoint for bench.py's guided-path measurement) without hub
+    access.
+    """
+    h = cfg.hidden_size
+    kv = cfg.num_key_value_heads * (h // cfg.num_attention_heads)
+    shapes: Dict[str, Tuple[int, ...]] = {
+        "model.embed_tokens.weight": (cfg.vocab_size, h),
+        "model.norm.weight": (h,),
+    }
+    if not cfg.tie_word_embeddings:
+        shapes["lm_head.weight"] = (cfg.vocab_size, h)
+    for i in range(cfg.num_hidden_layers):
+        pre = f"model.layers.{i}."
+        shapes[pre + "input_layernorm.weight"] = (h,)
+        shapes[pre + "post_attention_layernorm.weight"] = (h,)
+        shapes[pre + "self_attn.q_proj.weight"] = (h, h)
+        shapes[pre + "self_attn.k_proj.weight"] = (kv, h)
+        shapes[pre + "self_attn.v_proj.weight"] = (kv, h)
+        shapes[pre + "self_attn.o_proj.weight"] = (h, h)
+        if cfg.attention_bias:
+            for p in ("q_proj", "k_proj", "v_proj"):
+                d = kv if p in ("k_proj", "v_proj") else h
+                shapes[pre + f"self_attn.{p}.bias"] = (d,)
+        shapes[pre + "mlp.gate_proj.weight"] = (cfg.intermediate_size, h)
+        shapes[pre + "mlp.up_proj.weight"] = (cfg.intermediate_size, h)
+        shapes[pre + "mlp.down_proj.weight"] = (h, cfg.intermediate_size)
+    return shapes
+
+
+def write_synth_hf_checkpoint(
+    out_dir, cfg, seed: int = 0, scale: float = 0.02,
+    shard_bytes: int = 1 << 30,
+) -> Path:
+    """Write a synthetic HF-named bf16 sharded safetensors checkpoint.
+
+    Random N(0, scale) weights (norm scales = 1) in the real multi-file hub
+    layout, so bench.py can exercise the streamed ingestion + guided decode
+    at the fork's true LLM scale (Llama-3.2-1B, esun
+    train_asr+llama3_conformer.yaml:51-53) with zero network.  Idempotent:
+    reuses out_dir when a complete index already exists.  One tensor is
+    resident at a time (peak host = one embed table).
+    """
+    import ml_dtypes
+    from safetensors.numpy import save_file
+
+    out_dir = Path(out_dir)
+    index = out_dir / "model.safetensors.index.json"
+    marker = out_dir / ".synth_meta.json"
+    meta = {"seed": seed, "scale": scale,
+            "cfg": {k: getattr(cfg, k) for k in (
+                "vocab_size", "hidden_size", "intermediate_size",
+                "num_hidden_layers", "num_attention_heads",
+                "num_key_value_heads", "attention_bias",
+                "tie_word_embeddings")}}
+    if index.exists() and marker.exists():
+        try:
+            if json.loads(marker.read_text()) == meta:
+                return out_dir
+        except Exception:
+            pass
+    out_dir.mkdir(parents=True, exist_ok=True)
+    rng = np.random.default_rng(seed)
+    bf16 = ml_dtypes.bfloat16
+    weight_map: Dict[str, str] = {}
+    group: Dict[str, np.ndarray] = {}
+    size = 0
+    shards: list = []
+
+    def flush():
+        nonlocal group, size
+        if group:
+            shards.append(group)
+            group, size = {}, 0
+
+    for name, shape in hf_tensor_shapes(cfg).items():
+        if name.endswith("layernorm.weight") or name == "model.norm.weight":
+            arr = np.ones(shape, bf16)
+        else:
+            arr = (rng.standard_normal(shape, np.float32) * scale).astype(bf16)
+        if size and size + arr.nbytes > shard_bytes:
+            flush()
+        group[name] = arr
+        size += arr.nbytes
+    flush()
+    n = len(shards)
+    for i, g in enumerate(shards):
+        fname = f"model-{i + 1:05d}-of-{n:05d}.safetensors"
+        save_file(g, out_dir / fname)
+        for name in g:
+            weight_map[name] = fname
+    index.write_text(json.dumps({"weight_map": weight_map}))
+    marker.write_text(json.dumps(meta))
+    return out_dir
+
+
 def save_sharded_checkpoint(
     out_dir, tree: Dict, shard_bytes: int = 1 << 30
 ) -> None:
