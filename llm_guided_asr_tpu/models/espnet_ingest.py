@@ -164,6 +164,32 @@ def transformer_decoder_params(
     return params
 
 
+def transformer_lm_params(sd: Dict[str, np.ndarray], num_blocks: int) -> Dict:
+    """Reference TransformerLM state_dict -> models/lm.py TransformerLM params.
+
+    Torch layout (espnet2/lm/transformer_lm.py): embed (Embedding) ->
+    encoder with input_layer='linear' (encoder.embed.0 Linear +
+    encoder.embed.1 LayerNorm, then ReLU + pos-enc) -> encoder.encoders.N
+    post/pre-norm blocks -> encoder.after_norm -> decoder Linear head.
+    """
+    params: Dict = {
+        "embed": {"embedding": np.asarray(sd["embed.weight"])},
+        "input_proj": _lin(sd, "encoder.embed.0"),
+        "input_norm": _ln(sd, "encoder.embed.1"),
+        "after_norm": _ln(sd, "encoder.after_norm"),
+        "output": _lin(sd, "decoder"),
+    }
+    for i in range(num_blocks):
+        r = f"encoder.encoders.{i}"
+        params[f"block_{i}"] = {
+            "self_attn": _mha(sd, f"{r}.self_attn"),
+            "feed_forward": _ffn(sd, f"{r}.feed_forward"),
+            "norm1": _ln(sd, f"{r}.norm1"),
+            "norm2": _ln(sd, f"{r}.norm2"),
+        }
+    return params
+
+
 def ctc_head_params(sd: Dict[str, np.ndarray], prefix: str = "ctc_lo") -> Dict:
     return _lin(sd, prefix)
 

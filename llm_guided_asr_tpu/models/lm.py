@@ -61,7 +61,13 @@ class TransformerLM(nn.Module):
     ) -> jnp.ndarray:
         cfg = self.cfg
         x = nn.Embed(cfg.vocab_size, cfg.embed_unit, dtype=self.dtype, name="embed")(tokens)
+        # the torch Encoder's input_layer='linear' stack is Linear -> LN ->
+        # Dropout -> ReLU -> pos_enc (espnet/nets/pytorch_backend/transformer/
+        # encoder.py:120-127); keep all of it for checkpoint parity
         x = nn.Dense(cfg.att_unit, dtype=self.dtype, name="input_proj")(x)
+        x = nn.LayerNorm(dtype=self.dtype, name="input_norm")(x)
+        x = nn.Dropout(cfg.dropout_rate)(x, deterministic=deterministic)
+        x = nn.relu(x)
         x = PositionalEncoding(cfg.dropout_rate, dtype=self.dtype, name="pos_enc")(
             x, deterministic
         )
