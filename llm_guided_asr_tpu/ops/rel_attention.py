@@ -49,50 +49,55 @@ def _interpret() -> bool:
         return True
 
 
-def _row_barrel_roll(x: jnp.ndarray, direction: int) -> jnp.ndarray:
-    """Roll row ii of x by ``direction * ii`` positions along the lane axis.
-
-    direction=+1 rolls each row right by its row index, -1 left.  Log-step:
-    for each bit b of the row index, conditionally roll the whole tile.
-    """
-    t = x.shape[0]
-    p = x.shape[1]
-    rows = jax.lax.broadcasted_iota(jnp.int32, x.shape, 0)
-    shift = 1
-    bit = 0
-    while shift < t:
-        # pltpu.roll requires non-negative shifts; left roll s == right p-s
-        s = shift if direction > 0 else p - shift
-        rolled = pltpu.roll(x, shift=s, axis=1)
-        take = ((rows >> bit) & 1) == 1
-        x = jnp.where(take, rolled, x)
-        shift <<= 1
-        bit += 1
-    return x
-
-
 def _shift_bd(s2: jnp.ndarray, t: int) -> jnp.ndarray:
-    """[T, P] -> [T, T]: bd[i, j] = s2[i, (T-1) - i + j] (espnet rel_shift)."""
+    """[T, P] -> [T, T]: bd[i, j] = s2[i, (T-1) - i + j] (espnet rel_shift).
+
+    One strided rotate: tpu.dynamic_rotate natively rolls row i by
+    (shift + stride*i), so the whole rel-shift is a single VPU pass —
+    result[i, j] = s2[i, (j - shift - i) mod P] with shift = P - (T-1).
+    (An earlier version built this from a log2(T)-step chain of masked
+    uniform rolls; at [256, 512] f32 those 9 full-tile passes were ~40% of
+    the kernel's forward time and ~45% of its backward —
+    tools/prof_relattn.py with LLMASR_RELATTN_NOSHIFT=1.)
+    """
     if os.environ.get("LLMASR_RELATTN_NOSHIFT"):
-        # profiling ablation ONLY (tools/prof_relattn.py): skip the barrel
-        # shifter to measure its cost — results are WRONG with this set
+        # profiling ablation ONLY (tools/prof_relattn.py): skip the shift
+        # to measure its cost — results are WRONG with this set
         return s2[:, :t]
-    # roll right by row index, then uniformly left by (t-1):
-    # result[i, j] = s2[i, ((j - i) + (t-1)) mod P]
-    x = _row_barrel_roll(s2, +1)
-    x = pltpu.roll(x, shift=s2.shape[1] - (t - 1), axis=1)
+    p = s2.shape[1]
+    x = pltpu.roll(s2, shift=(p - (t - 1)) % p, axis=1, stride=1, stride_axis=0)
     return x[:, :t]
 
 
-def _unshift_bd(dbd: jnp.ndarray, p_len: int, t: int) -> jnp.ndarray:
-    """Adjoint of _shift_bd: scatter [T, T] back into [T, P]."""
-    pad = jnp.zeros((t, p_len - t), dbd.dtype)
-    x = jnp.concatenate([dbd, pad], axis=1)
+def _unshift_bd_rev(dbd: jnp.ndarray, p_len: int, t: int,
+                    lo_dtype) -> jnp.ndarray:
+    """Adjoint of _shift_bd in LANE-REVERSED coordinates: returns y with
+    y[i, j] = ds2[i, P-1-j] where ds2 = scatter of [T, T] dbd into [T, P].
+
+    The inverse permutation needs a roll by MINUS the row index; the
+    strided-rotate lowering only allows small non-negative strides
+    (intra-vreg shift range < 128, so stride = P-1 for "-i mod P" is
+    rejected).  A lane reversal flips the direction: reverse (a matmul
+    with the exchange matrix J on the otherwise-idle MXU), then roll right
+    by (base + i) with stride 1.  The SECOND reversal is algebraically
+    pushed into the consumers instead of paid here: the caller contracts
+    y against a pre-reversed position table (dqv = y @ p_rev) and emits
+    dp in reversed coordinates, un-flipped once in XLA outside the kernel.
+    dbd is cast to ``lo_dtype`` (bf16 in training) before the J matmul —
+    the same precision the downstream dqv/dp matmuls already use.
+    """
+    pad = jnp.zeros((t, p_len - t), lo_dtype)
+    x = jnp.concatenate([dbd.astype(lo_dtype), pad], axis=1)
     if os.environ.get("LLMASR_RELATTN_NOSHIFT"):
         return x  # profiling ablation ONLY — see _shift_bd
-    x = pltpu.roll(x, shift=t - 1, axis=1)
-    x = _row_barrel_roll(x, -1)
-    return x
+    ar = jax.lax.broadcasted_iota(jnp.int32, (p_len, p_len), 0)
+    ac = jax.lax.broadcasted_iota(jnp.int32, (p_len, p_len), 1)
+    jmat = (ar + ac == p_len - 1).astype(lo_dtype)  # J[a, b] = [a == P-1-b]
+    xr = jax.lax.dot_general(x, jmat, (((1,), (0,)), ((), ())),
+                             preferred_element_type=jnp.float32)
+    y = pltpu.roll(xr, shift=(p_len - (t - 1)) % p_len, axis=1,
+                   stride=1, stride_axis=0)
+    return y.astype(lo_dtype)
 
 
 def _scores(qu, qv, k, p, valid_row, sm_scale, tp):
@@ -166,10 +171,10 @@ def _fwd_kernel(seed_ref, qu_ref, qv_ref, k_ref, v_ref, p_ref, valid_ref,
     m_ref[0, 0] = m
 
 
-def _bwd_kernel(seed_ref, qu_ref, qv_ref, k_ref, v_ref, p_ref, valid_ref,
-                out_ref, l_ref, m_ref, dout_ref,
-                dqu_ref, dqv_ref, dk_ref, dv_ref, dp_ref, *, sm_scale: float,
-                dropout_rate: float):
+def _bwd_kernel(seed_ref, qu_ref, qv_ref, k_ref, v_ref, p_ref, prev_ref,
+                valid_ref, out_ref, l_ref, m_ref, dout_ref,
+                dqu_ref, dqv_ref, dk_ref, dv_ref, dprev_ref, *,
+                sm_scale: float, dropout_rate: float):
     tp = qu_ref.shape[2]
     p_len = p_ref.shape[1]
     qu = qu_ref[0, 0]
@@ -177,6 +182,7 @@ def _bwd_kernel(seed_ref, qu_ref, qv_ref, k_ref, v_ref, p_ref, valid_ref,
     k = k_ref[0, 0]
     v = v_ref[0, 0]
     p = p_ref[0]
+    p_rev = prev_ref[0]  # p with its position axis flipped (see _vjp_bwd)
     out = out_ref[0, 0].astype(jnp.float32)
     dout = dout_ref[0, 0]
     l = l_ref[0, 0]  # [Tp, 1]
@@ -215,12 +221,14 @@ def _bwd_kernel(seed_ref, qu_ref, qv_ref, k_ref, v_ref, p_ref, valid_ref,
                               preferred_element_type=jnp.float32)
     dk = jax.lax.dot_general(ds_lo, qu, (((0,), (0,)), ((), ())),
                              preferred_element_type=jnp.float32)
-    # unshift stays f32: tpu.dynamic_rotate only lowers for 32-bit data
-    ds2 = _unshift_bd(dscores, p_len, tp).astype(qu.dtype)  # [T, P]
-    dqv = jax.lax.dot_general(ds2, p, (((1,), (0,)), ((), ())),
+    # ds2 arrives lane-REVERSED (ds2_rev[i, j] = ds2[i, P-1-j]); both
+    # consumers absorb the flip: dqv contracts against p_rev, and dp is
+    # emitted reversed (un-flipped in XLA by _vjp_bwd)
+    ds2_rev = _unshift_bd_rev(dscores, p_len, tp, qu.dtype)  # [T, P]
+    dqv = jax.lax.dot_general(ds2_rev, p_rev, (((1,), (0,)), ((), ())),
                               preferred_element_type=jnp.float32)
-    dp = jax.lax.dot_general(ds2, qv, (((0,), (0,)), ((), ())),
-                             preferred_element_type=jnp.float32)
+    dp_rev = jax.lax.dot_general(ds2_rev, qv, (((0,), (0,)), ((), ())),
+                                 preferred_element_type=jnp.float32)
 
     dqu_ref[0, 0] = dqu.astype(dqu_ref.dtype)
     dqv_ref[0, 0] = dqv.astype(dqv_ref.dtype)
@@ -231,9 +239,9 @@ def _bwd_kernel(seed_ref, qu_ref, qv_ref, k_ref, v_ref, p_ref, valid_ref,
     # accumulation is race-free; zero it on the first batch cell
     @pl.when(pl.program_id(1) == 0)
     def _init():
-        dp_ref[...] = jnp.zeros_like(dp_ref)
+        dprev_ref[...] = jnp.zeros_like(dprev_ref)
 
-    dp_ref[...] += dp[None].astype(dp_ref.dtype)
+    dprev_ref[...] += dp_rev[None].astype(dprev_ref.dtype)
 
 
 def _specs(tp, p_len, dk):
@@ -330,11 +338,12 @@ def _vjp_bwd(sm_scale, dropout_rate, res, dout):
     p_len = p.shape[1]
     qspec, pspec, vspec, lspec = _specs(tp, p_len, dk)
     sspec = pl.BlockSpec(memory_space=pltpu.SMEM)
-    dqu, dqv, dk_, dv, dp = pl.pallas_call(
+    p_rev = p[:, ::-1, :]  # pre-reversed position table (XLA, cheap)
+    dqu, dqv, dk_, dv, dp_rev = pl.pallas_call(
         functools.partial(_bwd_kernel, sm_scale=sm_scale,
                           dropout_rate=dropout_rate),
         grid=(h, b),
-        in_specs=[sspec, qspec, qspec, qspec, qspec, pspec, vspec,
+        in_specs=[sspec, qspec, qspec, qspec, qspec, pspec, pspec, vspec,
                   qspec, lspec, lspec, qspec],
         out_specs=[qspec, qspec, qspec, qspec, pspec],
         out_shape=[
@@ -346,8 +355,10 @@ def _vjp_bwd(sm_scale, dropout_rate, res, dout):
         ],
         compiler_params=_bwd_params(),
         interpret=_interpret(),
-    )(_seed_arr(seed), qu, qv, k, v, p, kv_valid[:, None, :], out, l, m, dout)
-    return (dqu, dqv, dk_, dv, dp.astype(p.dtype), None, None)
+    )(_seed_arr(seed), qu, qv, k, v, p, p_rev, kv_valid[:, None, :],
+      out, l, m, dout)
+    # dp came back in reversed position coordinates
+    return (dqu, dqv, dk_, dv, dp_rev[:, ::-1, :].astype(p.dtype), None, None)
 
 
 rel_flash_attention.defvjp(_vjp_fwd, _vjp_bwd)
