@@ -43,6 +43,23 @@ class HubertConfig:
     conv_kernels: Tuple[int, ...] = (10, 8, 4, 4)
     mask_prob: float = 0.4
     mask_span: int = 4
+    # prediction head (espnet2/hubert/espnet_model.py:266 HubertPretrainModel
+    # + hubert_loss.py HubertPretrainLoss, which delegate to the fairseq
+    # criterion semantics):
+    #   cosine  — project frames to final_dim, score against a learned label
+    #             embedding table by cosine similarity / logit_temp (the
+    #             original HuBERT head; reference default path)
+    #   softmax — plain linear -> n_clusters logits (round-3 head, kept for
+    #             checkpoints that trained with it)
+    head: str = "cosine"
+    final_dim: int = 64
+    logit_temp: float = 0.1
+    # loss composition (hubert_loss.py:28-36 defaults)
+    pred_masked_weight: float = 1.0
+    pred_nomask_weight: float = 0.0
+    # weight of the conv-feature L2 penalty ("extra loss" / features_pen in
+    # the fairseq criterion the reference wraps; hubert_loss.py:63-74)
+    loss_weights: float = 10.0
 
 
 class ConvFeatureExtractor(nn.Module):
@@ -84,7 +101,16 @@ class HubertModel(nn.Module):
                                     name=f"block_{i}")
             for i in range(cfg.layers)
         ]
-        self.final_proj = nn.Dense(cfg.n_clusters, dtype=self.dtype, name="final_proj")
+        if cfg.head == "cosine":
+            self.final_proj = nn.Dense(cfg.final_dim, dtype=self.dtype,
+                                       name="final_proj")
+            self.label_embs = self.param(
+                "label_embs", nn.initializers.normal(0.02),
+                (cfg.n_clusters, cfg.final_dim),
+            )
+        else:
+            self.final_proj = nn.Dense(cfg.n_clusters, dtype=self.dtype,
+                                       name="final_proj")
 
     def _span_mask(self, rng, b, t, valid):
         """Random span mask [B, T] (wav2vec2-style)."""
@@ -97,7 +123,8 @@ class HubertModel(nn.Module):
             mask = mask | shifted
         return mask & valid
 
-    def encode(self, speech, speech_lengths, mask_rng=None, deterministic=True):
+    def encode(self, speech, speech_lengths, mask_rng=None, deterministic=True,
+               return_feats=False):
         cfg = self.cfg
         feats = self.feature_extractor(speech.astype(self.dtype))
         flens = ConvFeatureExtractor.out_lengths(cfg, speech_lengths)
@@ -111,7 +138,25 @@ class HubertModel(nn.Module):
         x = self.pos(x, deterministic)
         for blk in self.blocks:
             x = blk(x, valid[:, None, :], deterministic)
+        if return_feats:
+            return x, flens, masked, feats
         return x, flens, masked
+
+    def _head_logits(self, x: jnp.ndarray) -> jnp.ndarray:
+        """Per-frame cluster scores [B, T, C].
+
+        cosine head: L2-normalized final_proj(x) against L2-normalized label
+        embeddings, divided by logit_temp — CE over these scores equals the
+        fairseq criterion's CE over [sim-to-target, sims-to-all] with target
+        index 0 (the logsumexp is over the same set of similarities).
+        """
+        if self.cfg.head != "cosine":
+            return self.final_proj(x)
+        z = self.final_proj(x).astype(jnp.float32)
+        z = z / jnp.maximum(jnp.linalg.norm(z, axis=-1, keepdims=True), 1e-6)
+        e = self.label_embs.astype(jnp.float32)
+        e = e / jnp.maximum(jnp.linalg.norm(e, axis=-1, keepdims=True), 1e-6)
+        return jnp.einsum("btd,cd->btc", z, e) / self.cfg.logit_temp
 
     def __call__(
         self,
@@ -121,25 +166,57 @@ class HubertModel(nn.Module):
         units_lengths: jnp.ndarray,
         deterministic: bool = True,
     ) -> Tuple[jnp.ndarray, Dict[str, jnp.ndarray], jnp.ndarray]:
+        cfg = self.cfg
         rng = self.make_rng("mask") if not deterministic else None
-        x, flens, masked = self.encode(speech, speech_lengths, rng, deterministic)
+        x, flens, masked, feats = self.encode(
+            speech, speech_lengths, rng, deterministic, return_feats=True
+        )
+        valid = make_valid_mask(flens, x.shape[1])
         if rng is None:
             # deterministic eval: mask every other frame
-            valid = make_valid_mask(flens, x.shape[1])
             masked = (jnp.arange(x.shape[1])[None, :] % 2 == 1) & valid
-        logits = self.final_proj(x)  # [B, T, C]
+        logits = self._head_logits(x)  # [B, T, C]
         t = min(logits.shape[1], units.shape[1])
         logits = logits[:, :t]
         tgt = units[:, :t]
-        tgt_valid = (tgt >= 0) & masked[:, :t]
-        logp = jax.nn.log_softmax(logits.astype(jnp.float32), axis=-1)
-        nll = -jnp.take_along_axis(logp, jnp.maximum(tgt, 0)[..., None], axis=-1)[..., 0]
-        denom = jnp.maximum(jnp.sum(tgt_valid), 1)
-        loss = jnp.sum(jnp.where(tgt_valid, nll, 0.0)) / denom
-        acc = jnp.sum(
-            jnp.where(tgt_valid, (jnp.argmax(logits, -1) == tgt), False)
-        ) / denom
-        stats = {"loss": loss, "acc_masked": acc}
+        has_tgt = tgt >= 0
+
+        def _ce_acc(sel):
+            """Mean CE + fairseq-style accuracy over the selected frames.
+
+            compute_correct (espnet_model.py:444-457): a frame counts as
+            correct when argmax hits the target UNLESS argmin also does
+            (constant rows score zero).
+            """
+            n = jnp.maximum(jnp.sum(sel), 1)
+            logp = jax.nn.log_softmax(logits.astype(jnp.float32), axis=-1)
+            nll = -jnp.take_along_axis(
+                logp, jnp.maximum(tgt, 0)[..., None], axis=-1
+            )[..., 0]
+            ce = jnp.sum(jnp.where(sel, nll, 0.0)) / n
+            hit_max = jnp.argmax(logits, -1) == tgt
+            hit_min = jnp.argmin(logits, -1) == tgt
+            acc = jnp.sum(jnp.where(sel, hit_max & ~hit_min, False)) / n
+            return ce, acc
+
+        loss_m, acc_m = _ce_acc(has_tgt & masked[:, :t])
+        loss_u, acc_u = _ce_acc(has_tgt & ~masked[:, :t] & valid[:, :t])
+        # conv-feature L2 penalty (fairseq features_pen; under the reference
+        # criterion's per-sample normalization it enters as loss_weights*pen)
+        feat_pen = jnp.mean(feats.astype(jnp.float32) ** 2)
+        loss = cfg.pred_masked_weight * loss_m
+        if cfg.pred_nomask_weight > 0:
+            loss = loss + cfg.pred_nomask_weight * loss_u
+        if cfg.loss_weights > 0:
+            loss = loss + cfg.loss_weights * feat_pen
+        stats = {
+            "loss": loss,
+            "loss_m": loss_m,
+            "loss_u": loss_u,
+            "acc_masked": acc_m,
+            "acc_unmask": acc_u,
+            "features_pen": feat_pen,
+        }
         return loss, stats, jnp.asarray(speech.shape[0], jnp.float32)
 
 

@@ -270,7 +270,8 @@ def _build_hubert(config):
 
     mc = dict(config.get("model_conf", {}) or {})
     known = {"n_clusters", "adim", "heads", "units", "layers", "conv_channels",
-             "mask_prob", "mask_span"}
+             "mask_prob", "mask_span", "head", "final_dim", "logit_temp",
+             "pred_masked_weight", "pred_nomask_weight", "loss_weights"}
     cfg = HubertConfig(**{k: v for k, v in mc.items() if k in known})
     model = HubertModel(cfg)
     names = ("speech", "speech_lengths", "units", "units_lengths")

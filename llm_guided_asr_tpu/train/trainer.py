@@ -151,6 +151,7 @@ def make_train_step(
                 "dropout": rng,
                 "specaug": jax.random.fold_in(rng, 1),
                 "mlm": jax.random.fold_in(rng, 2),
+                "mask": jax.random.fold_in(rng, 3),
             },
             mutable=mutable if mutable else False,
         )

@@ -43,7 +43,7 @@ def test_kmeans_units():
 
 def test_hubert_masked_prediction_learns():
     cfg = HubertConfig(n_clusters=4, adim=32, heads=2, units=48, layers=2,
-                       conv_channels=16)
+                       conv_channels=16, head="softmax", loss_weights=0.0)
     model = HubertModel(cfg)
     rng = np.random.default_rng(0)
     n = 8000
@@ -86,6 +86,71 @@ def test_hubert_masked_prediction_learns():
         {"params": params}, speech, slens, units, ulens, deterministic=True
     )
     assert float(stats["acc_masked"]) > 0.85, f"masked unit acc: {stats}"
+
+
+def test_hubert_cosine_head_criterion_parity():
+    """Cosine head == fairseq criterion: CE over [sim(target), sim(all)] with
+    target at index 0 (hubert_loss.py), plus weighted masked/unmasked terms
+    and the loss_weights * features_pen extra loss."""
+    cfg = HubertConfig(n_clusters=5, adim=16, heads=2, units=24, layers=1,
+                       conv_channels=8, head="cosine", final_dim=12,
+                       logit_temp=0.1, pred_masked_weight=1.0,
+                       pred_nomask_weight=0.5, loss_weights=10.0)
+    model = HubertModel(cfg)
+    rng = np.random.default_rng(1)
+    speech = jnp.asarray(rng.standard_normal((2, 4000)), jnp.float32)
+    slens = jnp.asarray([4000, 2500])
+    flen = int(ConvFeatureExtractor.out_lengths(cfg, slens)[0])
+    units = jnp.asarray(rng.integers(0, 5, (2, flen)), jnp.int32)
+    flens = ConvFeatureExtractor.out_lengths(cfg, slens)
+    units = jnp.where(jnp.arange(flen)[None, :] < flens[:, None], units, -1)
+    ulens = flens
+    variables = model.init(
+        {"params": jax.random.PRNGKey(0), "dropout": jax.random.PRNGKey(1),
+         "mask": jax.random.PRNGKey(2)},
+        speech, slens, units, ulens, deterministic=True,
+    )
+    loss, stats, _ = model.apply(
+        {"params": variables["params"]}, speech, slens, units, ulens,
+        deterministic=True,
+    )
+    # recompute from the encoder outputs with an explicit target-first
+    # logit layout (the fairseq arrangement)
+    x, fl, _, feats = model.apply(
+        {"params": variables["params"]}, speech, slens, None, True,
+        method=model.encode, return_feats=True,
+    )
+    p = variables["params"]
+    z = np.asarray(x) @ np.asarray(p["final_proj"]["kernel"]) + np.asarray(
+        p["final_proj"]["bias"]
+    )
+    e = np.asarray(p["label_embs"])
+    zn = z / np.maximum(np.linalg.norm(z, axis=-1, keepdims=True), 1e-6)
+    en = e / np.maximum(np.linalg.norm(e, axis=-1, keepdims=True), 1e-6)
+    sims = zn @ en.T / cfg.logit_temp  # [B, T, C]
+    tgt = np.asarray(units)
+    valid = np.arange(flen)[None, :] < np.asarray(fl)[:, None]
+    masked = ((np.arange(flen)[None, :] % 2 == 1) & valid)  # eval-mode mask
+
+    def ce_mean(sel):
+        tot, n = 0.0, 0
+        for b, t in zip(*np.nonzero(sel)):
+            c = tgt[b, t]
+            row = sims[b, t]
+            # target-first arrangement: CE(row_with_target_first, index 0)
+            first = np.concatenate([[row[c]], row])
+            first = np.delete(first, 1 + c)
+            tot += -first[0] + np.log(np.exp(first).sum())
+            n += 1
+        return tot / max(n, 1)
+
+    exp_m = ce_mean((tgt >= 0) & masked)
+    exp_u = ce_mean((tgt >= 0) & ~masked & valid)
+    pen = float(np.mean(np.asarray(feats) ** 2))
+    expect = 1.0 * exp_m + 0.5 * exp_u + 10.0 * pen
+    np.testing.assert_allclose(float(loss), expect, rtol=2e-4)
+    np.testing.assert_allclose(float(stats["loss_m"]), exp_m, rtol=2e-4)
+    np.testing.assert_allclose(float(stats["loss_u"]), exp_u, rtol=2e-4)
 
 
 def test_s2t_prompted_io_and_training():
