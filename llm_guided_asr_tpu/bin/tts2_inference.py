@@ -33,12 +33,15 @@ def inference(
     from llm_guided_asr_tpu.tasks.asr import build_text_converter
     from llm_guided_asr_tpu.tasks.generic import GenericTask
 
+    from llm_guided_asr_tpu.models.tts2 import FastSpeech2Discrete
+
     model, variables, config = GenericTask.build_model_from_file(
         train_config, model_file
     )
     tokenizer, converter = build_text_converter(config)
     cfg = model.cfg
-    beam = BatchBeamSearch(
+    non_ar = isinstance(model, FastSpeech2Discrete)
+    beam = None if non_ar else BatchBeamSearch(
         model, variables, vocab_size=cfg.unit_vocab_size + 1,
         sos=cfg.sos_id, eos=cfg.eos_id, beam_size=beam_size, ctc_weight=0.0,
     )
@@ -77,12 +80,19 @@ def inference(
             ids = converter.tokens2ids(tokenizer.text2tokens(line))
             if not ids:
                 continue
-            enc, enc_lens = model.apply(
-                variables, jnp.asarray([ids], jnp.int32),
-                jnp.asarray([len(ids)], jnp.int32), method=model.encode,
-            )
-            hyps = beam(enc, enc_lens, maxlenratio=maxlenratio)
-            units = [i for i in hyps[0].yseq if i != cfg.unit_sos]
+            if non_ar:
+                pred, flens = model.apply(
+                    variables, jnp.asarray([ids], jnp.int32),
+                    jnp.asarray([len(ids)], jnp.int32), method=model.inference,
+                )
+                units = np.asarray(pred[0][: int(flens[0])]).reshape(-1).tolist()
+            else:
+                enc, enc_lens = model.apply(
+                    variables, jnp.asarray([ids], jnp.int32),
+                    jnp.asarray([len(ids)], jnp.int32), method=model.encode,
+                )
+                hyps = beam(enc, enc_lens, maxlenratio=maxlenratio)
+                units = [i for i in hyps[0].yseq if i != cfg.unit_sos]
             uf.write(f"{uid} {' '.join(str(u) for u in units)}\n")
             if dec_codes is not None and units:
                 write_wav(out / f"{uid}.wav", fs, dec_codes(units))

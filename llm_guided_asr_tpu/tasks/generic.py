@@ -636,12 +636,45 @@ def _build_speechlm(config):
 
 
 def _build_tts2(config):
-    from llm_guided_asr_tpu.models.tts2 import TTS2Config, TTS2Model
-
+    """tts2_type: transformer (AR unit decoder) | fastspeech2 (non-AR,
+    fastspeech2_discrete.py — needs a durations stream; pitch/energy
+    streams optional)."""
     mc = dict(config.get("model_conf", {}) or {})
     vocab = len(read_token_list(config["token_list"])) if config.get("token_list") else int(
         mc.get("vocab_size", 100)
     )
+    tts2_type = mc.pop("tts2_type", "transformer")
+    if tts2_type == "fastspeech2":
+        from llm_guided_asr_tpu.models.tts2 import (
+            FastSpeech2Discrete,
+            FastSpeech2DiscreteConfig,
+        )
+
+        known = {f for f in FastSpeech2DiscreteConfig.__dataclass_fields__} - {
+            "vocab_size"}
+        cfg = FastSpeech2DiscreteConfig(
+            vocab_size=vocab, **{k: v for k, v in mc.items() if k in known}
+        )
+        model = FastSpeech2Discrete(cfg)
+
+        def batch_args(batch):
+            return (
+                batch["text"], batch["text_lengths"],
+                batch["units"], batch["units_lengths"],
+                batch["durations"], batch.get("durations_lengths"),
+                batch.get("pitch"), batch.get("energy"),
+            )
+
+        dummy = (
+            jnp.ones((2, 4), jnp.int32), jnp.asarray([4, 3]),
+            jnp.ones((2, 8), jnp.int32), jnp.asarray([8, 5]),
+            jnp.full((2, 4), 2, jnp.int32), jnp.asarray([4, 3]),
+            jnp.zeros((2, 4), jnp.float32), jnp.zeros((2, 4), jnp.float32),
+        )
+        return model, batch_args, dummy
+
+    from llm_guided_asr_tpu.models.tts2 import TTS2Config, TTS2Model
+
     known = {f for f in TTS2Config.__dataclass_fields__} - {"vocab_size"}
     cfg = TTS2Config(vocab_size=vocab, **{k: v for k, v in mc.items() if k in known})
     model = TTS2Model(cfg)
