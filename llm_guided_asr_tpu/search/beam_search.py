@@ -106,6 +106,12 @@ class BatchBeamSearch:
         self._search_jit = jax.jit(
             self._search, static_argnames=("lmax",)
         )
+        # Weights ride the jitted searches as TRACED ARGUMENTS, not closure
+        # constants: baking a resident LLM into the executable was measured
+        # to capture 2.78 GB of literals at lowering time (1B guided decode)
+        # — slow lowering, bloated executable, duplicated HBM.  The swap in
+        # _weights_ctx happens at trace time only.
+        self._weights = (variables, getattr(self.att_scorer, "variables", None))
         # batched multi-utterance decode: ONE while_loop over lockstep lanes
         # (the reference decodes utterance-by-utterance even in
         # BatchBeamSearch; vmapping the whole while_loop instead measured a
@@ -116,7 +122,35 @@ class BatchBeamSearch:
             self._vmapped_search, static_argnames=("lmax",)
         )
 
-    def _vmapped_search(self, encs, enc_lens, maxlens, minlens, lmax: int):
+    def _weights_ctx(self, weights):
+        """Trace-time swap of model/scorer variables for the traced pytrees.
+
+        ``weights`` is the (variables, att_scorer_variables) pair passed as a
+        jit argument; while the traced function body runs, instance attrs
+        point at the tracers so every model.apply reads traced weights."""
+        import contextlib
+
+        @contextlib.contextmanager
+        def cm():
+            if weights is None:
+                yield
+                return
+            mv, sv = weights
+            prev_m, self.variables = self.variables, mv
+            has_sv = hasattr(self.att_scorer, "variables") and sv is not None
+            if has_sv:
+                prev_s, self.att_scorer.variables = self.att_scorer.variables, sv
+            try:
+                yield
+            finally:
+                self.variables = prev_m
+                if has_sv:
+                    self.att_scorer.variables = prev_s
+
+        return cm()
+
+    def _vmapped_search(self, encs, enc_lens, maxlens, minlens, weights,
+                        lmax: int):
         """Lockstep batched search: a single while_loop with a SHARED scalar
         step counter; only the per-lane body is vmapped.
 

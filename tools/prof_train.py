@@ -173,5 +173,74 @@ def main():
         print(f"[{impl}] full loss fwd={t_fwd * 1e3:.2f}ms", flush=True)
 
 
-if __name__ == "__main__":
+if __name__ == "__main__" and not (
+        len(sys.argv) > 1 and sys.argv[1] == "breakdown"):
     main()
+
+
+def component_breakdown(batch=32):
+    """Fwd+bwd time per stage of the flagship train step (MFU hunt):
+    frontend (STFT+mel+MVN), encoder given feats, decoder+CTC given enc.
+    Run standalone: python tools/prof_train.py breakdown [B]."""
+    set_rel_impl("auto")
+    model, variables, state, grad_step, apply_step, tbatch, rngk = build(batch)
+    params, extra = state["params"], state["extra"]
+
+    feats, feat_lens = model.apply(
+        {"params": params, **extra}, tbatch["speech"],
+        tbatch["speech_lengths"], method=model.collect_feats,
+    )
+
+    def fe_loss(p, speech, lens):
+        f, fl = model.apply({"params": p, **extra}, speech, lens,
+                            method=model.collect_feats)
+        return jnp.sum(f.astype(jnp.float32) ** 2)
+
+    def enc_from_feats_loss(p, f, fl):
+        (enc, enc_lens), _ = model.apply(
+            {"params": p, **extra}, f, fl, False,
+            rngs={"dropout": rngk}, mutable=["batch_stats"],
+            method=model.encode_feats
+            if hasattr(model, "encode_feats") else model.encode,
+        )
+        return jnp.sum(enc.astype(jnp.float32) ** 2)
+
+    (enc, enc_lens), _ = model.apply(
+        {"params": params, **extra}, tbatch["speech"],
+        tbatch["speech_lengths"], False, rngs={"dropout": rngk},
+        mutable=["batch_stats"], method=model.encode,
+    )
+
+    def dec_loss(p, enc, enc_lens):
+        logits = model.apply(
+            {"params": p, **extra}, enc, enc_lens, tbatch["text"],
+            tbatch["text_lengths"] , False, rngs={"dropout": rngk},
+            method=model.decoder_logits,
+        )
+        return jnp.sum(logits.astype(jnp.float32) ** 2)
+
+    def ctc_loss_only(p, enc):
+        logits = model.apply({"params": p}, enc, method=model.ctc_logits)
+        return jnp.sum(logits.astype(jnp.float32) ** 2)
+
+    rows = [
+        ("frontend fwd+bwd", jax.jit(jax.grad(fe_loss)),
+         (params, tbatch["speech"], tbatch["speech_lengths"])),
+        ("decoder fwd+bwd", jax.jit(jax.grad(dec_loss)), (params, enc, enc_lens)),
+        ("ctc-head fwd+bwd", jax.jit(jax.grad(ctc_loss_only)), (params, enc)),
+    ]
+    for name, fn, args in rows:
+        t = timeit(lambda: fn(*args), iters=10)
+        print(f"{name}: {t * 1e3:.2f}ms", flush=True)
+
+    # full grad step for reference
+    t_grad = timeit(lambda: grad_step(params, extra, tbatch, rngk), iters=10)
+    g, *_ = grad_step(params, extra, tbatch, rngk)
+    t_apply = timeit(lambda: apply_step(params, state["opt_state"], g), iters=10)
+    print(f"grad_step: {t_grad * 1e3:.2f}ms  apply: {t_apply * 1e3:.2f}ms",
+          flush=True)
+
+
+if __name__ == "__main__" and len(sys.argv) > 1 and sys.argv[1] == "breakdown":
+    component_breakdown(int(sys.argv[2]) if len(sys.argv) > 2 else 32)
+    sys.exit(0)
