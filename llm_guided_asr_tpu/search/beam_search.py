@@ -163,6 +163,13 @@ class BatchBeamSearch:
         """
         b = encs.shape[0]
 
+        with self._weights_ctx(weights):
+            return self._vmapped_search_body(
+                b, encs, enc_lens, maxlens, minlens, lmax
+            )
+
+    def _vmapped_search_body(self, b, encs, enc_lens, maxlens, minlens,
+                             lmax: int):
         def init_one(enc, enc_len):
             ctc_logp = self._ctc_table(enc[None])
             return ctc_logp, self._init_carry(ctc_logp, enc[None], enc_len, lmax)
@@ -532,7 +539,7 @@ class BatchBeamSearch:
         minlens = (minlenratio * enc_lens).astype(jnp.int32)
         tokens, lens, scores, parts = jax.device_get(
             self._batch_search_jit(
-                encs, enc_lens, maxlens, minlens,
+                encs, enc_lens, maxlens, minlens, self._weights,
                 lmax=self._lmax(t_enc, maxlenratio),
             )
         )  # ONE host transfer for the whole batch: per-field np.asarray would
