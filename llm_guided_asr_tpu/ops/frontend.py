@@ -236,14 +236,46 @@ def stft_power(
     basis = np.concatenate(
         [np.cos(ang), -np.sin(ang)], axis=1
     ).astype(np.float32) * w[:, None]  # [n_fft, 2F]
-    out = jax.lax.conv_general_dilated(
-        speech[:, :, None],  # [B, S, 1]
-        jnp.asarray(basis)[:, None, :],  # [n_fft, 1, 2F]
-        window_strides=(hop_length,),
-        padding="VALID",
-        dimension_numbers=("NWC", "WIO", "NWC"),
-        precision=jax.lax.Precision.HIGHEST,
-    )  # [B, T, 2F]
+    n_frames = (speech.shape[1] - n_fft) // hop_length + 1
+    g = int(np.gcd(n_fft, hop_length))
+    if g >= 8:
+        # Block-matmul framing: a stride-`hop` window conv with 1 input
+        # channel keeps the MXU nearly idle (XLA lowers it as a skinny
+        # conv — measured 10.8 ms fwd / 64 ms bwd at B=32 x 10 s).  With
+        # g = gcd(n_fft, hop) the signal splits into [B, NB, g] blocks;
+        # frame t is the concat of n_fft/g consecutive blocks starting at
+        # block t*(hop/g), so framing is n_fft/g strided slices + concat
+        # (pure copies) and the whole DFT is ONE [B*T, n_fft] @ [n_fft, 2F]
+        # matmul (~0.4 ms for the same shapes, fwd AND bwd MXU-shaped).
+        n_blk, stride_blk = n_fft // g, hop_length // g
+        need = (n_frames - 1) * hop_length + n_fft
+        pad = (-need) % g
+        x = speech[:, :need] if pad == 0 else jnp.pad(
+            speech[:, :need], ((0, 0), (0, pad)))
+        blocks = x.reshape(x.shape[0], -1, g)  # [B, NB, g]
+        frames = jnp.concatenate(
+            [
+                jax.lax.slice_in_dim(
+                    blocks, j, j + (n_frames - 1) * stride_blk + 1, stride_blk,
+                    axis=1,
+                )
+                for j in range(n_blk)
+            ],
+            axis=-1,
+        )  # [B, T, n_fft]
+        out = jnp.einsum(
+            "btn,nf->btf", frames, jnp.asarray(basis),
+            precision=jax.lax.Precision.HIGHEST,
+        )
+    else:
+        out = jax.lax.conv_general_dilated(
+            speech[:, :, None],  # [B, S, 1]
+            jnp.asarray(basis)[:, None, :],  # [n_fft, 1, 2F]
+            window_strides=(hop_length,),
+            padding="VALID",
+            dimension_numbers=("NWC", "WIO", "NWC"),
+            precision=jax.lax.Precision.HIGHEST,
+        )  # [B, T, 2F]
     return out[..., :f] ** 2 + out[..., f:] ** 2
 
 

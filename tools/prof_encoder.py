@@ -1,29 +1,19 @@
-"""Encoder-internal ablation profile on the TPU (MFU hunt, round 4).
+"""Per-piece encoder cost on the TPU (MFU hunt, round 4).
 
-prof_train.py showed the flagship conformer encoder fwd+bwd at ~50 ms
-(B=32) where the matmul-FLOP ideal is ~6 ms, flat in batch (B=128 gives the
-same MFU) — so the gap is per-element work, not dispatch.  This tool times
-encoder fwd / fwd+bwd over FEATURES (frontend excluded) under one-knob
-ablations to locate it:
+prof_train.py: encode fwd=20.7 ms / fwd+bwd=45.9 ms at B=32, 10 s audio —
+vs ~2.7 ms fwd speed-of-light for the ~0.5 TFLOP the encoder does.  This
+times the pieces at the exact flagship shapes to find where the 7x goes:
 
-  base        flagship config, dense rel attention, dropout 0.1
-  nodrop      all dropout rates 0 (isolates RNG + mask traffic)
-  nocnn       use_cnn_module=False (depthwise conv + masked BN share)
-  nomacaron   single FFN per block
-  abspos      absolute positional attention (rel-pos machinery share)
-  linear_in   input_layer='linear' (conv2d subsampling share — its second
-              3x3x256x256 conv is ~178 GFLOP fwd at B=32, comparable to the
-              whole 12-block stack)
+  frontend      — STFT+mel+MVN (+specaug off) fwd and fwd+bwd
+  subsample     — Conv2dSubsampling fwd+bwd at [B, 1000, 80]
+  block         — ONE conformer block fwd and fwd+bwd at [B, T4, 256]
+  blockx12      — 12 stacked blocks (checks per-block cost is additive)
 
-Times use in-graph fori_loop repetition (tools/prof_relattn.py style) to
-amortize the ~900 us axon dispatch floor.
-
-Run: python tools/prof_encoder.py [B] [iters]
+Run: python tools/prof_encoder.py [B]
 """
 
 from __future__ import annotations
 
-import dataclasses
 import sys
 import time
 from pathlib import Path
@@ -34,22 +24,19 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-SR = 16000
-SECONDS = 10.0
-V5E_BF16_FLOPS = 197e12
-
 
 def fence(x):
     jax.device_get(jax.tree_util.tree_leaves(x)[0].ravel()[0])
 
 
-def timeit_looped(f, args, iters, windows=3):
-    out = f(*args)
+def timeit(fn, *args, iters=10, windows=4):
+    out = fn(*args)
     fence(out)
     best = None
     for rep in range(windows):
         t0 = time.perf_counter()
-        out = f(*args)
+        for _ in range(iters):
+            out = fn(*args)
         fence(out)
         dt = (time.perf_counter() - t0) / iters
         if rep == 0:
@@ -59,101 +46,97 @@ def timeit_looped(f, args, iters, windows=3):
 
 
 def main():
-    batch = int(sys.argv[1]) if len(sys.argv) > 1 else 32
-    iters = int(sys.argv[2]) if len(sys.argv) > 2 else 20
-    from llm_guided_asr_tpu.models.conformer import (
-        ConformerConfig,
-        ConformerEncoder,
+    from llm_guided_asr_tpu.models.conformer import ConformerBlock, ConformerConfig
+    from llm_guided_asr_tpu.models.transformer import (
+        Conv2dSubsampling,
+        RelPositionalEncoding,
     )
     from llm_guided_asr_tpu.ops.frontend import default_frontend
 
+    batch = int(sys.argv[1]) if len(sys.argv) > 1 else 32
     dtype = jnp.bfloat16 if jax.default_backend() != "cpu" else jnp.float32
-    rng = np.random.default_rng(0)
-    samples = int(SECONDS * SR)
-    speech = jnp.asarray(
-        rng.standard_normal((batch, samples)), jnp.float32) * 0.1
-    feats, feat_lens = jax.jit(default_frontend)(
-        speech, jnp.full((batch,), samples, jnp.int32))
-    feats = feats.astype(dtype)
-    print(f"backend={jax.default_backend()} B={batch} feats={feats.shape} "
-          f"iters={iters}", flush=True)
+    print(f"backend={jax.default_backend()} B={batch}", flush=True)
 
-    base = ConformerConfig(
+    sr, seconds = 16000, 10.0
+    rng = np.random.default_rng(0)
+    speech = jnp.asarray(
+        rng.standard_normal((batch, int(sr * seconds))), jnp.float32) * 0.1
+    slens = jnp.full((batch,), speech.shape[1], jnp.int32)
+
+    def fe_loss(s, sl):
+        f, fl = default_frontend(s, sl)
+        return jnp.sum(f.astype(jnp.float32) ** 2)
+
+    fe_fwd = jax.jit(default_frontend)
+    fe_grad = jax.jit(jax.grad(fe_loss, argnums=0))
+    print(f"frontend fwd: {timeit(fe_fwd, speech, slens) * 1e3:.2f}ms",
+          flush=True)
+    print(f"frontend fwd+bwd(d/dspeech): "
+          f"{timeit(fe_grad, speech, slens) * 1e3:.2f}ms", flush=True)
+
+    feats, flens = fe_fwd(speech, slens)
+    t_feat = feats.shape[1]
+    print(f"feats: {feats.shape} {feats.dtype}", flush=True)
+
+    sub = Conv2dSubsampling(256, dtype=dtype)
+    sub_vars = sub.init(jax.random.PRNGKey(0), feats.astype(dtype))
+
+    def sub_loss(v, f):
+        return jnp.sum(sub.apply(v, f).astype(jnp.float32) ** 2)
+
+    sub_grad = jax.jit(jax.grad(sub_loss))
+    sub_fwd = jax.jit(lambda v, f: sub.apply(v, f))
+    fd = feats.astype(dtype)
+    print(f"subsample fwd: {timeit(sub_fwd, sub_vars, fd) * 1e3:.2f}ms", flush=True)
+    print(f"subsample fwd+bwd: {timeit(sub_grad, sub_vars, fd) * 1e3:.2f}ms",
+          flush=True)
+
+    x = sub_fwd(sub_vars, fd)
+    t4 = x.shape[1]
+    print(f"block input: {x.shape}", flush=True)
+    valid = jnp.ones((batch, t4), bool)
+
+    cfg = ConformerConfig(
         output_size=256, attention_heads=4, linear_units=1024, num_blocks=12,
         macaron_style=True, use_cnn_module=True, cnn_module_kernel=31,
+        attention_dropout_rate=0.1,
     )
-    variants = {
-        "base": base,
-        "nodrop": dataclasses.replace(
-            base, dropout_rate=0.0, positional_dropout_rate=0.0,
-            attention_dropout_rate=0.0),
-        "nocnn": dataclasses.replace(base, use_cnn_module=False),
-        "nomacaron": dataclasses.replace(base, macaron_style=False),
-        "abspos": dataclasses.replace(
-            base, pos_enc_layer_type="abs_pos",
-            selfattention_layer_type="selfattn"),
-        "linear_in": dataclasses.replace(base, input_layer="linear"),
-    }
+    pe = RelPositionalEncoding(0.1, dtype=dtype)
+    pe_vars = pe.init(jax.random.PRNGKey(0), x)
+    _, pos_emb = pe.apply(pe_vars, x, True)
 
-    for name, cfg in variants.items():
-        enc = ConformerEncoder(cfg, dtype=dtype)
-        rngs = {"params": jax.random.PRNGKey(0),
-                "dropout": jax.random.key(1, impl="rbg")}
-        variables = enc.init(rngs, feats, feat_lens, deterministic=True)
-        params = variables["params"]
-        extra = {k: v for k, v in variables.items() if k != "params"}
-        dkey = jax.random.key(2, impl="rbg")
+    import flax.linen as nn
 
-        def fwd_once(params, feats, key):
-            out, olens, new_extra = None, None, None
-            y = enc.apply(
-                {"params": params, **extra}, feats, feat_lens,
-                deterministic=False, rngs={"dropout": key},
-                mutable=list(extra.keys()) or False,
-            )
-            if isinstance(y, tuple) and len(y) == 2 and isinstance(y[1], dict):
-                (out, olens), new_extra = y
-            else:
-                out, olens = y
-            return out
+    for n in (1, 12):
 
-        def loss_fn(params, feats, key):
-            return jnp.sum(fwd_once(params, feats, key).astype(jnp.float32) ** 2)
+        class StackM(nn.Module):
+            n: int
 
-        def rep_fwd(params, feats, key):
-            def body(_, carry):
-                feats, key, acc = carry
-                out = fwd_once(params, feats, key)
-                dep = jnp.sum(out[0, 0].astype(jnp.float32)) * 1e-30
-                key = jax.random.fold_in(key, 1)
-                return (feats + dep.astype(feats.dtype), key, acc + dep)
+            @nn.compact
+            def __call__(self, x, pos_emb, valid, det):
+                for i in range(self.n):
+                    x = ConformerBlock(cfg, dtype=dtype, name=f"b{i}")(
+                        x, pos_emb, valid, det)
+                return x
 
-            return jax.lax.fori_loop(
-                0, iters, body, (feats, key, jnp.float32(0.0)))[2]
+        m = StackM(n)
+        variables = m.init(
+            {"params": jax.random.PRNGKey(0), "dropout": jax.random.PRNGKey(1)},
+            x, pos_emb, valid, True)
+        rngk = jax.random.key(2, impl="rbg")
 
-        def rep_bwd(params, feats, key):
-            g = jax.grad(loss_fn)
+        def loss(v, x):
+            y, upd = m.apply(v, x, pos_emb, valid, False,
+                             rngs={"dropout": rngk}, mutable=["batch_stats"])
+            return jnp.sum(y.astype(jnp.float32) ** 2)
 
-            def body(_, carry):
-                feats, key, acc = carry
-                gr = g(params, feats, key)
-                # depend on EVERY grad leaf — slicing one leaf lets XLA
-                # dead-code-eliminate most of the backward pass (a first
-                # version measured fwd+bwd == fwd because only the final
-                # norm's gradient survived)
-                dep = sum(
-                    jnp.sum(l.astype(jnp.float32) ** 2) * 1e-30
-                    for l in jax.tree_util.tree_leaves(gr)
-                )
-                key = jax.random.fold_in(key, 1)
-                return (feats + dep.astype(feats.dtype), key, acc + dep)
-
-            return jax.lax.fori_loop(
-                0, iters, body, (feats, key, jnp.float32(0.0)))[2]
-
-        tf = timeit_looped(jax.jit(rep_fwd), (params, feats, dkey), iters)
-        tg = timeit_looped(jax.jit(rep_bwd), (params, feats, dkey), iters)
-        print(f"[{name:10s}] fwd={tf * 1e3:7.2f}ms fwd+bwd={tg * 1e3:7.2f}ms",
+        bfwd = jax.jit(lambda v, x: m.apply(
+            v, x, pos_emb, valid, False, rngs={"dropout": rngk},
+            mutable=["batch_stats"]))
+        bgrad = jax.jit(jax.grad(loss, argnums=1))
+        print(f"block x{n} fwd: {timeit(bfwd, variables, x) * 1e3:.2f}ms",
+              flush=True)
+        print(f"block x{n} fwd+bwd: {timeit(bgrad, variables, x) * 1e3:.2f}ms",
               flush=True)
 
 
