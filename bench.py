@@ -24,6 +24,7 @@ matching reference metric exists, vs_baseline = ours / reference.
 """
 
 import json
+import os
 import signal
 import time
 from pathlib import Path
@@ -33,6 +34,18 @@ import numpy as np
 FLAGSHIP_SECONDS = 10.0
 SR = 16000
 V5E_BF16_FLOPS = 197e12  # per-chip peak, TPU v5e
+
+# Global wall-clock budget (VERDICT r4 weak #2: the r4 run was killed by the
+# driver's timeout during the 1B section, rc=124, losing the round's most
+# important numbers).  Sections check remaining() before starting and emit
+# "skipped: budget" instead of dying; the 1B section runs right after the
+# headline so a kill can never lose it again.
+BENCH_BUDGET_S = float(os.environ.get("LLMASR_BENCH_BUDGET_S", "2100"))
+_T_START = time.monotonic()
+
+
+def remaining() -> float:
+    return BENCH_BUDGET_S - (time.monotonic() - _T_START)
 
 _REF_FILE = Path(__file__).resolve().parent / "reference_rtfx.json"
 try:
@@ -118,6 +131,18 @@ def build_flagship(dtype):
 
 def main():
     import jax
+
+    # Persistent compilation cache: verified working through the axon tunnel
+    # (30-matmul jit: 1.94 s cold -> 0.33 s warm across processes).  Repeat
+    # bench runs — including the driver's — skip every compile this session
+    # already paid for.
+    try:
+        jax.config.update("jax_compilation_cache_dir", "/tmp/llmasr_jax_cache")
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+        jax.config.update("jax_persistent_cache_min_entry_size_bytes", 0)
+    except Exception:
+        pass
+
     import jax.numpy as jnp
 
     from llm_guided_asr_tpu.search.beam_search import BatchBeamSearch
@@ -193,9 +218,52 @@ def main():
     _emit("beam10_ctc0.3_rtfx", beam_rtfx, "x_realtime_per_chip",
           vs_baseline=_vs_ref(beam_rtfx, "beam10_rtfx"))
 
-    # ---- 3. train step ------------------------------------------------
+    # From here on the headline exists; make sure a driver SIGTERM (timeout)
+    # still flushes the full summary as the last line before dying.
+    def emit_summary():
+        _emit(
+            "beam10_ctc0.3_rtfx", all_metrics["beam10_rtfx"],
+            "x_realtime_per_chip",
+            vs_baseline=_vs_ref(all_metrics["beam10_rtfx"], "beam10_rtfx"),
+            all=all_metrics,
+        )
+
+    def _on_term(signum, frame):
+        emit_summary()
+        os._exit(0)
+
+    signal.signal(signal.SIGTERM, _on_term)
+
+    # ---- 3. LLM-guided at the fork's REAL LLM scale (Llama-3.2-1B) -----
+    # Runs IMMEDIATELY after the headline (VERDICT r4 missing #1): these are
+    # the fork's numbers at its shipping scale and must never again be lost
+    # to a driver timeout.  The shipping configs guide with
+    # Llama-3.2-1B-Instruct (egs2/esun/work/conf/tuning/
+    # train_asr+llama3_conformer.yaml:51-53).  Synthetic bf16 weights are
+    # written once (idempotent, reused across runs) as a real HF multi-file
+    # safetensors checkpoint and ingested through the streamed path
+    # (models/llm/ingest.py), so this also exercises ingestion at scale.
     try:
-        with Watchdog(1500 if on_tpu else 600):
+        if not on_tpu:
+            _emit("llm_guided_1b_rtfx", -1, "x_realtime_per_chip",
+                  note="skipped: no TPU (1B decode impractical on host)")
+        elif remaining() < 180:
+            _emit("llm_guided_1b_rtfx", -1, "x_realtime_per_chip",
+                  note="skipped: budget")
+        else:
+            with Watchdog(int(min(2700, remaining()))):
+                bench_llm_guided_1b(on_tpu, dtype, all_metrics)
+    except TimeoutError:
+        _emit("llm_guided_1b_rtfx", -1, "x_realtime_per_chip", note="timeout")
+    except Exception as e:
+        _emit("llm_guided_1b_rtfx", -1, "x_realtime_per_chip",
+              note=f"error: {e}")
+
+    # ---- 4. train step ------------------------------------------------
+    try:
+        if remaining() < 120:
+            raise TimeoutError
+        with Watchdog(int(min(1500 if on_tpu else 600, max(remaining(), 1)))):
             import optax
 
             from llm_guided_asr_tpu.train.trainer import init_train_state, make_train_step
@@ -252,9 +320,11 @@ def main():
     except TimeoutError:
         _emit("train_step_audio_sps", -1, "audio_seconds_per_second", note="timeout")
 
-    # ---- 4. p50 single-utterance beam-1 latency (decode_bs1_ctc0.3) ----
+    # ---- 5. p50 single-utterance beam-1 latency (decode_bs1_ctc0.3) ----
     try:
-        with Watchdog(1500 if on_tpu else 600):
+        if remaining() < 90:
+            raise TimeoutError
+        with Watchdog(int(min(1500 if on_tpu else 600, max(remaining(), 1)))):
             bs1 = BatchBeamSearch(
                 model, variables, vocab_size=5000, sos=4999, eos=4999,
                 beam_size=1, ctc_weight=0.3,
@@ -275,9 +345,11 @@ def main():
     except TimeoutError:
         _emit("beam1_p50_latency_ms", -1, "ms", note="timeout")
 
-    # ---- 4. LLM-guided cached decode ----------------------------------
+    # ---- 6. LLM-guided cached decode (toy LLM; continuity series) ------
     try:
-        with Watchdog(1800 if on_tpu else 900):
+        if remaining() < 120:
+            raise TimeoutError
+        with Watchdog(int(min(1800 if on_tpu else 900, max(remaining(), 1)))):
             llm_rtfx, llm_batch_rtfx, llm_train_sps = bench_llm_guided(on_tpu, dtype)
             all_metrics["llm_guided_rtfx"] = round(llm_rtfx, 1)
             _emit("llm_guided_rtfx", llm_rtfx, "x_realtime_per_chip")
@@ -298,34 +370,10 @@ def main():
     except Exception as e:  # keep the headline alive
         _emit("llm_guided_rtfx", -1, "x_realtime_per_chip", note=f"error: {e}")
 
-    # ---- 5b. LLM-guided at the fork's REAL LLM scale (Llama-3.2-1B) ----
-    # The shipping configs guide with Llama-3.2-1B-Instruct (egs2/esun/work/
-    # conf/tuning/train_asr+llama3_conformer.yaml:51-53); a ~30M toy LLM says
-    # little about that workload (VERDICT r3 #1).  Synthetic bf16 weights are
-    # written once as a real HF multi-file safetensors checkpoint and
-    # ingested through the streamed path (models/llm/ingest.py), so this
-    # also exercises ingestion at scale.
-    try:
-        with Watchdog(2700 if on_tpu else 1):
-            if on_tpu:
-                bench_llm_guided_1b(on_tpu, dtype, all_metrics)
-            else:
-                _emit("llm_guided_1b_rtfx", -1, "x_realtime_per_chip",
-                      note="skipped: no TPU (1B decode impractical on host)")
-    except TimeoutError:
-        _emit("llm_guided_1b_rtfx", -1, "x_realtime_per_chip", note="timeout")
-    except Exception as e:
-        _emit("llm_guided_1b_rtfx", -1, "x_realtime_per_chip",
-              note=f"error: {e}")
-
-    # ---- 6. headline re-emit with the full summary ---------------------
+    # ---- 7. headline re-emit with the full summary ---------------------
     # BASELINE.json target: >=10x reference RTFx/chip; the denominator is the
     # measured reference compute path on this box (reference_rtfx.json).
-    _emit(
-        "beam10_ctc0.3_rtfx", all_metrics["beam10_rtfx"], "x_realtime_per_chip",
-        vs_baseline=_vs_ref(all_metrics["beam10_rtfx"], "beam10_rtfx"),
-        all=all_metrics,
-    )
+    emit_summary()
 
 
 def host_init_variables(model, rngs, *args, **kwargs):

@@ -32,12 +32,26 @@ def score(
         logger.warning(f"{len(missing)} utterances missing from hyp")
 
     def split(s):
-        return s.split() if token_type == "word" else list(s.replace(" ", ""))
+        return s.split() if token_type in ("word", "bleu") else list(
+            s.replace(" ", "")
+        )
 
-    result = error_rate(
-        (split(refs[u]) for u in uids), (split(hyps[u]) for u in uids)
-    )
-    result["metric"] = "WER" if token_type == "word" else "CER"
+    if token_type == "bleu":
+        # MT/ST scoring (asr.sh stage-13 sacrebleu analog)
+        from llm_guided_asr_tpu.utils.metrics import corpus_bleu
+
+        result = {
+            "bleu": corpus_bleu(
+                [split(refs[u]) for u in uids], [split(hyps[u]) for u in uids]
+            ),
+            "n_utts": len(uids),
+            "metric": "BLEU",
+        }
+    else:
+        result = error_rate(
+            (split(refs[u]) for u in uids), (split(hyps[u]) for u in uids)
+        )
+        result["metric"] = "WER" if token_type == "word" else "CER"
     if output_dir:
         from llm_guided_asr_tpu.utils.metrics import align
 
@@ -45,6 +59,8 @@ def score(
         out.mkdir(parents=True, exist_ok=True)
         with open(out / "result.json", "w") as f:
             json.dump(result, f, indent=1)
+        if token_type == "bleu":
+            return result  # no alignment report for BLEU scoring
         # per-utterance alignment report (sclite `-o all` result.txt analog,
         # asr.sh:1694): REF/HYP rows with errors capitalized/starred,
         # per-utterance counts, worst utterances ranked

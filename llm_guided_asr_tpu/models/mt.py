@@ -38,6 +38,15 @@ class MTConfig:
     lsm_weight: float = 0.1
     length_normalized_loss: bool = False
     ignore_id: int = -1
+    # espnet2/mt/espnet_model.py:240-243: the source sequence is wrapped in
+    # src_sos/src_eos delimiters (repeat=patch_size) before the embedding
+    # frontend; patch_size > 1 repeats them (discrete-unit MT patches)
+    patch_size: int = 1
+    # :71-79 share_decoder_input_output_embed: output projection = embed^T
+    share_decoder_input_output_embed: bool = False
+    # :82-91 share_encoder_decoder_input_embed: one table for src embed and
+    # tgt embed (requires src_vocab == tgt_vocab, flax module sharing)
+    share_encoder_decoder_input_embed: bool = False
     # encoder: transformer (scratch) | hugging_face (pretrained BERT-family
     # token encoder, hugging_face_transformers_encoder.py; weights injected
     # by the task from hf_model_name_or_path)
@@ -83,6 +92,10 @@ class MTModel(nn.Module):
             self.enc_proj = nn.Dense(cfg.adim, dtype=self.dtype, name="enc_proj")
         else:
             src_vocab = cfg.src_vocab_size or cfg.vocab_size
+            share = (
+                cfg.share_encoder_decoder_input_embed
+                and src_vocab == cfg.vocab_size
+            )
             self.src_embed = nn.Embed(src_vocab, cfg.adim, dtype=self.dtype, name="src_embed")
             self.pos = PositionalEncoding(0.1, dtype=self.dtype, name="pos")
             self.blocks = [
@@ -91,8 +104,18 @@ class MTModel(nn.Module):
                 for i in range(cfg.elayers)
             ]
             self.after_norm = nn.LayerNorm(dtype=self.dtype, name="after_norm")
-        self.decoder = TransformerDecoder(cfg.vocab_size, cfg.decoder, dtype=self.dtype,
-                                          name="decoder")
+        dec_cfg = cfg.decoder
+        if cfg.share_decoder_input_output_embed and not dec_cfg.tie_input_output:
+            dec_cfg = dataclasses.replace(dec_cfg, tie_input_output=True)
+        self.decoder = TransformerDecoder(
+            cfg.vocab_size, dec_cfg, dtype=self.dtype,
+            embed_module=(self.src_embed
+                          if cfg.encoder != "hugging_face"
+                          and cfg.share_encoder_decoder_input_embed
+                          and (cfg.src_vocab_size or cfg.vocab_size)
+                          == cfg.vocab_size else None),
+            name="decoder",
+        )
 
     def encode(self, src_text, src_text_lengths, deterministic: bool = True):
         valid = make_valid_mask(src_text_lengths, src_text.shape[1])
@@ -103,6 +126,17 @@ class MTModel(nn.Module):
             x = self.enc_proj(x)
             valid = make_valid_mask(lens, x.shape[1])
             return jnp.where(valid[..., None], x, 0.0), lens
+        # src delimiter: prepend src_sos (= src_vocab-1), patch_size copies
+        # (espnet_model.py:240-243 _extract_feats add_sos_eos(repeat=patch))
+        cfg = self.cfg
+        src_sos = (cfg.src_vocab_size or cfg.vocab_size) - 1
+        b = src_text.shape[0]
+        sos_col = jnp.full((b, cfg.patch_size), src_sos, src_text.dtype)
+        src_text = jnp.concatenate(
+            [sos_col, jnp.where(valid, src_text, 0)], axis=1
+        )
+        src_text_lengths = src_text_lengths + cfg.patch_size
+        valid = make_valid_mask(src_text_lengths, src_text.shape[1])
         x = self.src_embed(jnp.where(valid, src_text, 0))
         x = self.pos(x, deterministic)
         for blk in self.blocks:

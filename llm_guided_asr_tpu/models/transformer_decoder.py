@@ -41,6 +41,9 @@ class TransformerDecoderConfig:
     src_attention_dropout_rate: float = 0.0
     normalize_before: bool = True
     use_output_layer: bool = True
+    # share_decoder_input_output_embed (espnet2/mt/espnet_model.py:71-79):
+    # the vocab projection reuses the input embedding table (embed.attend)
+    tie_input_output: bool = False
 
     @classmethod
     def from_dict(cls, d: dict) -> "TransformerDecoderConfig":
@@ -53,6 +56,9 @@ class TransformerDecoder(nn.Module):
     vocab_size: int
     cfg: TransformerDecoderConfig
     dtype: Dtype = jnp.float32
+    # optional externally-shared embedding table (flax module sharing);
+    # MT's share_encoder_decoder_input_embed passes the parent's nn.Embed
+    embed_module: Any = None
 
     @nn.compact
     def __call__(
@@ -63,16 +69,22 @@ class TransformerDecoder(nn.Module):
         ys_in_lengths: jnp.ndarray,  # [B]
         deterministic: bool = True,
         only_last: bool = False,
+        return_hidden: bool = False,
     ) -> jnp.ndarray:
         """Teacher-forced forward -> logits [B, L, vocab].
 
         only_last=True slices the hidden state at position len-1 BEFORE the
         vocab projection — the beam-search scoring path only needs the last
         position, and the [L, D] x [D, V] projection dominates step FLOPs.
+        return_hidden=True additionally returns the pre-projection hidden
+        states (reference transformer_decoder.py return_all_hiddens — the
+        UnitY synthesizer consumes the text decoder's hiddens).
         """
         cfg = self.cfg
         d_model = memory.shape[-1]
-        x = nn.Embed(self.vocab_size, d_model, dtype=self.dtype, name="embed")(ys_in)
+        embed = self.embed_module if self.embed_module is not None else \
+            nn.Embed(self.vocab_size, d_model, dtype=self.dtype, name="embed")
+        x = embed(ys_in)
         x = PositionalEncoding(cfg.positional_dropout_rate, dtype=self.dtype, name="pos_enc")(
             x, deterministic
         )
@@ -92,8 +104,14 @@ class TransformerDecoder(nn.Module):
             x = LayerNorm(dtype=self.dtype, name="after_norm")(x)
         if only_last:
             x = x[jnp.arange(x.shape[0]), ys_in_lengths - 1]  # [B, D]
+        hidden = x
         if cfg.use_output_layer:
-            x = nn.Dense(self.vocab_size, dtype=self.dtype, name="output_layer")(x)
+            if cfg.tie_input_output:
+                x = embed.attend(x.astype(embed.embedding.dtype))
+            else:
+                x = nn.Dense(self.vocab_size, dtype=self.dtype, name="output_layer")(x)
+        if return_hidden:
+            return x, hidden
         return x
 
 

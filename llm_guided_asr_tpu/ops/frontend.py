@@ -248,11 +248,10 @@ def stft_power(
         # (pure copies) and the whole DFT is ONE [B*T, n_fft] @ [n_fft, 2F]
         # matmul (~0.4 ms for the same shapes, fwd AND bwd MXU-shaped).
         n_blk, stride_blk = n_fft // g, hop_length // g
+        # need = (n_frames-1)*hop + n_fft is a sum of multiples of g, so it
+        # always reshapes cleanly into g-sized blocks (no pad branch needed).
         need = (n_frames - 1) * hop_length + n_fft
-        pad = (-need) % g
-        x = speech[:, :need] if pad == 0 else jnp.pad(
-            speech[:, :need], ((0, 0), (0, pad)))
-        blocks = x.reshape(x.shape[0], -1, g)  # [B, NB, g]
+        blocks = speech[:, :need].reshape(speech.shape[0], -1, g)  # [B, NB, g]
         frames = jnp.concatenate(
             [
                 jax.lax.slice_in_dim(

@@ -106,12 +106,19 @@ class BatchBeamSearch:
         self._search_jit = jax.jit(
             self._search, static_argnames=("lmax",)
         )
-        # Weights ride the jitted searches as TRACED ARGUMENTS, not closure
-        # constants: baking a resident LLM into the executable was measured
-        # to capture 2.78 GB of literals at lowering time (1B guided decode)
-        # — slow lowering, bloated executable, duplicated HBM.  The swap in
-        # _weights_ctx happens at trace time only.
-        self._weights = (variables, getattr(self.att_scorer, "variables", None))
+        # Weights ride the jitted batch search as TRACED ARGUMENTS, not
+        # closure constants: baking a resident LLM into the executable was
+        # measured to capture 2.78 GB of literals at lowering time (1B guided
+        # decode) — slow lowering, bloated executable, duplicated HBM.  The
+        # swap in _weights_ctx happens at trace time only.  The tuple is
+        # built at CALL time in batch_decode (ADVICE r4: a frozen __init__
+        # snapshot silently kept decoding with stale weights if
+        # self.variables was reassigned after construction).
+        #
+        # The single-utterance __call__/_search_jit path (and lm_score_fn in
+        # both paths) still closes over its weights as jit constants — fine
+        # for the flagship-size models it serves; per-utterance guided decode
+        # with a resident multi-GB LLM should go through batch_decode (B=1).
         # batched multi-utterance decode: ONE while_loop over lockstep lanes
         # (the reference decodes utterance-by-utterance even in
         # BatchBeamSearch; vmapping the whole while_loop instead measured a
@@ -537,9 +544,20 @@ class BatchBeamSearch:
         else:
             maxlens = jnp.maximum(1, (maxlenratio * enc_lens).astype(jnp.int32))
         minlens = (minlenratio * enc_lens).astype(jnp.int32)
+        # Current weights at call time (ADVICE r4 #1).  LLMASR_BEAM_CLOSURE_
+        # WEIGHTS=1 reverts to closure-captured weights (weights=None swaps
+        # nothing in _weights_ctx) — the A/B instrument for the r4 beam-path
+        # regression bisect: traced weights block some XLA constant folding.
+        import os as _os
+
+        weights = (
+            None
+            if _os.environ.get("LLMASR_BEAM_CLOSURE_WEIGHTS") == "1"
+            else (self.variables, getattr(self.att_scorer, "variables", None))
+        )
         tokens, lens, scores, parts = jax.device_get(
             self._batch_search_jit(
-                encs, enc_lens, maxlens, minlens, self._weights,
+                encs, enc_lens, maxlens, minlens, weights,
                 lmax=self._lmax(t_enc, maxlenratio),
             )
         )  # ONE host transfer for the whole batch: per-field np.asarray would

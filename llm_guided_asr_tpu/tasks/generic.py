@@ -347,8 +347,23 @@ def _build_mt(config):
 
     mc = dict(config.get("model_conf", {}) or {})
     vocab = len(read_token_list(config["token_list"]))
+    # separate source vocabulary (espnet2/mt multi-vocab path: the
+    # MutliTokenizerCommonPreprocessor tokenizes src_text with its own
+    # token list; src_vocab_size drives a distinct src embedding + src_sos)
+    src_vocab = (
+        len(read_token_list(config["src_token_list"]))
+        if config.get("src_token_list") else None
+    )
     cfg = MTConfig(
         vocab_size=vocab,
+        src_vocab_size=src_vocab,
+        patch_size=int(mc.get("patch_size", 1)),
+        share_decoder_input_output_embed=bool(
+            mc.get("share_decoder_input_output_embed", False)
+        ),
+        share_encoder_decoder_input_embed=bool(
+            mc.get("share_encoder_decoder_input_embed", False)
+        ),
         adim=int(mc.get("adim", 256)),
         heads=int(mc.get("heads", 4)),
         units=int(mc.get("units", 1024)),
@@ -515,6 +530,50 @@ def _build_s2st(config):
             jnp.ones((2, 3), jnp.int32), jnp.asarray([3, 2]),
         )
         return model, names, dummy
+    if str(mc.get("s2st_type", "")) == "translatotron2":
+        # NAT duration-upsampled synthesizer (synthesizer/translatotron2.py)
+        from llm_guided_asr_tpu.models.s2st import (
+            Translatotron2Config,
+            Translatotron2Model,
+        )
+
+        t2cfg = Translatotron2Config(
+            base=build_model_config(config),
+            n_mels=int(mc.get("n_mels", 80)),
+            st_weight=float(mc.get("st_weight", 0.3)),
+            duration_weight=float(mc.get("duration_weight", 1.0)),
+        )
+        model = Translatotron2Model(t2cfg)
+        names = (
+            "src_speech", "src_speech_lengths", "tgt_speech",
+            "tgt_speech_lengths", "text", "text_lengths",
+        )
+        dummy = (
+            jnp.zeros((2, 4000), jnp.float32), jnp.asarray([4000, 4000]),
+            jnp.zeros((2, 4000), jnp.float32), jnp.asarray([4000, 3200]),
+            jnp.ones((2, 3), jnp.int32), jnp.asarray([3, 2]),
+        )
+        return model, names, dummy
+    if str(mc.get("s2st_type", "")) == "unity":
+        # two-pass text->unit synthesizer (synthesizer/unity_synthesizer.py)
+        from llm_guided_asr_tpu.models.s2st import UnitYConfig, UnitYModel
+
+        ucfg = UnitYConfig(
+            base=build_model_config(config),
+            unit_vocab_size=int(mc.get("unit_vocab_size", 200)),
+            st_weight=float(mc.get("st_weight", 0.3)),
+        )
+        model = UnitYModel(ucfg)
+        names = (
+            "speech", "speech_lengths", "tgt_units", "tgt_units_lengths",
+            "text", "text_lengths",
+        )
+        dummy = (
+            jnp.zeros((2, 4000), jnp.float32), jnp.asarray([4000, 4000]),
+            jnp.ones((2, 5), jnp.int32), jnp.asarray([5, 3]),
+            jnp.ones((2, 3), jnp.int32), jnp.asarray([3, 2]),
+        )
+        return model, names, dummy
     cfg = S2STConfig(
         base=build_model_config(config),
         unit_vocab_size=int(mc.get("unit_vocab_size", 200)),
@@ -535,9 +594,10 @@ def _build_s2st(config):
 
 def _build_svs(config):
     """SVS task (espnet2/tasks/svs.py): model_conf.model_type picks the
-    family — xiaoice (FastSpeech + F0/VUV/syllable heads) or naive_rnn
-    (BiLSTM enc/dec + postnet); optional frame-level 'pitch' stream enables
-    the XiaoiceSing2 pitch/VUV criteria."""
+    family — xiaoice (FastSpeech + F0/VUV/syllable heads), naive_rnn
+    (BiLSTM enc/dec + postnet), or singing_tacotron (duration-informed GDCA
+    attention decoder, espnet2/svs/singing_tacotron/); optional frame-level
+    'pitch' stream enables the XiaoiceSing2 pitch/VUV criteria."""
     from llm_guided_asr_tpu.models.svs import NaiveRNNSVS, SVSConfig, SVSModel
     from llm_guided_asr_tpu.models.tts import FastSpeech2Config
 
@@ -545,6 +605,37 @@ def _build_svs(config):
     vocab = len(read_token_list(config["token_list"])) if config.get("token_list") else int(
         mc.get("vocab_size", 100)
     )
+    if str(mc.get("model_type", "")).lower() == "singing_tacotron":
+        from llm_guided_asr_tpu.models.singing_tacotron import (
+            SingingTacotron,
+            SingingTacotronConfig,
+        )
+
+        st_fields = {
+            f.name for f in dataclasses.fields(SingingTacotronConfig)
+        } - {"vocab_size"}
+        st_cfg = SingingTacotronConfig(
+            vocab_size=vocab,
+            **{k: v for k, v in mc.items() if k in st_fields},
+        )
+        model = SingingTacotron(st_cfg)
+
+        def st_adapter(batch):
+            return (
+                batch["text"], batch["text_lengths"],
+                batch["speech"], batch["speech_lengths"],
+                batch["durations"], batch.get("durations_lengths"),
+                batch.get("midi"), batch.get("midi_lengths"),
+                batch.get("pitch"), batch.get("pitch_lengths"),
+            )
+
+        dummy = (
+            jnp.ones((2, 4), jnp.int32), jnp.asarray([4, 3]),
+            jnp.zeros((2, 12, st_cfg.n_mels), jnp.float32), jnp.asarray([12, 9]),
+            jnp.full((2, 4), 3, jnp.int32), jnp.asarray([4, 3]),
+            jnp.ones((2, 4), jnp.int32), jnp.asarray([4, 3]),
+        )
+        return model, st_adapter, dummy
     tts_cfg = FastSpeech2Config(
         vocab_size=vocab,
         n_mels=int(mc.get("n_mels", 80)),
@@ -580,18 +671,48 @@ def _build_svs(config):
 
 
 def _build_codec(config):
-    from llm_guided_asr_tpu.models.codec import CodecConfig, CodecModel
+    mc = dict(config.get("model_conf", {}) or {})
+    codec_type = str(mc.pop("codec_type", "soundstream")).lower()
+    if codec_type in ("encodec", "dac", "funcodec"):
+        # codec zoo families (espnet2/gan_codec/{encodec,dac,funcodec})
+        model, _ = _zoo_codec_from_conf(codec_type, mc)
+    else:
+        from llm_guided_asr_tpu.models.codec import CodecConfig, CodecModel
 
-    cfg = CodecConfig.from_dict(config.get("model_conf", {}) or {}) if hasattr(
-        CodecConfig, "from_dict"
-    ) else CodecConfig(**{
-        k: v for k, v in (config.get("model_conf") or {}).items()
-        if k in CodecConfig.__dataclass_fields__
-    })
-    model = CodecModel(cfg)
+        cfg = CodecConfig(**{
+            k: v for k, v in mc.items()
+            if k in CodecConfig.__dataclass_fields__
+        })
+        model = CodecModel(cfg)
     names = ("speech", "speech_lengths")
     dummy = (jnp.zeros((2, 2048), jnp.float32), jnp.asarray([2048, 1024]))
     return model, names, dummy
+
+
+def _zoo_codec_from_conf(codec_type, mc):
+    """model_conf dict -> (generator, discriminator) for the codec zoo."""
+    import dataclasses as _dc
+
+    from llm_guided_asr_tpu.models.codec_zoo import (
+        SEANetConfig,
+        ZooCodecConfig,
+        build_zoo_codec,
+    )
+
+    sd = dict(mc.get("seanet", {}) or {})
+    if "ratios" in sd:
+        sd["ratios"] = tuple(sd["ratios"])
+    seanet = SEANetConfig(**{
+        k: v for k, v in sd.items() if k in SEANetConfig.__dataclass_fields__
+    })
+    kw = {
+        k: v for k, v in mc.items()
+        if k in ZooCodecConfig.__dataclass_fields__ and k not in ("seanet", "codec_type")
+    }
+    if "mel_range" in kw:
+        kw["mel_range"] = tuple(kw["mel_range"])
+    cfg = ZooCodecConfig(codec_type=codec_type, seanet=seanet, **kw)
+    return build_zoo_codec(cfg)
 
 
 def _build_speechlm(config):
@@ -1118,8 +1239,30 @@ GAN_TASK_BUILDERS["vocoder"] = _build_vocoder
 
 
 def _build_gan_codec(config):
-    """gan_codec task (espnet2/tasks/gan_codec.py): SoundStream/Encodec-style
-    codec generator + HiFiGAN discriminator, adversarial reconstruction."""
+    """gan_codec task (espnet2/tasks/gan_codec.py): codec generator +
+    family-matched discriminator, adversarial reconstruction.  codec_type
+    selects the architecture: soundstream (default, HiFiGAN disc) | encodec
+    (MS-STFT disc) | dac (MSMPMB disc) | funcodec (complex-STFT disc)."""
+    mc = dict(config.get("model_conf", {}) or {})
+    codec_type = str(mc.pop("codec_type", "soundstream")).lower()
+    if codec_type in ("encodec", "dac", "funcodec"):
+        from llm_guided_asr_tpu.models.codec_zoo import (
+            make_zoo_codec_gan_loss_fns,
+        )
+
+        gen, disc = _zoo_codec_from_conf(codec_type, mc)
+        g_loss_fn, d_loss_fn = make_zoo_codec_gan_loss_fns(
+            gen, disc,
+            lambda_fm=float(mc.get("lambda_fm", 2.0)),
+            lambda_mel=float(mc.get("lambda_mel", 45.0)),
+            lambda_l1=float(mc.get("lambda_l1", 1.0)),
+            mel_range=tuple(mc.get("mel_range", (6, 11))),
+        )
+        n0 = 4 * gen.cfg.seanet.frame_stride if codec_type != "funcodec" \
+            else 8 * gen.cfg.hop_length
+        g_dummy = (jnp.zeros((2, n0), jnp.float32),)
+        return gen, disc, g_loss_fn, d_loss_fn, g_dummy, g_dummy
+
     from llm_guided_asr_tpu.models.codec import (
         CodecConfig,
         CodecModel,
@@ -1127,7 +1270,6 @@ def _build_gan_codec(config):
     )
     from llm_guided_asr_tpu.models.hifigan import HiFiGANConfig, HiFiGANDiscriminator
 
-    mc = dict(config.get("model_conf", {}) or {})
     cfg = CodecConfig(
         channels=int(mc.get("channels", 64)),
         latent_dim=int(mc.get("latent_dim", 64)),

@@ -161,3 +161,46 @@ def wer(refs: Iterable[str], hyps: Iterable[str]) -> float:
 def cer(refs: Iterable[str], hyps: Iterable[str]) -> float:
     strip = lambda s: list(s.replace(" ", ""))
     return error_rate((strip(r) for r in refs), (strip(h) for h in hyps))["err"]
+
+
+def corpus_bleu(
+    refs: Iterable[Sequence],
+    hyps: Iterable[Sequence],
+    max_n: int = 4,
+) -> float:
+    """Corpus-level BLEU-N with brevity penalty (the reference scores MT/ST
+    with sacrebleu at stage 13 and reports training BLEU via
+    espnet/nets/e2e_mt_common.py; this is the standard corpus formula over
+    pre-tokenized sequences, smoothing-free like sacrebleu's default).
+
+    refs/hyps: parallel iterables of token sequences (str.split() the text
+    for word BLEU).  Returns BLEU in [0, 100].
+    """
+    import math
+    from collections import Counter
+
+    clipped = [0] * max_n
+    totals = [0] * max_n
+    ref_len = hyp_len = 0
+    for ref, hyp in zip(refs, hyps):
+        ref, hyp = list(ref), list(hyp)
+        ref_len += len(ref)
+        hyp_len += len(hyp)
+        for n in range(1, max_n + 1):
+            h_ngrams = Counter(
+                tuple(hyp[i:i + n]) for i in range(len(hyp) - n + 1)
+            )
+            r_ngrams = Counter(
+                tuple(ref[i:i + n]) for i in range(len(ref) - n + 1)
+            )
+            totals[n - 1] += max(len(hyp) - n + 1, 0)
+            clipped[n - 1] += sum(
+                min(c, r_ngrams[g]) for g, c in h_ngrams.items()
+            )
+    if hyp_len == 0 or any(t == 0 for t in totals):
+        return 0.0
+    if any(c == 0 for c in clipped):
+        return 0.0
+    log_p = sum(math.log(c / t) for c, t in zip(clipped, totals)) / max_n
+    bp = 1.0 if hyp_len > ref_len else math.exp(1.0 - ref_len / hyp_len)
+    return 100.0 * bp * math.exp(log_p)
