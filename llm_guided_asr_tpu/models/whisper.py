@@ -39,6 +39,13 @@ class WhisperConfig:
     decoder_ffn_dim: int = 1536
     max_target_positions: int = 448
     encoder: WhisperEncConfig = WhisperEncConfig()
+    # fine-tune path (the reference fine-tunes whisper by mounting
+    # OpenAIWhisperEncoder/Decoder inside ESPnetASRModel, tasks/asr.py
+    # encoder=whisper + decoder=whisper; attention CE only — no CTC head):
+    sot_id: int = 50258          # <|startoftranscript|>
+    eot_id: int = 50257          # <|endoftext|>
+    lsm_weight: float = 0.1
+    ignore_id: int = -1
 
     @classmethod
     def from_hf_config(cls, hf) -> "WhisperConfig":
@@ -148,6 +155,53 @@ class WhisperASR(nn.Module):
             k = ys.shape[0]
             return logits[jnp.arange(k), ys_lengths - 1]
         return logits
+
+    def encode_speech(self, speech, speech_lengths, deterministic: bool = True):
+        """Raw 16 kHz waveform -> whisper mel frontend -> encoder."""
+        from llm_guided_asr_tpu.ops.frontend import whisper_frontend
+
+        feats, flens = whisper_frontend(
+            speech, speech_lengths, n_mels=self.cfg.encoder.num_mel_bins
+        )
+        return self.encode(feats.astype(self.dtype), flens, deterministic)
+
+    def __call__(
+        self,
+        speech: jnp.ndarray,        # [B, S] raw 16 kHz audio
+        speech_lengths: jnp.ndarray,
+        text: jnp.ndarray,          # [B, L] whisper-vocab ids, padded -1
+        text_lengths: jnp.ndarray,
+        deterministic: bool = True,
+    ):
+        """Fine-tune forward: label-smoothed CE on [sot] y [eot] teacher
+        forcing (reference: whisper modules inside ESPnetASRModel,
+        espnet2/asr/espnet_model.py attention branch with ctc_weight=0 —
+        whisper has no CTC head)."""
+        from llm_guided_asr_tpu.ops.losses import (
+            accuracy,
+            add_sos_eos,
+            label_smoothing_loss,
+        )
+
+        cfg = self.cfg
+        enc, enc_lens = self.encode_speech(speech, speech_lengths,
+                                           deterministic)
+        ys_in, ys_out = add_sos_eos(
+            text, text_lengths, cfg.sot_id, cfg.eot_id, cfg.ignore_id
+        )
+        logits = self.decoder(enc, enc_lens, ys_in, text_lengths + 1)
+        loss = label_smoothing_loss(logits, ys_out, cfg.lsm_weight,
+                                    cfg.ignore_id)
+        stats = {"loss": loss, "acc": accuracy(logits, ys_out, cfg.ignore_id)}
+        return loss, stats, jnp.asarray(speech.shape[0], jnp.float32)
+
+    def collect_feats(self, speech, speech_lengths, *a, **k):
+        from llm_guided_asr_tpu.ops.frontend import whisper_frontend
+
+        feats, flens = whisper_frontend(
+            speech, speech_lengths, n_mels=self.cfg.encoder.num_mel_bins
+        )
+        return {"feats": feats, "feats_lengths": flens}
 
 
 def convert_hf_whisper_state_dict(sd: Dict, cfg: WhisperConfig) -> Dict:

@@ -106,19 +106,16 @@ class BatchBeamSearch:
         self._search_jit = jax.jit(
             self._search, static_argnames=("lmax",)
         )
-        # Weights ride the jitted batch search as TRACED ARGUMENTS, not
-        # closure constants: baking a resident LLM into the executable was
-        # measured to capture 2.78 GB of literals at lowering time (1B guided
-        # decode) — slow lowering, bloated executable, duplicated HBM.  The
-        # swap in _weights_ctx happens at trace time only.  The tuple is
-        # built at CALL time in batch_decode (ADVICE r4: a frozen __init__
-        # snapshot silently kept decoding with stale weights if
-        # self.variables was reassigned after construction).
-        #
-        # The single-utterance __call__/_search_jit path (and lm_score_fn in
-        # both paths) still closes over its weights as jit constants — fine
-        # for the flagship-size models it serves; per-utterance guided decode
-        # with a resident multi-GB LLM should go through batch_decode (B=1).
+        # Weights ride BOTH jitted searches as TRACED ARGUMENTS, not closure
+        # constants: baking a resident LLM into the executable was measured
+        # to capture 2.78 GB of literals at lowering time (1B guided decode)
+        # — slow lowering, bloated executable, duplicated HBM.  The swap in
+        # _weights_ctx happens at trace time only.  The tuple is built at
+        # CALL time (ADVICE r4: a frozen __init__ snapshot silently kept
+        # decoding with stale weights if self.variables was reassigned after
+        # construction).  lm_score_fn still closes over its own weights —
+        # shallow-fusion LMs are small.  LLMASR_BEAM_CLOSURE_WEIGHTS=1
+        # reverts both paths to closure capture (perf A/B instrument).
         # batched multi-utterance decode: ONE while_loop over lockstep lanes
         # (the reference decodes utterance-by-utterance even in
         # BatchBeamSearch; vmapping the whole while_loop instead measured a
@@ -239,11 +236,18 @@ class BatchBeamSearch:
         # never scored (the ctc branch is compiled out)
         return jnp.zeros((enc.shape[1], self.vocab_size))
 
-    def _search(self, enc, enc_len, maxlen, minlen, scorer_ctx, lmax: int):
-        ctc_logp = self._ctc_table(enc)
-        carry = self._init_carry(ctc_logp, enc, enc_len, lmax, scorer_ctx)
-        final = self._run_loop(enc, enc_len, maxlen, minlen, carry, ctc_logp)[0]
-        return self._finalize(final)
+    def _search(self, enc, enc_len, maxlen, minlen, scorer_ctx, weights,
+                lmax: int):
+        # weights ride as traced args exactly like _vmapped_search: a
+        # resident multi-GB LLM closed over as jit constants was measured to
+        # capture 2.78 GB of literals at lowering time (ADVICE r4 #2)
+        with self._weights_ctx(weights):
+            ctc_logp = self._ctc_table(enc)
+            carry = self._init_carry(ctc_logp, enc, enc_len, lmax, scorer_ctx)
+            final = self._run_loop(
+                enc, enc_len, maxlen, minlen, carry, ctc_logp
+            )[0]
+            return self._finalize(final)
 
     def _run_loop(self, enc, enc_len, maxlen, minlen, carry, ctc_logp):
         lmax = carry[0].alive_tokens.shape[1]
@@ -284,6 +288,23 @@ class BatchBeamSearch:
             full = full + self.lm_weight * lm_logp
         # 2. pre-beam
         top_full, cand = jax.lax.top_k(full, W)  # [K, W]
+        if self.ctc_weight != 0.0 and self.eos < self.vocab_size:
+            # espnet CTC-scores eos UNCONDITIONALLY — outside the pre-beam
+            # window too (ctc_prefix_score.py:180-181 writes log_psi[:, eos]
+            # for every hyp; every other non-windowed token dies at
+            # logzero - s_prev).  A candidate set limited to the top-W full
+            # tokens therefore drops low-decoder-score eos endings the
+            # reference keeps (caught by the trained-guided parity corpus:
+            # 5/30 utterances decoded over-long).  Append eos as a
+            # (W+1)-th candidate; NEG_INF-mask it when already in top-W so
+            # no duplicate hypothesis can enter the beam.
+            has_eos = jnp.any(cand == self.eos, axis=1, keepdims=True)
+            eos_full = jnp.where(has_eos, NEG_INF, full[:, self.eos][:, None])
+            top_full = jnp.concatenate([top_full, eos_full], axis=1)
+            cand = jnp.concatenate(
+                [cand, jnp.full((K, 1), self.eos, cand.dtype)], axis=1
+            )
+            W = W + 1
         # 3. partial scorer: CTC prefix — psi is scan-free (a reduction
         # over the parent rows); the T-length DP recurrence runs later,
         # only for the K selected extensions (ctc_prefix_advance)
@@ -477,8 +498,16 @@ class BatchBeamSearch:
             maxlen = jnp.maximum(1, (maxlenratio * enc_len).astype(jnp.int32))
         minlen = (minlenratio * enc_len).astype(jnp.int32)
         lmax = self._lmax(t_enc, maxlenratio)
+        import os as _os
+
+        weights = (
+            None
+            if _os.environ.get("LLMASR_BEAM_CLOSURE_WEIGHTS") == "1"
+            else (self.variables, getattr(self.att_scorer, "variables", None))
+        )
         tokens, lens, scores, parts = jax.device_get(
-            self._search_jit(enc, enc_len, maxlen, minlen, scorer_ctx, lmax=lmax)
+            self._search_jit(enc, enc_len, maxlen, minlen, scorer_ctx,
+                             weights, lmax=lmax)
         )  # ONE host transfer for the whole result pytree (remote-device RTT)
         return self._to_hyps(tokens, lens, scores, nbest, parts)
 

@@ -387,6 +387,60 @@ def _build_mt(config):
     return model, names, dummy
 
 
+def _build_whisper(config):
+    """Whisper fine-tune task (reference: whisper encoder/decoder choices of
+    ASRTask, espnet2/asr/{encoder/whisper_encoder.py,decoder/
+    whisper_decoder.py} inside ESPnetASRModel, attention CE only).
+    model_conf.model_name_or_path loads a pretrained HF checkpoint to
+    fine-tune; without it a scratch whisper-shaped model trains (CI path)."""
+    from llm_guided_asr_tpu.models.ssl_encoders import WhisperEncConfig
+    from llm_guided_asr_tpu.models.whisper import (
+        WhisperASR,
+        WhisperConfig,
+        load_whisper_asr,
+    )
+
+    mc = dict(config.get("model_conf", {}) or {})
+    name = mc.get("model_name_or_path", "")
+    if name:
+        model, variables, _hf = load_whisper_asr(name)
+        model = dataclasses.replace(
+            model,
+            cfg=dataclasses.replace(
+                model.cfg,
+                sot_id=int(mc.get("sot_id", model.cfg.sot_id)),
+                eot_id=int(mc.get("eot_id", model.cfg.eot_id)),
+            ),
+        )
+        model._pretrained_variables = variables  # picked up by bin/train
+    else:
+        enc = WhisperEncConfig(
+            d_model=int(mc.get("d_model", 64)),
+            encoder_layers=int(mc.get("encoder_layers", 2)),
+            encoder_attention_heads=int(mc.get("attention_heads", 2)),
+            encoder_ffn_dim=int(mc.get("ffn_dim", 128)),
+            num_mel_bins=int(mc.get("num_mel_bins", 80)),
+            max_source_positions=int(mc.get("max_source_positions", 1500)),
+        )
+        model = WhisperASR(WhisperConfig(
+            vocab_size=int(mc.get("vocab_size", 64)),
+            d_model=enc.d_model,
+            decoder_layers=int(mc.get("decoder_layers", 2)),
+            decoder_attention_heads=int(mc.get("attention_heads", 2)),
+            decoder_ffn_dim=int(mc.get("ffn_dim", 128)),
+            max_target_positions=int(mc.get("max_target_positions", 448)),
+            encoder=enc,
+            sot_id=int(mc.get("sot_id", int(mc.get("vocab_size", 64)) - 2)),
+            eot_id=int(mc.get("eot_id", int(mc.get("vocab_size", 64)) - 1)),
+        ))
+    names = ("speech", "speech_lengths", "text", "text_lengths")
+    dummy = (
+        jnp.zeros((2, 4000), jnp.float32), jnp.asarray([4000, 3200]),
+        jnp.ones((2, 4), jnp.int32), jnp.asarray([4, 3]),
+    )
+    return model, names, dummy
+
+
 def _build_pit_asr(config):
     """pit_asr task (espnet2/asr/pit_espnet_model.py): multi-speaker ASR with
     permutation-invariant training; references come in as text, text_spk2,
@@ -815,6 +869,7 @@ TASK_BUILDERS: Dict[str, Callable] = {
     "s2t": _build_s2t,
     "diar": _build_diar,
     "mt": _build_mt,
+    "whisper": _build_whisper,
     "pit_asr": _build_pit_asr,
     "discrete_asr": _build_discrete_asr,
     "slu": _build_slu,

@@ -94,6 +94,15 @@ def main():
             },
             pre_beam_score_key="full",
         )
+        # the fork's real decode path auto-promotes to BatchBeamSearch when
+        # every scorer is batchable (asr_inference.py:365-385) — match it.
+        # (Pure BeamSearch differs in a corner: tokens outside the pre-beam
+        # window keep their decoder-only score with NO CTC term, letting
+        # blank win on inflated scores at beam 1; BatchBeamSearch kills
+        # non-windowed tokens at logzero but always CTC-scores eos,
+        # ctc_prefix_score.py:180-181.)
+        from espnet.nets.batch_beam_search import BatchBeamSearch
+        bs.__class__ = BatchBeamSearch
         bs.eval()
         x0 = enc_out[0, : int(enc_lens[0])]
         nbest = bs(x=x0, maxlenratio=0.0, minlenratio=0.0)
@@ -112,6 +121,7 @@ def main():
             },
             pre_beam_score_key="full",
         )
+        bs1.__class__ = BatchBeamSearch
         bs1.eval()
         nbest_b1 = bs1(x=x0, maxlenratio=0.0, minlenratio=0.0)
 
