@@ -210,6 +210,71 @@ def make_train_step(
     return grad_step, apply_step, accum_add
 
 
+def make_fused_train_step(
+    model,
+    tx: optax.GradientTransformation,
+    batch_args: Tuple[str, ...] = DEFAULT_BATCH_ARGS,
+):
+    """grad + optimizer update in ONE jit:
+    step(params, opt_state, extra, batch, rng) -> (params, opt_state, extra,
+    stats, weight).
+
+    Beyond fusing away the grads-as-outputs transfer, this matters for
+    frozen multi-B-param subtrees (the phase-2 frozen guidance LLM): with
+    separate grad_step/apply_step the zero gradients of the frozen LLM cross
+    the jit boundary as REAL buffers (~2.5 GB bf16 for Llama-3.2-1B — the
+    r5 bench OOM), while inside one jit they are constants XLA folds to
+    nothing (stop_gradient upstream means no backward graph either).
+    No accum/flat-plan support — use make_train_step for those.
+    """
+    def loss_args(batch):
+        if callable(batch_args):
+            return batch_args(batch)
+        return tuple(batch[k] for k in batch_args)
+
+    @jax.jit
+    def step(params, opt_state, extra, batch, rng):
+        def loss_fn(p):
+            variables = {"params": p, **extra}
+            mutable = [k for k in extra.keys() if k == "batch_stats"]
+            out = model.apply(
+                variables, *loss_args(batch), deterministic=False,
+                rngs={
+                    "dropout": rng,
+                    "specaug": jax.random.fold_in(rng, 1),
+                    "mlm": jax.random.fold_in(rng, 2),
+                    "mask": jax.random.fold_in(rng, 3),
+                },
+                mutable=mutable if mutable else False,
+            )
+            if mutable:
+                (loss, stats, weight), updated = out
+                return loss, ({**extra, **updated}, stats, weight)
+            loss, stats, weight = out
+            return loss, (extra, stats, weight)
+
+        (_, (new_extra, stats, weight)), grads = jax.value_and_grad(
+            loss_fn, has_aux=True
+        )(params)
+        finite = jnp.all(
+            jnp.asarray(
+                [jnp.all(jnp.isfinite(g))
+                 for g in jax.tree_util.tree_leaves(grads)]
+            )
+        )
+        updates, new_opt_state = tx.update(grads, opt_state, params)
+        new_params = optax.apply_updates(params, updates)
+
+        def keep(new, old):
+            return jnp.where(finite, new, old) if hasattr(new, "dtype") else new
+
+        new_params = jax.tree_util.tree_map(keep, new_params, params)
+        new_opt_state = jax.tree_util.tree_map(keep, new_opt_state, opt_state)
+        return new_params, new_opt_state, new_extra, stats, weight
+
+    return step
+
+
 def resolve_mesh(options: "TrainerOptions"):
     """Build the ('data','model') mesh requested by the options, or None.
 
