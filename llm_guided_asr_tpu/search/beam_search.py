@@ -22,6 +22,7 @@ ctc_weight, lm lm_weight, length_bonus penalty.
 from __future__ import annotations
 
 import functools
+import os
 from typing import Any, Callable, Dict, List, NamedTuple, Optional, Tuple
 
 import jax
@@ -83,6 +84,10 @@ class BatchBeamSearch:
 
         self.model = model
         self.variables = variables
+        # the default scorer shares our weights; remember that so a later
+        # self.variables reassignment (checkpoint swap) propagates to it
+        # (_call_weights syncs) instead of it scoring with the stale tree
+        self._default_att_scorer = att_scorer is None
         self.att_scorer = att_scorer or StatelessAttScorer(model, variables)
         self.vocab_size = vocab_size
         self.sos = sos
@@ -106,16 +111,12 @@ class BatchBeamSearch:
         self._search_jit = jax.jit(
             self._search, static_argnames=("lmax",)
         )
-        # Weights ride BOTH jitted searches as TRACED ARGUMENTS, not closure
-        # constants: baking a resident LLM into the executable was measured
-        # to capture 2.78 GB of literals at lowering time (1B guided decode)
-        # — slow lowering, bloated executable, duplicated HBM.  The swap in
-        # _weights_ctx happens at trace time only.  The tuple is built at
-        # CALL time (ADVICE r4: a frozen __init__ snapshot silently kept
-        # decoding with stale weights if self.variables was reassigned after
-        # construction).  lm_score_fn still closes over its own weights —
-        # shallow-fusion LMs are small.  LLMASR_BEAM_CLOSURE_WEIGHTS=1
-        # reverts both paths to closure capture (perf A/B instrument).
+        # Weight-passing mode is decided per call by _call_weights(): small
+        # weight sets ride as closure constants (XLA constant-folds them —
+        # worth ~19% beam10 RTFx on the flagship), large ones as traced jit
+        # arguments (a resident 1B LLM as a literal costs 2.78 GB at lowering
+        # + duplicated HBM).  lm_score_fn always closes over its own weights —
+        # shallow-fusion LMs are small.
         # batched multi-utterance decode: ONE while_loop over lockstep lanes
         # (the reference decodes utterance-by-utterance even in
         # BatchBeamSearch; vmapping the whole while_loop instead measured a
@@ -125,6 +126,58 @@ class BatchBeamSearch:
         self._batch_search_jit = jax.jit(
             self._vmapped_search, static_argnames=("lmax",)
         )
+
+    # Below this, weights ride as closure constants (XLA constant-folds them:
+    # measured beam10 1019x vs 856x on the 116M flagship, tools/
+    # ab_beam_weights.py); above it, as traced jit args (a resident 1B LLM as
+    # a literal costs 2.78 GB at lowering + duplicated HBM).
+    _TRACED_WEIGHTS_MIN_BYTES = int(
+        float(os.environ.get("LLMASR_BEAM_TRACED_WEIGHTS_MIN_MB", "512"))
+        * (1 << 20)
+    )
+
+    def _call_weights(self):
+        """Weight-passing mode, decided at CALL time.
+
+        Returns None for closure mode (the traced body reads self.variables
+        directly, baked in as jit constants) or the (variables,
+        att_scorer_variables) pair to pass as traced arguments.
+        LLMASR_BEAM_CLOSURE_WEIGHTS=1/0 forces the mode (A/B instrument);
+        default is by total weight size.  In closure mode the jit caches are
+        invalidated when self.variables (or the scorer's) is REASSIGNED, so a
+        checkpoint swap retraces instead of silently decoding with stale
+        constants (ADVICE r4 #1).
+        """
+        forced = os.environ.get("LLMASR_BEAM_CLOSURE_WEIGHTS")
+        if self._default_att_scorer:
+            self.att_scorer.variables = self.variables
+        sv = getattr(self.att_scorer, "variables", None)
+        if forced == "1":
+            use_closure = True
+        elif forced == "0":
+            use_closure = False
+        else:
+            total = sum(
+                getattr(leaf, "nbytes", 0)
+                for tree in (self.variables, sv)
+                for leaf in jax.tree_util.tree_leaves(tree)
+            )
+            use_closure = total < self._TRACED_WEIGHTS_MIN_BYTES
+        if not use_closure:
+            return (self.variables, sv)
+        ident = (id(self.variables), id(sv))
+        if getattr(self, "_closure_weights_id", None) != ident:
+            if getattr(self, "_closure_weights_id", None) is not None:
+                # weights object swapped since last trace: drop the compiled
+                # executables that constant-folded the old ones
+                self._search_jit = jax.jit(
+                    self._search, static_argnames=("lmax",)
+                )
+                self._batch_search_jit = jax.jit(
+                    self._vmapped_search, static_argnames=("lmax",)
+                )
+            self._closure_weights_id = ident
+        return None
 
     def _weights_ctx(self, weights):
         """Trace-time swap of model/scorer variables for the traced pytrees.
@@ -498,13 +551,7 @@ class BatchBeamSearch:
             maxlen = jnp.maximum(1, (maxlenratio * enc_len).astype(jnp.int32))
         minlen = (minlenratio * enc_len).astype(jnp.int32)
         lmax = self._lmax(t_enc, maxlenratio)
-        import os as _os
-
-        weights = (
-            None
-            if _os.environ.get("LLMASR_BEAM_CLOSURE_WEIGHTS") == "1"
-            else (self.variables, getattr(self.att_scorer, "variables", None))
-        )
+        weights = self._call_weights()
         tokens, lens, scores, parts = jax.device_get(
             self._search_jit(enc, enc_len, maxlen, minlen, scorer_ctx,
                              weights, lmax=lmax)
@@ -573,17 +620,7 @@ class BatchBeamSearch:
         else:
             maxlens = jnp.maximum(1, (maxlenratio * enc_lens).astype(jnp.int32))
         minlens = (minlenratio * enc_lens).astype(jnp.int32)
-        # Current weights at call time (ADVICE r4 #1).  LLMASR_BEAM_CLOSURE_
-        # WEIGHTS=1 reverts to closure-captured weights (weights=None swaps
-        # nothing in _weights_ctx) — the A/B instrument for the r4 beam-path
-        # regression bisect: traced weights block some XLA constant folding.
-        import os as _os
-
-        weights = (
-            None
-            if _os.environ.get("LLMASR_BEAM_CLOSURE_WEIGHTS") == "1"
-            else (self.variables, getattr(self.att_scorer, "variables", None))
-        )
+        weights = self._call_weights()
         tokens, lens, scores, parts = jax.device_get(
             self._batch_search_jit(
                 encs, enc_lens, maxlens, minlens, weights,
