@@ -274,16 +274,22 @@ def main():
         with Watchdog(int(min(1500 if on_tpu else 600, max(remaining(), 1)))):
             import optax
 
-            from llm_guided_asr_tpu.train.trainer import init_train_state, make_train_step
+            from llm_guided_asr_tpu.train.trainer import (
+                init_train_state,
+                make_fused_train_step,
+            )
 
             from llm_guided_asr_tpu.train.optim import ChunkPlan
 
             tx = optax.adamw(1e-3)
-            # chunked-flat optimizer application (615 leaves -> ~8 flat
-            # buffers; per-leaf chain measured 14.2 ms vs 4.9 ms on v5e)
+            # what Trainer.run actually executes at accum_grad 1: ONE fused
+            # grad+update jit (separate apply_step paid a ~460 MB f32 grads
+            # round-trip through HBM, measured 10-16 ms/step on v5e) over the
+            # chunked-flat optimizer (615 leaves -> ~8 flat buffers; per-leaf
+            # chain measured 14.2 ms vs 4.9 ms)
             plan = ChunkPlan(variables["params"])
             state = init_train_state(variables, tx, flat_plan=plan)
-            grad_step, apply_step, _ = make_train_step(model, tx, flat_plan=plan)
+            fused = make_fused_train_step(model, tx, flat_plan=plan)
             tbatch = {
                 "speech": speech, "speech_lengths": lengths,
                 "text": text, "text_lengths": tlens,
@@ -291,20 +297,19 @@ def main():
             # rbg dropout keys (Trainer default; threefry mask generation
             # measured ~1/3 of the step on v5e)
             rngk = jax.random.key(2, impl="rbg")
-            g, e, st, w = grad_step(state["params"], state["extra"], tbatch, rngk)
-            p2, o2 = apply_step(state["params"], state["opt_state"], g)
-            _fence(p2)
+            params, opt = state["params"], state["opt_state"]
+            xtr = state["extra"]
+            params, opt, xtr, st, w = fused(params, opt, xtr, tbatch, rngk)
+            _fence(params)
             iters = 10 if on_tpu else 2
             # the tunnel to the TPU host shows transient congestion (up to 5x
             # wall-clock inflation measured); best-of windows (first
             # discarded) reports the machine's actual capability
             best_dt = None
-            params, opt = state["params"], state["opt_state"]
             for rep in range(4 if on_tpu else 1):
                 t0 = time.perf_counter()
                 for _ in range(iters):
-                    g, e, st, w = grad_step(params, state["extra"], tbatch, rngk)
-                    params, opt = apply_step(params, opt, g)
+                    params, opt, xtr, st, w = fused(params, opt, xtr, tbatch, rngk)
                 _fence(params)
                 dt = time.perf_counter() - t0
                 if on_tpu and rep == 0:
@@ -314,9 +319,9 @@ def main():
             sps = batch * FLAGSHIP_SECONDS * iters / dt
             extra = {}
             try:
-                cost = jax.jit(
-                    lambda p, e, b, r: grad_step(p, e, b, r)
-                ).lower(params, state["extra"], tbatch, rngk).compile().cost_analysis()
+                cost = fused.lower(
+                    params, opt, xtr, tbatch, rngk
+                ).compile().cost_analysis()
                 flops = (cost or {}).get("flops", 0.0)
                 if flops and on_tpu:
                     extra["mfu"] = round(flops * iters / dt / V5E_BF16_FLOPS, 4)
@@ -713,10 +718,11 @@ def bench_llm_guided(on_tpu, dtype):
     # guided decoder + embed projection update.  The frozen-LLM fwd runs
     # inside the step (llm_guided_asr_model.py:136-218 cost center).
     try:
-        import optax
-
         from llm_guided_asr_tpu.train.optim import build_optimizer, path_prefix_mask
-        from llm_guided_asr_tpu.train.trainer import init_train_state, make_train_step
+        from llm_guided_asr_tpu.train.trainer import (
+            init_train_state,
+            make_fused_train_step,
+        )
 
         tb = 8 if on_tpu else 2
         t_speech = jnp.asarray(
@@ -730,21 +736,19 @@ def bench_llm_guided(on_tpu, dtype):
         )
         tx = build_optimizer("adamw", {"lr": 1e-3}, freeze_mask=fmask)
         state = init_train_state(variables, tx)
-        grad_step, apply_step, _ = make_train_step(model, tx)
+        fused = make_fused_train_step(model, tx)
         tbatch = {"speech": t_speech, "speech_lengths": t_lens,
                   "text": t_text, "text_lengths": t_tlens}
         rngk = jax.random.key(3, impl="rbg")
-        g, e2, st, w = grad_step(state["params"], state["extra"], tbatch, rngk)
-        p2, o2 = apply_step(state["params"], state["opt_state"], g)
-        _fence(p2)
-        params, opt = state["params"], state["opt_state"]
+        params, opt, xtr = state["params"], state["opt_state"], state["extra"]
+        params, opt, xtr, st, w = fused(params, opt, xtr, tbatch, rngk)
+        _fence(params)
         t_iters = 10 if on_tpu else 1
         best = None
         for rep in range(4 if on_tpu else 1):
             t0 = time.perf_counter()
             for _ in range(t_iters):
-                g, e2, st, w = grad_step(params, state["extra"], tbatch, rngk)
-                params, opt = apply_step(params, opt, g)
+                params, opt, xtr, st, w = fused(params, opt, xtr, tbatch, rngk)
             _fence(params)
             wdt = time.perf_counter() - t0
             if on_tpu and rep == 0:

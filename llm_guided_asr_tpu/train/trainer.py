@@ -214,18 +214,26 @@ def make_fused_train_step(
     model,
     tx: optax.GradientTransformation,
     batch_args: Tuple[str, ...] = DEFAULT_BATCH_ARGS,
+    flat_plan=None,
 ):
     """grad + optimizer update in ONE jit:
     step(params, opt_state, extra, batch, rng) -> (params, opt_state, extra,
     stats, weight).
 
-    Beyond fusing away the grads-as-outputs transfer, this matters for
-    frozen multi-B-param subtrees (the phase-2 frozen guidance LLM): with
-    separate grad_step/apply_step the zero gradients of the frozen LLM cross
-    the jit boundary as REAL buffers (~2.5 GB bf16 for Llama-3.2-1B — the
-    r5 bench OOM), while inside one jit they are constants XLA folds to
-    nothing (stop_gradient upstream means no backward graph either).
-    No accum/flat-plan support — use make_train_step for those.
+    Beyond fusing away the grads-as-outputs transfer (the flagship's ~460 MB
+    f32 grad tree written out by grad_step and read back by apply_step —
+    the separate apply_step alone measured 10-16 ms/step on v5e), this
+    matters for frozen multi-B-param subtrees (the phase-2 frozen guidance
+    LLM): with separate grad_step/apply_step the zero gradients of the
+    frozen LLM cross the jit boundary as REAL buffers (~2.5 GB bf16 for
+    Llama-3.2-1B — the r5 bench OOM), while inside one jit they are
+    constants XLA folds to nothing (stop_gradient upstream means no
+    backward graph either).
+
+    ``flat_plan`` (optim.ChunkPlan) applies the update chain on a few flat
+    buffers instead of 615 leaves, as in make_train_step; ``tx`` must then
+    have been init'd on the flat chunks.  No accum support — use
+    make_train_step for that.
     """
     def loss_args(batch):
         if callable(batch_args):
@@ -256,6 +264,21 @@ def make_fused_train_step(
         (_, (new_extra, stats, weight)), grads = jax.value_and_grad(
             loss_fn, has_aux=True
         )(params)
+        if flat_plan is not None:
+            fg = flat_plan.flatten(grads)
+            fp = flat_plan.flatten(params)
+            finite = jnp.all(
+                jnp.asarray([jnp.all(jnp.isfinite(c)) for c in fg])
+            )
+            updates, new_opt_state = tx.update(fg, opt_state, fp)
+            new_fp = [jnp.where(finite, p + u, p) for p, u in zip(fp, updates)]
+            new_opt_state = jax.tree_util.tree_map(
+                lambda n, o: jnp.where(finite, n, o)
+                if hasattr(n, "dtype") else n,
+                new_opt_state, opt_state,
+            )
+            return (flat_plan.unflatten(new_fp), new_opt_state, new_extra,
+                    stats, weight)
         finite = jnp.all(
             jnp.asarray(
                 [jnp.all(jnp.isfinite(g))
@@ -516,6 +539,15 @@ class Trainer:
         grad_step, apply_step, accum_add = make_train_step(
             model, tx, options.accum_grad, batch_args=bargs, flat_plan=flat_plan
         )
+        # accum_grad == 1 (the recipe default): one fused grad+update jit —
+        # the separate apply_step pays a grads round-trip through HBM at the
+        # jit boundary (~460 MB f32 for the flagship, 10-16 ms/step measured
+        # on v5e).  The split path stays for gradient accumulation.
+        fused_step = (
+            make_fused_train_step(model, tx, batch_args=bargs,
+                                  flat_plan=flat_plan)
+            if options.accum_grad == 1 else None
+        )
         valid_step = make_valid_step(model, bargs)
         greedy_step = make_ctc_greedy_step(model) if options.report_ctc_er else None
         # ---- val-driven epoch scheduler (ReduceLROnPlateau analog) ----
@@ -578,6 +610,7 @@ class Trainer:
             state = cls._train_one_epoch(
                 state, grad_step, apply_step, accum_add,
                 train_iter_factory(epoch), epoch_rng, options, sub, mesh,
+                fused_step=fused_step,
             )
             reporter.finish_phase(sub)
 
@@ -664,7 +697,8 @@ class Trainer:
 
     @staticmethod
     def _train_one_epoch(
-        state, grad_step, apply_step, accum_add, iterator, rng, options, sub, mesh=None
+        state, grad_step, apply_step, accum_add, iterator, rng, options, sub,
+        mesh=None, fused_step=None,
     ):
         params, opt_state, extra = state["params"], state["opt_state"], state["extra"]
         step = int(state["step"])
@@ -688,24 +722,39 @@ class Trainer:
             if mesh is not None:
                 batch = shard_batch_padded(batch, mesh)
             probe = (it + 1) % options.log_interval == 0
-            if probe:
-                jax.block_until_ready(params)
-                tg = time.perf_counter()
-            grads, extra, stats, weight = grad_step(params, extra, batch, it_rng)
-            if probe:
-                jax.block_until_ready(grads)
-                phase_times["grad_time"] = time.perf_counter() - tg
-            acc_grads = grads if acc_grads is None else accum_add(acc_grads, grads)
-            n_acc += 1
-            if n_acc == options.accum_grad:
-                if probe:
-                    to = time.perf_counter()
-                params, opt_state = apply_step(params, opt_state, acc_grads)
+            if fused_step is not None:
+                # accum_grad == 1: one fused grad+update jit (no grads
+                # round-trip through HBM); grad/optim phases are one graph,
+                # reported as train_step_time
                 if probe:
                     jax.block_until_ready(params)
-                    phase_times["optim_step_time"] = time.perf_counter() - to
-                acc_grads, n_acc = None, 0
+                    tg = time.perf_counter()
+                params, opt_state, extra, stats, weight = fused_step(
+                    params, opt_state, extra, batch, it_rng
+                )
+                if probe:
+                    jax.block_until_ready(params)
+                    phase_times["train_step_time"] = time.perf_counter() - tg
                 step += 1
+            else:
+                if probe:
+                    jax.block_until_ready(params)
+                    tg = time.perf_counter()
+                grads, extra, stats, weight = grad_step(params, extra, batch, it_rng)
+                if probe:
+                    jax.block_until_ready(grads)
+                    phase_times["grad_time"] = time.perf_counter() - tg
+                acc_grads = grads if acc_grads is None else accum_add(acc_grads, grads)
+                n_acc += 1
+                if n_acc == options.accum_grad:
+                    if probe:
+                        to = time.perf_counter()
+                    params, opt_state = apply_step(params, opt_state, acc_grads)
+                    if probe:
+                        jax.block_until_ready(params)
+                        phase_times["optim_step_time"] = time.perf_counter() - to
+                    acc_grads, n_acc = None, 0
+                    step += 1
             stat_acc.add(stats, weight)
             if probe:
                 flushed = stat_acc.flush()

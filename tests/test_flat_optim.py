@@ -140,3 +140,69 @@ def test_trainer_run_flat_optim(tmp_path):
     state2 = Trainer.run(model, variables, tx, lambda e: [batch],
                          lambda e: [batch], tmp_path, opts2)
     assert np.all(np.abs(np.asarray(state2["params"]["w"])) < np.abs(w))
+
+
+def test_fused_flat_matches_split():
+    """make_fused_train_step(flat_plan=...) == split grad_step+apply_step
+    (same math; the fused jit only removes the grads round-trip)."""
+    import jax.numpy as jnp
+
+    from llm_guided_asr_tpu.models.asr_model import ASRModel, ASRModelConfig
+    from llm_guided_asr_tpu.models.conformer import ConformerConfig
+    from llm_guided_asr_tpu.models.transformer_decoder import (
+        TransformerDecoderConfig,
+    )
+    from llm_guided_asr_tpu.ops.frontend import FrontendConfig
+    from llm_guided_asr_tpu.train.trainer import (
+        init_train_state,
+        make_fused_train_step,
+        make_train_step,
+    )
+
+    cfg = ASRModelConfig(
+        vocab_size=8,
+        frontend=FrontendConfig(n_fft=128, hop_length=64, n_mels=20),
+        normalize="utterance_mvn",
+        encoder=ConformerConfig(output_size=16, attention_heads=2,
+                                linear_units=24, num_blocks=1,
+                                use_cnn_module=True, cnn_module_kernel=7),
+        decoder=TransformerDecoderConfig(attention_heads=2, linear_units=24,
+                                         num_blocks=1),
+        ctc_weight=0.3,
+    )
+    model = ASRModel(cfg)
+    rng = np.random.default_rng(0)
+    batch = {
+        "speech": jnp.asarray(rng.standard_normal((2, 2048)), jnp.float32),
+        "speech_lengths": jnp.asarray([2048, 1500]),
+        "text": jnp.asarray([[1, 2, 3, -1], [4, 5, -1, -1]], jnp.int32),
+        "text_lengths": jnp.asarray([3, 2]),
+    }
+    variables = model.init(
+        {"params": jax.random.PRNGKey(0), "dropout": jax.random.PRNGKey(1)},
+        batch["speech"], batch["speech_lengths"], batch["text"],
+        batch["text_lengths"], deterministic=True,
+    )
+    tx = optax.adamw(1e-2)
+    plan = ChunkPlan(variables["params"], n_chunks=4)
+    rngk = jax.random.PRNGKey(7)
+
+    s1 = init_train_state(variables, tx, flat_plan=plan)
+    grad_step, apply_step, _ = make_train_step(model, tx, flat_plan=plan)
+    p_a, o_a, e_a = s1["params"], s1["opt_state"], s1["extra"]
+    for _ in range(3):
+        g, e_a, st_a, w_a = grad_step(p_a, e_a, batch, rngk)
+        p_a, o_a = apply_step(p_a, o_a, g)
+
+    s2 = init_train_state(variables, tx, flat_plan=plan)
+    fused = make_fused_train_step(model, tx, flat_plan=plan)
+    p_b, o_b, e_b = s2["params"], s2["opt_state"], s2["extra"]
+    for _ in range(3):
+        p_b, o_b, e_b, st_b, w_b = fused(p_b, o_b, e_b, batch, rngk)
+
+    for a, b in zip(jax.tree_util.tree_leaves(p_a),
+                    jax.tree_util.tree_leaves(p_b)):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+    for a, b in zip(jax.tree_util.tree_leaves(e_a),
+                    jax.tree_util.tree_leaves(e_b)):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
