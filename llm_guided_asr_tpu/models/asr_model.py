@@ -266,11 +266,18 @@ class ASRModel(nn.Module):
             )
         if cfg.frontend is not None and speech.ndim == 2:
             f = cfg.frontend
+            # bf16-compute models run the DFT matmul at default precision
+            # (one MXU pass) instead of HIGHEST (6-pass f32 emulation,
+            # ~1.3 ms/step at B=32): the features feed log + MVN and the
+            # encoder consumes them in bf16 anyway.  f32 models (CPU parity
+            # suites) keep the f32-exact default.
+            prec = None if self.dtype == jnp.float32 else jax.lax.Precision.DEFAULT
             return default_frontend(
                 speech, speech_lengths,
                 fs=f.fs, n_fft=f.n_fft, win_length=f.win_length,
                 hop_length=f.hop_length, n_mels=f.n_mels, fmin=f.fmin,
                 fmax=f.fmax, htk=f.htk, center=f.center, window=f.window,
+                precision=prec,
             )
         return speech, speech_lengths
 

@@ -204,6 +204,7 @@ def stft_power(
     hop_length: int = 128,
     center: bool = True,
     window: Optional[str] = "hann",
+    precision=None,
 ) -> jnp.ndarray:
     """[B, S] -> [B, T, F] one-sided power spectrum, via a strided DFT conv.
 
@@ -212,9 +213,14 @@ def stft_power(
     ``jnp.fft.rfft`` (XLA TPU FFT decomposition — ~2.5 ms) are replaced by
     one strided f32 convolution against the windowed DFT basis
     (kernel [n_fft, 1, 2F]; cos and sin stacked on the channel axis), which
-    runs on the MXU. precision=HIGHEST keeps f32 accuracy for the
-    torch-parity tests.
+    runs on the MXU. The default precision=HIGHEST keeps f32 accuracy for
+    the torch-parity tests (6-pass f32 emulation, ~1.3 ms/step at B=32 x
+    10 s); a bf16-compute model may pass a lower precision — the features
+    feed log-compression + MVN, so the LSBs a 1-pass matmul loses are far
+    below SpecAug/dropout noise.
     """
+    if precision is None:
+        precision = jax.lax.Precision.HIGHEST
     if win_length is None:
         win_length = n_fft
     if center:
@@ -264,7 +270,7 @@ def stft_power(
         )  # [B, T, n_fft]
         out = jnp.einsum(
             "btn,nf->btf", frames, jnp.asarray(basis),
-            precision=jax.lax.Precision.HIGHEST,
+            precision=precision,
         )
     else:
         out = jax.lax.conv_general_dilated(
@@ -273,7 +279,7 @@ def stft_power(
             window_strides=(hop_length,),
             padding="VALID",
             dimension_numbers=("NWC", "WIO", "NWC"),
-            precision=jax.lax.Precision.HIGHEST,
+            precision=precision,
         )  # [B, T, 2F]
     return out[..., :f] ** 2 + out[..., f:] ** 2
 
@@ -392,14 +398,18 @@ def default_frontend(
     htk: bool = False,
     center: bool = True,
     window: Optional[str] = "hann",
+    precision=None,
 ) -> Tuple[jnp.ndarray, jnp.ndarray]:
     """[B, S] audio -> ([B, T, n_mels] log-mel, [B] frame lengths).
 
     The full DefaultFrontend path (default.py:82-117) in one jitted graph:
     STFT -> power -> mel matmul -> clamp/log -> zero padding frames.
+    ``precision`` relaxes the DFT matmul for bf16-compute models (see
+    stft_power); None keeps the f32-exact default.
     """
     power = stft_power(
-        speech.astype(jnp.float32), n_fft, win_length, hop_length, center, window
+        speech.astype(jnp.float32), n_fft, win_length, hop_length, center,
+        window, precision=precision,
     )
     feats = logmel_from_power(power, fs, n_fft, n_mels, fmin, fmax, htk)
     olens = stft_out_lengths(speech_lengths, n_fft, hop_length, center)

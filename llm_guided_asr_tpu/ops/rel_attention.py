@@ -141,99 +141,73 @@ def dropout_keep_mask(seed, hi: int, bi: int, shape, rate: float):
 
 
 def _fwd_kernel(seed_ref, qu_ref, qv_ref, k_ref, v_ref, p_ref, valid_ref,
-                out_ref, l_ref, m_ref, *, sm_scale: float, dropout_rate: float):
-    tp = qu_ref.shape[2]
-    qu = qu_ref[0, 0]
-    qv = qv_ref[0, 0]
-    k = k_ref[0, 0]
-    v = v_ref[0, 0]
-    p = p_ref[0]
-    valid_row = valid_ref[...].reshape(1, tp)
+                out_ref, l_ref, m_ref, *, sm_scale: float, dropout_rate: float,
+                nb: int):
+    """Forward over a block of ``nb`` batch rows per grid program.
 
-    scores = _scores(qu, qv, k, p, valid_row, sm_scale, tp)
-    m = jnp.max(scores, axis=1, keepdims=True)
-    e = jnp.exp(scores - m)
-    l = jnp.sum(e, axis=1, keepdims=True)
-    if dropout_rate > 0.0:
-        # attention-prob dropout (espnet attention.py: self.dropout(attn));
-        # the l/m residuals describe the *pre-dropout* softmax and stay valid
-        keep = dropout_keep_mask(
-            seed_ref[0], pl.program_id(0), pl.program_id(1), e.shape,
-            dropout_rate,
-        )
-        e = jnp.where(keep, e, 0.0) / (1.0 - dropout_rate)
-    # probs ride the MXU in the storage dtype (the dense path also casts
-    # attn to self.dtype before the av einsum)
-    out = jax.lax.dot_general(e.astype(v.dtype), v, (((1,), (0,)), ((), ())),
-                              preferred_element_type=jnp.float32) / l
-    out_ref[0, 0] = out.astype(out_ref.dtype)
-    l_ref[0, 0] = l  # [Tp, 1]
-    m_ref[0, 0] = m
+    Measured motivation and outcome (tools/prof_relattn.py, B=32 H=4 T=250):
+    one (h, b) pair per program ran 719 us/layer fwd while T=500 cost only
+    +18% — pointing at per-program overhead.  Blocking nb rows per program
+    (and fully unrolling the row loop) measured 586-618 us fwd / 920-941 us
+    fwd+bwd — a ~15% gain; the remaining gap to absolute attention (~535 us
+    fwd+bwd) is the per-row serial matmul->shift->softmax->matmul dependency
+    chain, which neither fewer programs nor row interleaving removed.  Kept
+    because it is never slower and shrinks the grid 8x at large B."""
+    tp = qu_ref.shape[2]
+    p = p_ref[0]
+    # program ids read OUTSIDE the fori_loop body: inside, the primitive
+    # ends up in the inner jaxpr where interpret mode cannot lower it
+    hi = pl.program_id(0)
+    bi0 = pl.program_id(1) * nb
+
+    def row(i, carry):
+        qu = qu_ref[i, 0]
+        qv = qv_ref[i, 0]
+        k = k_ref[i, 0]
+        v = v_ref[i, 0]
+        valid_row = valid_ref[i].reshape(1, tp)
+
+        scores = _scores(qu, qv, k, p, valid_row, sm_scale, tp)
+        m = jnp.max(scores, axis=1, keepdims=True)
+        e = jnp.exp(scores - m)
+        l = jnp.sum(e, axis=1, keepdims=True)
+        if dropout_rate > 0.0:
+            # attention-prob dropout (espnet attention.py: self.dropout(attn));
+            # the l/m residuals describe the *pre-dropout* softmax and stay
+            # valid.  The mask is keyed by the TRUE batch index so results
+            # are independent of the nb blocking.
+            keep = dropout_keep_mask(
+                seed_ref[0], hi, bi0 + i, e.shape, dropout_rate,
+            )
+            e = jnp.where(keep, e, 0.0) / (1.0 - dropout_rate)
+        # probs ride the MXU in the storage dtype (the dense path also casts
+        # attn to self.dtype before the av einsum)
+        out = jax.lax.dot_general(e.astype(v.dtype), v,
+                                  (((1,), (0,)), ((), ())),
+                                  preferred_element_type=jnp.float32) / l
+        out_ref[i, 0] = out.astype(out_ref.dtype)
+        l_ref[i, 0] = l  # [Tp, 1]
+        m_ref[i, 0] = m
+        return carry
+
+    # rolled loop: VMEM temporaries are reused across rows (a full unroll
+    # at nb=8/bf16 kept all rows' f32 score temps live — 19.5 MB stack vs
+    # the 16 MB limit — and measured no faster; Mosaic only supports
+    # unroll=1 or =num_steps)
+    jax.lax.fori_loop(0, nb, row, 0)
 
 
 def _bwd_kernel(seed_ref, qu_ref, qv_ref, k_ref, v_ref, p_ref, prev_ref,
                 valid_ref, out_ref, l_ref, m_ref, dout_ref,
                 dqu_ref, dqv_ref, dk_ref, dv_ref, dprev_ref, *,
-                sm_scale: float, dropout_rate: float):
+                sm_scale: float, dropout_rate: float, nb: int):
     tp = qu_ref.shape[2]
     p_len = p_ref.shape[1]
-    qu = qu_ref[0, 0]
-    qv = qv_ref[0, 0]
-    k = k_ref[0, 0]
-    v = v_ref[0, 0]
     p = p_ref[0]
     p_rev = prev_ref[0]  # p with its position axis flipped (see _vjp_bwd)
-    out = out_ref[0, 0].astype(jnp.float32)
-    dout = dout_ref[0, 0]
-    l = l_ref[0, 0]  # [Tp, 1]
-    m = m_ref[0, 0]
-    valid_row = valid_ref[...].reshape(1, tp)
+    hi = pl.program_id(0)
+    bi0 = pl.program_id(1) * nb
 
-    scores = _scores(qu, qv, k, p, valid_row, sm_scale, tp)
-    prob = jnp.exp(scores - m) / l  # [T, T] f32
-    prob_lo = prob.astype(v.dtype)
-
-    if dropout_rate > 0.0:
-        # re-derive the forward's exact keep mask; with dropout the
-        # delta = sum(dout*out) shortcut no longer equals rowsum(dprob*prob)
-        # so compute it directly
-        keep = dropout_keep_mask(
-            seed_ref[0], pl.program_id(0), pl.program_id(1), prob.shape,
-            dropout_rate,
-        )
-        prob_d = (jnp.where(keep, prob, 0.0) / (1.0 - dropout_rate)).astype(v.dtype)
-        dprob = jax.lax.dot_general(dout, v, (((1,), (1,)), ((), ())),
-                                    preferred_element_type=jnp.float32)
-        dprob = jnp.where(keep, dprob, 0.0) / (1.0 - dropout_rate)
-        delta = jnp.sum(dprob * prob, axis=1, keepdims=True)
-        dv = jax.lax.dot_general(prob_d, dout, (((0,), (0,)), ((), ())),
-                                 preferred_element_type=jnp.float32)
-    else:
-        dprob = jax.lax.dot_general(dout, v, (((1,), (1,)), ((), ())),
-                                    preferred_element_type=jnp.float32)
-        delta = jnp.sum(dout.astype(jnp.float32) * out, axis=1, keepdims=True)
-        dv = jax.lax.dot_general(prob_lo, dout, (((0,), (0,)), ((), ())),
-                                 preferred_element_type=jnp.float32)
-    dscores = (prob * (dprob - delta) * sm_scale)  # [T, T] f32
-    ds_lo = dscores.astype(qu.dtype)
-
-    dqu = jax.lax.dot_general(ds_lo, k, (((1,), (0,)), ((), ())),
-                              preferred_element_type=jnp.float32)
-    dk = jax.lax.dot_general(ds_lo, qu, (((0,), (0,)), ((), ())),
-                             preferred_element_type=jnp.float32)
-    # ds2 arrives lane-REVERSED (ds2_rev[i, j] = ds2[i, P-1-j]); both
-    # consumers absorb the flip: dqv contracts against p_rev, and dp is
-    # emitted reversed (un-flipped in XLA by _vjp_bwd)
-    ds2_rev = _unshift_bd_rev(dscores, p_len, tp, qu.dtype)  # [T, P]
-    dqv = jax.lax.dot_general(ds2_rev, p_rev, (((1,), (0,)), ((), ())),
-                              preferred_element_type=jnp.float32)
-    dp_rev = jax.lax.dot_general(ds2_rev, qv, (((0,), (0,)), ((), ())),
-                                 preferred_element_type=jnp.float32)
-
-    dqu_ref[0, 0] = dqu.astype(dqu_ref.dtype)
-    dqv_ref[0, 0] = dqv.astype(dqv_ref.dtype)
-    dk_ref[0, 0] = dk.astype(dk_ref.dtype)
-    dv_ref[0, 0] = dv.astype(dv_ref.dtype)
     # p is shared across the batch grid axis (innermost, so the per-head
     # block stays resident across consecutive visits): read-modify-write
     # accumulation is race-free; zero it on the first batch cell
@@ -241,21 +215,100 @@ def _bwd_kernel(seed_ref, qu_ref, qv_ref, k_ref, v_ref, p_ref, prev_ref,
     def _init():
         dprev_ref[...] = jnp.zeros_like(dprev_ref)
 
-    dprev_ref[...] += dp_rev[None].astype(dprev_ref.dtype)
+    def row(i, carry):
+        qu = qu_ref[i, 0]
+        qv = qv_ref[i, 0]
+        k = k_ref[i, 0]
+        v = v_ref[i, 0]
+        out = out_ref[i, 0].astype(jnp.float32)
+        dout = dout_ref[i, 0]
+        l = l_ref[i, 0]  # [Tp, 1]
+        m = m_ref[i, 0]
+        valid_row = valid_ref[i].reshape(1, tp)
+
+        scores = _scores(qu, qv, k, p, valid_row, sm_scale, tp)
+        prob = jnp.exp(scores - m) / l  # [T, T] f32
+        prob_lo = prob.astype(v.dtype)
+
+        if dropout_rate > 0.0:
+            # re-derive the forward's exact keep mask; with dropout the
+            # delta = sum(dout*out) shortcut no longer equals
+            # rowsum(dprob*prob) so compute it directly
+            keep = dropout_keep_mask(
+                seed_ref[0], hi, bi0 + i, prob.shape, dropout_rate,
+            )
+            prob_d = (jnp.where(keep, prob, 0.0)
+                      / (1.0 - dropout_rate)).astype(v.dtype)
+            dprob = jax.lax.dot_general(dout, v, (((1,), (1,)), ((), ())),
+                                        preferred_element_type=jnp.float32)
+            dprob = jnp.where(keep, dprob, 0.0) / (1.0 - dropout_rate)
+            delta = jnp.sum(dprob * prob, axis=1, keepdims=True)
+            dv = jax.lax.dot_general(prob_d, dout, (((0,), (0,)), ((), ())),
+                                     preferred_element_type=jnp.float32)
+        else:
+            dprob = jax.lax.dot_general(dout, v, (((1,), (1,)), ((), ())),
+                                        preferred_element_type=jnp.float32)
+            delta = jnp.sum(dout.astype(jnp.float32) * out, axis=1,
+                            keepdims=True)
+            dv = jax.lax.dot_general(prob_lo, dout, (((0,), (0,)), ((), ())),
+                                     preferred_element_type=jnp.float32)
+        dscores = (prob * (dprob - delta) * sm_scale)  # [T, T] f32
+        ds_lo = dscores.astype(qu.dtype)
+
+        dqu = jax.lax.dot_general(ds_lo, k, (((1,), (0,)), ((), ())),
+                                  preferred_element_type=jnp.float32)
+        dk = jax.lax.dot_general(ds_lo, qu, (((0,), (0,)), ((), ())),
+                                 preferred_element_type=jnp.float32)
+        # ds2 arrives lane-REVERSED (ds2_rev[i, j] = ds2[i, P-1-j]); both
+        # consumers absorb the flip: dqv contracts against p_rev, and dp is
+        # emitted reversed (un-flipped in XLA by _vjp_bwd)
+        ds2_rev = _unshift_bd_rev(dscores, p_len, tp, qu.dtype)  # [T, P]
+        dqv = jax.lax.dot_general(ds2_rev, p_rev, (((1,), (0,)), ((), ())),
+                                  preferred_element_type=jnp.float32)
+        dp_rev = jax.lax.dot_general(ds2_rev, qv, (((0,), (0,)), ((), ())),
+                                     preferred_element_type=jnp.float32)
+
+        dqu_ref[i, 0] = dqu.astype(dqu_ref.dtype)
+        dqv_ref[i, 0] = dqv.astype(dqv_ref.dtype)
+        dk_ref[i, 0] = dk.astype(dk_ref.dtype)
+        dv_ref[i, 0] = dv.astype(dv_ref.dtype)
+        dprev_ref[...] += dp_rev[None].astype(dprev_ref.dtype)
+        return carry
+
+    jax.lax.fori_loop(0, nb, row, 0)
 
 
-def _specs(tp, p_len, dk):
+def _block_rows(b: int, tp: int, dk: int, itemsize: int, n_refs: int) -> int:
+    """Batch rows per grid program: largest power-of-two divisor of B, up to
+    8, that fits the ~16 MB VMEM budget.
+
+    One (h, b) pair per program measured ~5-6 us of fixed per-grid-step cost
+    against <1 us of work at the flagship shapes; batching rows amortizes
+    it.  The row-scaled VMEM footprint is n_refs blocks of [nb, tp, dk],
+    double-buffered by the pipeline, plus loop temporaries Mosaic keeps on
+    the kernel stack (~2x in practice — an f32 forward at nb=8, Tp=384
+    compiled to a 21 MB stack against the 16 MB limit), so the row budget
+    is kept to 2.5 MB."""
+    per_row = n_refs * tp * dk * itemsize
+    cap = max(1, 2_500_000 // per_row)
+    nb = 1
+    while nb < 8 and nb * 2 <= cap and b % (nb * 2) == 0:
+        nb *= 2
+    return nb
+
+
+def _specs(tp, p_len, dk, nb):
     # Mosaic requires the last two block dims divisible by (8, 128) or equal
     # to the array dims: kv_valid rides as [B, 1, Tp] and l/m as
     # [B, H, Tp, 1] so every block's trailing dims match the array's.
-    # Grid is (H, B) — batch innermost — so the bwd dp block (indexed by the
-    # head alone) is revisited on CONSECUTIVE grid steps; accumulation into a
-    # non-consecutively-revisited output block is undefined on real TPUs
-    # (the pipeline writes the block out between visits).
-    qspec = pl.BlockSpec((1, 1, tp, dk), lambda hi, bi: (bi, hi, 0, 0))
+    # Grid is (H, B/nb) — batch innermost — so the bwd dp block (indexed by
+    # the head alone) is revisited on CONSECUTIVE grid steps; accumulation
+    # into a non-consecutively-revisited output block is undefined on real
+    # TPUs (the pipeline writes the block out between visits).
+    qspec = pl.BlockSpec((nb, 1, tp, dk), lambda hi, bi: (bi, hi, 0, 0))
     pspec = pl.BlockSpec((1, p_len, dk), lambda hi, bi: (hi, 0, 0))
-    vspec = pl.BlockSpec((1, 1, tp), lambda hi, bi: (bi, 0, 0))
-    lspec = pl.BlockSpec((1, 1, tp, 1), lambda hi, bi: (bi, hi, 0, 0))
+    vspec = pl.BlockSpec((nb, 1, tp), lambda hi, bi: (bi, 0, 0))
+    lspec = pl.BlockSpec((nb, 1, tp, 1), lambda hi, bi: (bi, hi, 0, 0))
     return qspec, pspec, vspec, lspec
 
 
@@ -292,12 +345,13 @@ def _seed_arr(seed):
 def _fwd_call(qu, qv, k, v, p, kv_valid, seed, sm_scale, dropout_rate):
     b, h, tp, dk = qu.shape
     p_len = p.shape[1]
-    qspec, pspec, vspec, lspec = _specs(tp, p_len, dk)
+    nb = _block_rows(b, tp, dk, qu.dtype.itemsize, n_refs=5)
+    qspec, pspec, vspec, lspec = _specs(tp, p_len, dk, nb)
     sspec = pl.BlockSpec(memory_space=pltpu.SMEM)
     out, l, m = pl.pallas_call(
         functools.partial(_fwd_kernel, sm_scale=sm_scale,
-                          dropout_rate=dropout_rate),
-        grid=(h, b),
+                          dropout_rate=dropout_rate, nb=nb),
+        grid=(h, b // nb),
         in_specs=[sspec, qspec, qspec, qspec, qspec, pspec, vspec],
         out_specs=[qspec, lspec, lspec],
         out_shape=[
@@ -336,13 +390,14 @@ def _vjp_bwd(sm_scale, dropout_rate, res, dout):
     qu, qv, k, v, p, kv_valid, seed, out, l, m = res
     b, h, tp, dk = qu.shape
     p_len = p.shape[1]
-    qspec, pspec, vspec, lspec = _specs(tp, p_len, dk)
+    nb = _block_rows(b, tp, dk, qu.dtype.itemsize, n_refs=10)
+    qspec, pspec, vspec, lspec = _specs(tp, p_len, dk, nb)
     sspec = pl.BlockSpec(memory_space=pltpu.SMEM)
     p_rev = p[:, ::-1, :]  # pre-reversed position table (XLA, cheap)
     dqu, dqv, dk_, dv, dp_rev = pl.pallas_call(
         functools.partial(_bwd_kernel, sm_scale=sm_scale,
-                          dropout_rate=dropout_rate),
-        grid=(h, b),
+                          dropout_rate=dropout_rate, nb=nb),
+        grid=(h, b // nb),
         in_specs=[sspec, qspec, qspec, qspec, qspec, pspec, pspec, vspec,
                   qspec, lspec, lspec, qspec],
         out_specs=[qspec, qspec, qspec, qspec, pspec],
