@@ -67,6 +67,10 @@ def _emit(metric, value, unit, vs_baseline=None, **extra):
     return line
 
 
+class BudgetSkip(Exception):
+    """Section never started: the global wall-clock budget is exhausted."""
+
+
 class Watchdog:
     """SIGALRM guard so one slow tunnel compile can't starve the headline."""
 
@@ -270,7 +274,7 @@ def main():
     # ---- 4. train step ------------------------------------------------
     try:
         if remaining() < 120:
-            raise TimeoutError
+            raise BudgetSkip
         with Watchdog(int(min(1500 if on_tpu else 600, max(remaining(), 1)))):
             import optax
 
@@ -338,6 +342,9 @@ def main():
             all_metrics["train_step_audio_sps"] = round(sps, 1)
             all_metrics.update(extra)
             _emit("train_step_audio_sps", sps, "audio_seconds_per_second", **extra)
+    except BudgetSkip:
+        _emit("train_step_audio_sps", -1, "audio_seconds_per_second",
+              note="skipped: budget")
     except TimeoutError:
         _emit("train_step_audio_sps", -1, "audio_seconds_per_second", note="timeout")
     except Exception as e:
@@ -347,7 +354,7 @@ def main():
     # ---- 5. p50 single-utterance beam-1 latency (decode_bs1_ctc0.3) ----
     try:
         if remaining() < 90:
-            raise TimeoutError
+            raise BudgetSkip
         with Watchdog(int(min(1500 if on_tpu else 600, max(remaining(), 1)))):
             bs1 = BatchBeamSearch(
                 model, variables, vocab_size=5000, sos=4999, eos=4999,
@@ -366,6 +373,8 @@ def main():
             ref_ms = REFERENCE_RTFX.get("beam1_latency_ms")
             _emit("beam1_p50_latency_ms", p50, "ms_per_10s_utterance",
                   vs_baseline=round(ref_ms / p50, 2) if ref_ms else None)
+    except BudgetSkip:
+        _emit("beam1_p50_latency_ms", -1, "ms", note="skipped: budget")
     except TimeoutError:
         _emit("beam1_p50_latency_ms", -1, "ms", note="timeout")
     except Exception as e:
@@ -374,7 +383,7 @@ def main():
     # ---- 6. LLM-guided cached decode (toy LLM; continuity series) ------
     try:
         if remaining() < 120:
-            raise TimeoutError
+            raise BudgetSkip
         with Watchdog(int(min(1800 if on_tpu else 900, max(remaining(), 1)))):
             llm_rtfx, llm_batch_rtfx, llm_train_sps = bench_llm_guided(on_tpu, dtype)
             all_metrics["llm_guided_rtfx"] = round(llm_rtfx, 1)
@@ -391,6 +400,9 @@ def main():
                 all_metrics["llm_guided_train_sps"] = round(llm_train_sps, 1)
                 _emit("llm_guided_train_sps", llm_train_sps,
                       "audio_seconds_per_second")
+    except BudgetSkip:
+        _emit("llm_guided_rtfx", -1, "x_realtime_per_chip",
+              note="skipped: budget")
     except TimeoutError:
         _emit("llm_guided_rtfx", -1, "x_realtime_per_chip", note="timeout")
     except Exception as e:  # keep the headline alive
@@ -580,7 +592,10 @@ def bench_llm_guided_1b(on_tpu, dtype, all_metrics, llm=None, ckpt_dir=None,
         except Exception:
             pass
 
-    emit_peak()  # decode-path peak lands even if the train step OOMs below
+    # (emit_peak runs ONCE, after the train sub-section below — which is
+    # exception-guarded, so the call is reached even if training fails; a
+    # second earlier emission produced two JSON lines for the same metric on
+    # runtimes with working memory_stats)
 
     # frozen-LLM train step (phase-2: encoder/ctc/llm frozen, esun yaml
     # freeze_param; the LLM forward still runs inside the step).  ONE fused

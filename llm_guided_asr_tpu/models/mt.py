@@ -90,6 +90,7 @@ class MTModel(nn.Module):
             )
             # project the pretrained hidden size into the decoder width
             self.enc_proj = nn.Dense(cfg.adim, dtype=self.dtype, name="enc_proj")
+            shared_embed = None
         else:
             src_vocab = cfg.src_vocab_size or cfg.vocab_size
             share = (
@@ -97,6 +98,7 @@ class MTModel(nn.Module):
                 and src_vocab == cfg.vocab_size
             )
             self.src_embed = nn.Embed(src_vocab, cfg.adim, dtype=self.dtype, name="src_embed")
+            shared_embed = self.src_embed if share else None
             self.pos = PositionalEncoding(0.1, dtype=self.dtype, name="pos")
             self.blocks = [
                 TransformerEncoderLayer(cfg.heads, cfg.units, 0.1, dtype=self.dtype,
@@ -109,11 +111,7 @@ class MTModel(nn.Module):
             dec_cfg = dataclasses.replace(dec_cfg, tie_input_output=True)
         self.decoder = TransformerDecoder(
             cfg.vocab_size, dec_cfg, dtype=self.dtype,
-            embed_module=(self.src_embed
-                          if cfg.encoder != "hugging_face"
-                          and cfg.share_encoder_decoder_input_embed
-                          and (cfg.src_vocab_size or cfg.vocab_size)
-                          == cfg.vocab_size else None),
+            embed_module=shared_embed,
             name="decoder",
         )
 

@@ -133,8 +133,17 @@ class GDCADecoderCell(nn.Module):
         )((att_c, att_h), jnp.concatenate([pre, ctx_prev], -1))
         # location features come from the carried attention state exactly as
         # GDCAttLoc does: att_prev is the cumulated weights when
-        # cumulate_att_w (decoder.py:212-216 passes prev_att_w to the att)
-        loc_src = att_cum if cfg.cumulate_att_w else prev_att
+        # cumulate_att_w.  Reference cumulation EXCLUDES the one-hot init:
+        # decoder.py:212-215 sets prev_att_w = att_w after step 1 (the None
+        # branch), so att_prev(t) = a0 for t=1 and sum_{i<t} w_i after —
+        # att_cum therefore starts at zero and the first step falls back to
+        # the one-hot prev_att (a later cum is never all-zero: each step
+        # adds a normalized distribution).
+        if cfg.cumulate_att_w:
+            first = jnp.sum(att_cum, -1, keepdims=True) == 0.0
+            loc_src = jnp.where(first, prev_att, att_cum)
+        else:
+            loc_src = prev_att
         loc = nn.Conv(cfg.att_filters, (cfg.att_kernel,), padding="SAME",
                       use_bias=False, dtype=self.dtype,
                       name="att_conv")(loc_src[..., None])
@@ -223,9 +232,11 @@ class SingingTacotron(nn.Module):
     def _init_carry(self, b, l):
         d = self.cfg.dlstm_units
         z = lambda: (jnp.zeros((b, d)), jnp.zeros((b, d)))
-        # initial attention: all mass on position 0 (attentions.py:1918-1920)
+        # initial attention: all mass on position 0 (attentions.py:1918-1920);
+        # the cumulative carry starts EMPTY — the reference never folds this
+        # one-hot init into prev_att_w (decoder.py:212-215, see cell)
         a0 = jnp.zeros((b, l)).at[:, 0].set(1.0)
-        return (z(), z(), a0, a0)
+        return (z(), z(), a0, jnp.zeros((b, l)))
 
     def decode_teacher_forced(self, enc, trans_token, enc_valid, mels,
                               deterministic=True):

@@ -489,8 +489,24 @@ class BatchBeamSearch:
     # it stopped with a larger frame budget — no re-decoding of earlier
     # tokens, no re-encoding of earlier audio.
 
+    def _sync_stream_weights(self):
+        """Streaming jits always close over self.variables (no traced-weights
+        mechanism on this path): drop them when the weights object was
+        reassigned so a checkpoint swap retraces instead of silently decoding
+        with stale constants (same contract as _call_weights)."""
+        if self._default_att_scorer:
+            self.att_scorer.variables = self.variables
+        ident = (id(self.variables),
+                 id(getattr(self.att_scorer, "variables", None)))
+        if getattr(self, "_stream_weights_id", None) != ident:
+            for a in ("_stream_start_jit", "_stream_step_jit"):
+                if hasattr(self, a):
+                    delattr(self, a)
+            self._stream_weights_id = ident
+
     def stream_start(self, ctc_logp, enc_buf, enc_len, lmax: int, scorer_ctx=None):
         """Initial resumable carry over a partially-filled encoder buffer."""
+        self._sync_stream_weights()
         if not hasattr(self, "_stream_start_jit"):
             self._stream_start_jit = jax.jit(
                 lambda ctc_logp, enc, enc_len, scorer_ctx, lmax: self._init_carry(
@@ -504,6 +520,7 @@ class BatchBeamSearch:
         self, enc_buf, enc_len_old, enc_len_new, maxlen, minlen, carry, ctc_logp
     ):
         """Extend CTC state over the new frames, then continue the search."""
+        self._sync_stream_weights()
         if not hasattr(self, "_stream_step_jit"):
             def _step(enc_buf, old, new, maxlen, minlen, carry, ctc_logp):
                 from llm_guided_asr_tpu.search.ctc_prefix import ctc_prefix_extend

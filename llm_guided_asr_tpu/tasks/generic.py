@@ -72,6 +72,20 @@ GENERIC_DEFAULTS: Dict[str, Any] = {
 # per-task builders
 # ---------------------------------------------------------------------------
 
+def _merge_pretrained(model, variables):
+    """Overlay pretrained weights a builder stashed on the model (e.g. the
+    whisper fine-tune path, _build_whisper) onto freshly-initialized
+    variables.  Without this merge the stash was write-only and a
+    'fine-tune' silently trained from random init."""
+    pre = getattr(model, "_pretrained_variables", None)
+    if not pre:
+        return variables
+    out = dict(variables)
+    for coll, tree in pre.items():
+        out[coll] = {**out.get(coll, {}), **tree}
+    return out
+
+
 def _build_enh(config):
     from llm_guided_asr_tpu.models.enh import EnhConfig, ESPnetEnhancementModel
 
@@ -412,7 +426,10 @@ def _build_whisper(config):
                 eot_id=int(mc.get("eot_id", model.cfg.eot_id)),
             ),
         )
-        model._pretrained_variables = variables  # picked up by bin/train
+        # stash for main()/build_model_from_file to merge over model.init
+        # output (flax Modules are frozen dataclasses — plain attribute
+        # assignment raises outside setup)
+        object.__setattr__(model, "_pretrained_variables", variables)
     else:
         enc = WhisperEncConfig(
             d_model=int(mc.get("d_model", 64)),
@@ -1390,6 +1407,7 @@ class GenericTask:
             "mask": jax.random.PRNGKey(2),
         }
         variables = dict(model.init(rngs, *dummy, deterministic=True))
+        variables = _merge_pretrained(model, variables)
         if (
             config.get("task") == "mt"
             and config.get("encoder") == "hugging_face"
@@ -1506,6 +1524,7 @@ class GenericTask:
             "mask": jax.random.PRNGKey(2),
         }
         variables = dict(model.init(rngs, *dummy, deterministic=True))
+        variables = _merge_pretrained(model, variables)
         if model_file is not None:
             variables = merge_loaded(variables, load_pytree(model_file))
         return model, variables, config

@@ -171,7 +171,10 @@ def corpus_bleu(
     """Corpus-level BLEU-N with brevity penalty (the reference scores MT/ST
     with sacrebleu at stage 13 and reports training BLEU via
     espnet/nets/e2e_mt_common.py; this is the standard corpus formula over
-    pre-tokenized sequences, smoothing-free like sacrebleu's default).
+    pre-tokenized sequences with sacrebleu's default exponential smoothing:
+    an order with zero clipped matches contributes precision 1/2^k, k
+    incremented per smoothed order — without it any corpus lacking a single
+    4-gram match scores 0.0 where sacrebleu reports a nonzero value).
 
     refs/hyps: parallel iterables of token sequences (str.split() the text
     for word BLEU).  Returns BLEU in [0, 100].
@@ -199,8 +202,18 @@ def corpus_bleu(
             )
     if hyp_len == 0 or any(t == 0 for t in totals):
         return 0.0
-    if any(c == 0 for c in clipped):
-        return 0.0
-    log_p = sum(math.log(c / t) for c, t in zip(clipped, totals)) / max_n
+    # sacrebleu smooth_method='exp' (its default): each zero-match order n
+    # gets precision 1 / (2^k * total_n), k = 1, 2, ... per smoothed order
+    # (sacrebleu BLEU.compute_bleu: smooth_mteval *= 2;
+    #  p_n = 100 / (smooth_mteval * total[n]))
+    log_p = 0.0
+    smooth = 1.0
+    for c, t in zip(clipped, totals):
+        if c == 0:
+            smooth *= 2.0
+            log_p += math.log(1.0 / (smooth * t))
+        else:
+            log_p += math.log(c / t)
+    log_p /= max_n
     bp = 1.0 if hyp_len > ref_len else math.exp(1.0 - ref_len / hyp_len)
     return 100.0 * bp * math.exp(log_p)

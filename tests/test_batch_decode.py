@@ -107,3 +107,34 @@ def test_forced_traced_mode_matches_closure():
     assert [h.yseq for h in traced] == [h.yseq for h in closure]
     for ht, hc in zip(traced, closure):
         np.testing.assert_allclose(ht.score, hc.score, rtol=1e-4, atol=1e-4)
+
+
+def test_streaming_retraces_on_weight_swap():
+    """Streaming jits close over weights; a checkpoint swap between streams
+    must retrace (stream_start/_sync_stream_weights), not keep decoding with
+    the stale constants."""
+    model, variables, beam, enc, enc_lens = _tiny_beam()
+    variables2 = jax.tree_util.tree_map(
+        lambda x: x + 0.37 * jnp.sign(x + 0.1), variables
+    )
+
+    def stream_decode(bs, enc, enc_len):
+        t = int(enc.shape[1])
+        ctc_logp = bs._ctc_table(enc)
+        half = jnp.asarray(max(t // 2, 1), jnp.int32)
+        full = jnp.asarray(t, jnp.int32)
+        enc_half = jnp.where((jnp.arange(t) < half)[None, :, None], enc, 0.0)
+        carry = bs.stream_start(ctc_logp, enc_half, half, t)
+        carry = bs.stream_step(
+            enc, half, full, jnp.asarray(t, jnp.int32),
+            jnp.asarray(0, jnp.int32), carry, ctc_logp,
+        )
+        return [h.yseq for h in bs.stream_hyps(carry, nbest=1)]
+
+    # trace the streaming jits on the OLD weights, then swap
+    _ = stream_decode(beam, enc, enc_lens[0])
+    beam.variables = variables2
+    swapped = stream_decode(beam, enc, enc_lens[0])
+    fresh = BatchBeamSearch(model, variables2, vocab_size=8, sos=7, eos=7,
+                            beam_size=3, ctc_weight=0.3)
+    assert swapped == stream_decode(fresh, enc, enc_lens[0])

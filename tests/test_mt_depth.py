@@ -125,3 +125,19 @@ def test_score_cli_bleu(tmp_path):
     hyp.write_text("u1 the cat sat on a mat\nu2 hello there again\n")
     r2 = score(str(ref), str(hyp), token_type="bleu")
     assert 0.0 < r2["bleu"] < 100.0
+
+
+def test_corpus_bleu_exp_smoothing():
+    """Zero 4-gram matches must NOT zero the whole score: sacrebleu's
+    default exp smoothing gives 1/(2^k * total) for zero-match orders."""
+    from llm_guided_asr_tpu.utils.metrics import corpus_bleu
+
+    refs = [list("abcdef")]
+    hyps = [list("abcxyz")]  # 1/2-gram matches exist, no 3/4-gram match
+    score = corpus_bleu(refs, hyps)
+    assert 0.0 < score < 100.0
+    # perfect match is still 100
+    assert abs(corpus_bleu(refs, [list("abcdef")]) - 100.0) < 1e-6
+    # and a worse hypothesis scores lower
+    worse = corpus_bleu(refs, [list("axcxez")])
+    assert worse < score

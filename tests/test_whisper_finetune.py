@@ -91,3 +91,51 @@ def test_task_builder():
     v = model.init(jax.random.PRNGKey(0), *dummy)
     loss, _, _ = model.apply(v, *dummy)
     assert np.isfinite(float(loss))
+
+
+def test_pretrained_weights_reach_training(tmp_path):
+    """The model_name_or_path fine-tune branch must train FROM the HF
+    checkpoint: build through the task machinery and assert the variables
+    main()/build_model_from_file produce carry the converted HF weights,
+    not model.init values."""
+    import transformers
+
+    hf_cfg = transformers.WhisperConfig(
+        vocab_size=32, d_model=16, encoder_layers=1, decoder_layers=1,
+        encoder_attention_heads=2, decoder_attention_heads=2,
+        encoder_ffn_dim=32, decoder_ffn_dim=32, num_mel_bins=20,
+        max_source_positions=1500, max_target_positions=32,
+        decoder_start_token_id=1, eos_token_id=2, pad_token_id=0,
+    )
+    hf = transformers.WhisperModel(hf_cfg)
+    ckpt = tmp_path / "tiny_whisper"
+    hf.save_pretrained(ckpt)
+
+    from llm_guided_asr_tpu.models.whisper import load_whisper_asr
+    from llm_guided_asr_tpu.tasks.generic import (
+        _build_whisper,
+        _merge_pretrained,
+    )
+
+    _, pre_vars, _ = load_whisper_asr(str(ckpt))
+    model, batch_args, dummy = _build_whisper(
+        {"model_conf": {"model_name_or_path": str(ckpt)}}
+    )
+    assert getattr(model, "_pretrained_variables", None), \
+        "builder must stash the converted HF weights"
+    rngs = {"params": jax.random.PRNGKey(0), "dropout": jax.random.PRNGKey(1),
+            "mask": jax.random.PRNGKey(2)}
+    init_vars = dict(model.init(rngs, *dummy, deterministic=True))
+    merged = _merge_pretrained(model, init_vars)
+    # the merged params are the HF conversion, not the random init
+    got = jax.tree_util.tree_leaves(merged["params"])
+    want = jax.tree_util.tree_leaves(pre_vars["params"])
+    assert len(got) == len(want)
+    for g, w in zip(got, want):
+        np.testing.assert_array_equal(np.asarray(g), np.asarray(w))
+    # and they differ from a fresh init (i.e. the merge did something)
+    fresh = jax.tree_util.tree_leaves(init_vars["params"])
+    assert any(
+        g.shape == f.shape and not np.allclose(np.asarray(g), np.asarray(f))
+        for g, f in zip(got, fresh)
+    )
