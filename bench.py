@@ -778,7 +778,11 @@ def bench_llm_guided(on_tpu, dtype):
                 continue
             best = wdt if best is None else min(best, wdt)
         train_sps = tb * FLAGSHIP_SECONDS * t_iters / best
-    except Exception:
+    except Exception as e:
+        # keep the decode metrics alive but leave a trace — this failure was
+        # once silent and the metric just vanished from a run
+        _emit("llm_guided_train_sps", -1, "audio_seconds_per_second",
+              note=f"error: {e}"[:300])
         train_sps = None
     return single_rtfx, batch_rtfx, train_sps
 
